@@ -1,0 +1,364 @@
+package graft.config
+
+import java.time.ZoneId
+import scala.util.matching.Regex
+
+import graft.template.Template
+
+/** Compression codecs supported by the sink
+  * (reference: `S3SinkConfig.java:802-813`; supported-set error
+  * `S3SinkConfigTest.java:694-708`). Default when unset is GZIP. */
+sealed abstract class CompressionType(val name: String, val extension: String)
+object CompressionType {
+  case object None   extends CompressionType("none", "")
+  case object Gzip   extends CompressionType("gzip", ".gz")
+  case object Snappy extends CompressionType("snappy", ".snappy")
+  case object Zstd   extends CompressionType("zstd", ".zst")
+
+  val all: List[CompressionType] = List(None, Gzip, Snappy, Zstd)
+  val names: List[String] = all.map(_.name)
+
+  def forName(n: String): Either[String, CompressionType] =
+    all.find(_.name == n.trim.toLowerCase).toRight(
+      s"Invalid value $n for configuration file.compression.type: " +
+        s"supported values are: 'none', 'gzip', 'snappy', 'zstd'")
+}
+
+/** Output formats (reference `format.output.type`, `README.md:209-436`). */
+sealed abstract class FormatType(val name: String)
+object FormatType {
+  case object Csv     extends FormatType("csv")
+  case object Json    extends FormatType("json")
+  case object Jsonl   extends FormatType("jsonl")
+  case object Parquet extends FormatType("parquet")
+
+  val all: List[FormatType] = List(Csv, Json, Jsonl, Parquet)
+  def forName(n: String): Either[String, FormatType] =
+    all.find(_.name == n.trim.toLowerCase).toRight(
+      s"Invalid value $n for configuration format.output.type: " +
+        s"supported values are: 'csv', 'json', 'jsonl', 'parquet'")
+}
+
+/** Record fields that may be projected into the output
+  * (reference `format.output.fields`, `S3SinkConfigTest.java:100-108`;
+  * order is preserved as configured, `S3SinkTaskTest.java:183,543-551`). */
+sealed abstract class OutputFieldType(val name: String)
+object OutputFieldType {
+  case object Key       extends OutputFieldType("key")
+  case object Value     extends OutputFieldType("value")
+  case object Offset    extends OutputFieldType("offset")
+  case object Timestamp extends OutputFieldType("timestamp")
+  case object Headers   extends OutputFieldType("headers")
+
+  val all: List[OutputFieldType] = List(Key, Value, Offset, Timestamp, Headers)
+  def forName(n: String): Either[String, OutputFieldType] =
+    all.find(_.name == n.trim.toLowerCase).toRight(
+      s"Invalid value $n for configuration format.output.fields: " +
+        s"supported values are: 'key', 'value', 'offset', 'timestamp', 'headers'")
+}
+
+/** base64 vs raw encoding of an output field (reference
+  * `OutputFieldEncodingType`, `S3SinkConfig.java:827-844`). */
+sealed abstract class OutputFieldEncodingType(val name: String)
+object OutputFieldEncodingType {
+  case object None   extends OutputFieldEncodingType("none")
+  case object Base64 extends OutputFieldEncodingType("base64")
+  def forName(n: String): Either[String, OutputFieldEncodingType] =
+    List(None, Base64).find(_.name == n.trim.toLowerCase).toRight(
+      s"Invalid value $n for configuration format.output.fields.value.encoding: " +
+        s"supported values are: 'none', 'base64'")
+}
+
+final case class OutputField(fieldType: OutputFieldType, encoding: OutputFieldEncodingType)
+
+/** How records are grouped into output files — resolved from the file-name
+  * template's variable set, exactly like the reference's
+  * `RecordGrouperFactory.resolveRecordGrouperType`
+  * (`S3SinkConfig.java:730-737`, `README.md:84-91`):
+  *   - `topic,partition,start_offset[,timestamp]` → topic-partition grouping
+  *   - `key` or `key,topic,partition` → key (latest-wins compaction) grouping
+  */
+sealed trait GroupingMode
+object GroupingMode {
+  case object TopicPartitionRecord extends GroupingMode
+  case object KeyRecord            extends GroupingMode
+
+  def resolve(t: Template): Either[String, GroupingMode] = {
+    val vars = t.variableNames
+    val tpSets = Set(
+      Set("topic", "partition", "start_offset"),
+      Set("topic", "partition", "start_offset", "timestamp"))
+    val keySets = Set(Set("key"), Set("key", "topic", "partition"))
+    if (tpSets.contains(vars)) Right(TopicPartitionRecord)
+    else if (keySets.contains(vars)) Right(KeyRecord)
+    else Left(
+      "unsupported set of template variables, supported sets are: " +
+        "topic,partition,start_offset,timestamp; key; key,topic,partition")
+  }
+}
+
+/** AWS credential modes (reference `AwsCredentialProviderFactory.java:28-67`):
+  * static keys XOR STS assume-role XOR default provider chain. */
+final case class StsRole(
+    arn: String,
+    sessionName: String,
+    externalId: Option[String],
+    durationSeconds: Int,
+    stsEndpoint: Option[String])
+
+/** Parsed + validated sink configuration — the rebuild of the reference's
+  * `S3SinkConfig` (`/root/reference/src/main/java/io/aiven/kafka/connect/s3/
+  * config/S3SinkConfig.java:138-187,687-738`). Pure Scala; the "planner
+  * front-end" of the engine (SURVEY.md §3.1): parsing this config and
+  * resolving [[GroupingMode]] is the reference's entire plan selection.
+  */
+final case class SinkConfig(
+    bucketName: String,
+    prefix: String,
+    fileNameTemplate: Template,
+    groupingMode: GroupingMode,
+    compression: CompressionType,
+    formatType: FormatType,
+    outputFields: List[OutputField],
+    envelopeEnabled: Boolean,
+    maxRecordsPerFile: Int,
+    timestampZone: ZoneId,
+    partSizeBytes: Long,
+    awsAccessKeyId: Option[String],
+    awsSecretAccessKey: Option[String],
+    stsRole: Option[StsRole],
+    endpoint: Option[String],
+    region: Option[String],
+    backoffDelayMs: Long,
+    backoffMaxDelayMs: Long,
+    backoffMaxRetries: Int,
+    kafkaRetryBackoffMs: Option[Long],
+    topics: List[String],
+    topicsRegex: Option[String]) {
+
+  /** s3a Hadoop configuration equivalent to the reference's AWS client setup
+    * (SURVEY.md §2 O18/O21/O22: retry policy, endpoint, credentials map onto
+    * `fs.s3a.*` — configuration, not code). */
+  def s3aOptions: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    b += "fs.s3a.multipart.size" -> partSizeBytes.toString
+    b += "fs.s3a.retry.limit" -> backoffMaxRetries.toString
+    b += "fs.s3a.retry.interval" -> s"${backoffDelayMs}ms"
+    awsAccessKeyId.foreach(k => b += "fs.s3a.access.key" -> k)
+    awsSecretAccessKey.foreach(k => b += "fs.s3a.secret.key" -> k)
+    endpoint.foreach(e => b += "fs.s3a.endpoint" -> e)
+    region.foreach(r => b += "fs.s3a.endpoint.region" -> r)
+    stsRole.foreach { r =>
+      b += "fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+      b += "fs.s3a.assumed.role.arn" -> r.arn
+      b += "fs.s3a.assumed.role.session.name" -> r.sessionName
+      b += "fs.s3a.assumed.role.session.duration" -> s"${r.durationSeconds}s"
+      r.stsEndpoint.foreach(e => b += "fs.s3a.assumed.role.sts.endpoint" -> e)
+    }
+    b.result()
+  }
+}
+
+object SinkConfig {
+
+  val DefaultPartSize: Long = 5L * 1024 * 1024 // 5 MiB (S3OutputStream.java:41)
+  val MaxPartSize: Long = 2L * 1024 * 1024 * 1024 // 2 GB upper bound
+  val DefaultBackoffDelayMs = 100L     // S3SinkConfig.java:128
+  val DefaultBackoffMaxDelayMs = 20000L // S3SinkConfig.java:129
+  val DefaultBackoffMaxRetries = 3     // S3SinkConfig.java:136
+  val MaxBackoffRetries = 30           // S3SinkConfig.java:327-341
+  val MaxKafkaRetryBackoffMs: Long = 24L * 60 * 60 * 1000 // 24h cap (README.md:451)
+  val DefaultTemplate = "{{topic}}-{{partition}}-{{start_offset}}"
+  val StsDurationMin = 900
+  val StsDurationMax = 43200
+
+  private val UppercaseYyyy: Regex = """\{\{\s*timestamp\s*:\s*unit\s*=\s*YYYY\s*\}\}""".r
+
+  /** Old-style → new-style property precedence (reference
+    * `S3SinkConfig.java:143-174`; asserted `S3SinkConfigTest.java:161-212`):
+    * new names win when both are present. */
+  private val OldToNew = Map(
+    "aws_access_key_id"     -> "aws.access.key.id",
+    "aws_secret_access_key" -> "aws.secret.access.key",
+    "aws_s3_bucket"         -> "aws.s3.bucket.name",
+    "aws_s3_endpoint"       -> "aws.s3.endpoint",
+    "aws_s3_region"         -> "aws.s3.region",
+    "aws_s3_prefix"         -> "aws.s3.prefix",
+    "output_compression"    -> "file.compression.type",
+    "output_fields"         -> "format.output.fields"
+  )
+
+  /** Pre-process raw props: old→new precedence and the `YYYY`→`yyyy`
+    * template rewrite (reference `S3SinkConfig.java:143-174`). */
+  def preprocess(props: Map[String, String]): Map[String, String] = {
+    val renamed = props.flatMap {
+      case (k, v) if OldToNew.contains(k) =>
+        val nk = OldToNew(k)
+        if (props.contains(nk)) scala.None else Some(nk -> v)
+      case kv => Some(kv)
+    }
+    renamed.get("file.name.template") match {
+      case Some(t) =>
+        renamed.updated(
+          "file.name.template",
+          UppercaseYyyy.replaceAllIn(t, "{{timestamp:unit=yyyy}}"))
+      case scala.None => renamed
+    }
+  }
+
+  /** Parse + validate; returns every error found (reference surfaces them via
+    * ConfigDef validators + `validate()` cross-field checks,
+    * `S3SinkConfig.java:687-738`). */
+  def parse(rawProps: Map[String, String]): Either[List[String], SinkConfig] = {
+    val props = preprocess(rawProps)
+    val errs = List.newBuilder[String]
+
+    def opt(k: String): Option[String] = props.get(k).map(_.trim).filter(_.nonEmpty)
+
+    val bucket = opt("aws.s3.bucket.name")
+    if (bucket.isEmpty) errs += "aws.s3.bucket.name property is mandatory"
+
+    val template = Template.of(
+      opt("file.name.template").getOrElse(DefaultTemplate))
+    errs ++= Template.validate(template, Template.FilenameVars)
+
+    val grouping = GroupingMode.resolve(template) match {
+      case Right(g) => g
+      case Left(e)  => errs += e; GroupingMode.TopicPartitionRecord
+    }
+
+    val compression = opt("file.compression.type")
+      .map(CompressionType.forName) match {
+      case Some(Right(c)) => c
+      case Some(Left(e))  => errs += e; CompressionType.Gzip
+      case scala.None     => CompressionType.Gzip // default gzip (S3SinkConfig.java:802-813)
+    }
+
+    val formatType = opt("format.output.type").map(FormatType.forName) match {
+      case Some(Right(f)) => f
+      case Some(Left(e))  => errs += e; FormatType.Csv
+      case scala.None     => FormatType.Csv
+    }
+
+    val valueEncoding = opt("format.output.fields.value.encoding")
+      .map(OutputFieldEncodingType.forName) match {
+      case Some(Right(e)) => e
+      case Some(Left(e))  => errs += e; OutputFieldEncodingType.Base64
+      case scala.None     => OutputFieldEncodingType.Base64
+    }
+
+    // Default projection is `value` alone (README.md:227); CSV key is always
+    // base64 (README.md:239-250), value encoding is configurable.
+    val outputFields = opt("format.output.fields")
+      .map(_.split(",").toList.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(List("value"))
+      .map { n =>
+        OutputFieldType.forName(n) match {
+          case Right(OutputFieldType.Value) =>
+            Some(OutputField(OutputFieldType.Value, valueEncoding))
+          case Right(t) =>
+            Some(OutputField(t, OutputFieldEncodingType.Base64))
+          case Left(e) => errs += e; scala.None
+        }
+      }
+      .flatten
+
+    val maxRecords = opt("file.max.records").map(_.toIntOption) match {
+      case Some(Some(n)) if n >= 0 => n
+      case Some(_) =>
+        errs += "file.max.records must be a non-negative integer number"; 0
+      case scala.None => 0
+    }
+    // key-grouping requires at most one record per file (S3SinkConfig.java:729-737)
+    if (grouping == GroupingMode.KeyRecord && maxRecords > 1)
+      errs += ("When file.name.template is " + template.raw +
+        ", file.max.records must be either 1 or not set")
+
+    val tz = opt("file.name.timestamp.timezone").map { z =>
+      try ZoneId.of(z)
+      catch {
+        case _: Exception =>
+          errs += s"Invalid value $z for configuration file.name.timestamp.timezone"
+          ZoneId.of("Z")
+      }
+    }.getOrElse(ZoneId.of("Z"))
+
+    opt("file.name.timestamp.source").foreach { s =>
+      if (s.toLowerCase != "wallclock")
+        errs += s"Invalid value $s for configuration file.name.timestamp.source"
+    }
+
+    val partSize = opt("aws.s3.part.size.bytes").map(_.toLongOption) match {
+      case Some(Some(n)) if n > 0 && n <= MaxPartSize => n
+      case Some(_) =>
+        errs += ("aws.s3.part.size.bytes must be in range (0, 2147483647]"); DefaultPartSize
+      case scala.None => DefaultPartSize
+    }
+
+    val accessKey = opt("aws.access.key.id")
+    val secretKey = opt("aws.secret.access.key")
+    if (accessKey.isDefined != secretKey.isDefined)
+      errs += "aws.access.key.id and aws.secret.access.key must be defined together"
+
+    val stsArn = opt("aws.sts.role.arn")
+    val stsRole = stsArn.map { arn =>
+      val dur = opt("aws.sts.role.session.duration").flatMap(_.toIntOption).getOrElse(3600)
+      if (dur < StsDurationMin || dur > StsDurationMax)
+        errs += s"aws.sts.role.session.duration must be in range [$StsDurationMin, $StsDurationMax]"
+      val session = opt("aws.sts.role.session.name").getOrElse {
+        errs += "aws.sts.role.session.name is mandatory when aws.sts.role.arn is set"; ""
+      }
+      StsRole(arn, session, opt("aws.sts.role.external.id"), dur, opt("aws.sts.config.endpoint"))
+    }
+    if (stsRole.isDefined && accessKey.isDefined)
+      errs += "Either  static credential pair aws.access.key.id and aws.secret.access.key " +
+        "must be set together, or assuming role properties aws.sts.role.arn, " +
+        "aws.sts.role.session.name must be set together"
+
+    val backoffDelay = opt("aws.s3.backoff.delay.ms").flatMap(_.toLongOption)
+      .getOrElse(DefaultBackoffDelayMs)
+    val backoffMaxDelay = opt("aws.s3.backoff.max.delay.ms").flatMap(_.toLongOption)
+      .getOrElse(DefaultBackoffMaxDelayMs)
+    val backoffRetries = opt("aws.s3.backoff.max.retries").flatMap(_.toIntOption)
+      .getOrElse(DefaultBackoffMaxRetries)
+    if (backoffRetries < 1 || backoffRetries > MaxBackoffRetries)
+      errs += s"aws.s3.backoff.max.retries must be in range [1, $MaxBackoffRetries]"
+
+    val kafkaBackoff = opt("kafka.retry.backoff.ms").flatMap(_.toLongOption).map { ms =>
+      if (ms < 0 || ms > MaxKafkaRetryBackoffMs)
+        errs += s"kafka.retry.backoff.ms must be in range [0, $MaxKafkaRetryBackoffMs]"
+      ms
+    }
+
+    val topics = opt("topics").map(_.split(",").toList.map(_.trim)).getOrElse(Nil)
+    val topicsRegex = opt("topics.regex")
+
+    val collected = errs.result()
+    if (collected.nonEmpty) Left(collected)
+    else
+      Right(SinkConfig(
+        bucketName = bucket.get,
+        prefix = opt("aws.s3.prefix").getOrElse(""),
+        fileNameTemplate = template,
+        groupingMode = grouping,
+        compression = compression,
+        formatType = formatType,
+        outputFields = outputFields,
+        envelopeEnabled = opt("format.output.envelope").forall(_.toBoolean),
+        maxRecordsPerFile = maxRecords,
+        timestampZone = tz,
+        partSizeBytes = partSize,
+        awsAccessKeyId = accessKey,
+        awsSecretAccessKey = secretKey,
+        stsRole = stsRole,
+        endpoint = opt("aws.s3.endpoint"),
+        region = opt("aws.s3.region"),
+        backoffDelayMs = backoffDelay,
+        backoffMaxDelayMs = backoffMaxDelay,
+        backoffMaxRetries = backoffRetries,
+        kafkaRetryBackoffMs = kafkaBackoff,
+        topics = topics,
+        topicsRegex = topicsRegex))
+  }
+}

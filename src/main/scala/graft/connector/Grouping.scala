@@ -1,0 +1,141 @@
+package graft.connector
+
+import java.time.ZonedDateTime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.config.SinkConfig
+import graft.template.Template
+
+/** Record grouping (SURVEY.md §2 O2–O5) and distributed filename rendering
+  * (O16), expressed as Catalyst transforms so grouping scales with the data:
+  * the group key and file name are plain columns — Spark shuffles once on
+  * them and every downstream per-file write is executor-local.
+  *
+  * Reference semantics (`README.md:97-198`, `RecordGrouperFactory` dispatch
+  * at `S3SinkTask.java:77`):
+  *   - topic-partition mode: one file per (topic, partition[, time bucket])
+  *     per flush, named with the group's min offset (`start_offset`);
+  *   - `file.max.records=N` splits a group into chunks of N, each chunk's
+  *     file named with the chunk's own first offset;
+  *   - key mode: latest record per key wins (compaction), file named by key,
+  *     null key → literal "null" (`README.md:176-181`).
+  */
+object Grouping {
+
+  /** Time-bucket columns for `{{timestamp:unit=…}}` template vars (O4).
+    * The reference buckets on *wallclock* time only
+    * (`S3SinkConfig.java:492-503`): pass the batch-start wallclock instant so
+    * every record in a micro-batch lands in the same bucket. For batch-mode
+    * analytics over historical data we expose record-time bucketing too. */
+  def wallclockBucket(unit: String, now: ZonedDateTime): Column = {
+    val pattern = unit match {
+      case "yyyy" => "yyyy"
+      case "MM"   => "MM"
+      case "dd"   => "dd"
+      case "HH"   => "HH"
+      case other  => throw new IllegalArgumentException(s"bad timestamp unit $other")
+    }
+    lit(now.format(java.time.format.DateTimeFormatter.ofPattern(pattern)))
+  }
+
+  def recordTimeBucket(unit: String, ts: Column): Column =
+    date_format(ts, unit match {
+      case "yyyy" | "MM" | "dd" | "HH" => unit
+      case other => throw new IllegalArgumentException(s"bad timestamp unit $other")
+    })
+
+  /** O5 — chunk index within a (topic, partition) group when
+    * `file.max.records` caps file size: records ordered by offset, chunk i
+    * holds records [i*N, (i+1)*N). 0 when unlimited. */
+  def chunkIndex(maxRecords: Int): Column =
+    if (maxRecords <= 0) lit(0L)
+    else {
+      val rn = row_number().over(
+        Window.partitionBy(col("topic"), col("partition")).orderBy(col("offset")))
+      ((rn - 1).cast(LongType) / maxRecords).cast(LongType)
+    }
+
+  /** O2 — start_offset of each record's group: min(offset) over the group
+    * (window aggregate, no sort needed beyond the chunking one). */
+  def startOffset(groupCols: Seq[Column]): Column =
+    min(col("offset")).over(Window.partitionBy(groupCols: _*))
+
+  /** O16 — render the file-name template distributively as a Column.
+    * `bindings` maps template variable name → column; `padding=true`
+    * becomes `lpad(..., 20, "0")` (reference renders `%020d`,
+    * `OldFullKeyFormatters.java:29-33`). */
+  def filenameColumn(template: Template, bindings: Map[String, Column],
+                     now: ZonedDateTime): Column = {
+    val parts: Seq[Column] = template.parts.map {
+      case Template.Literal(s) => lit(s)
+      case Template.Var(name, param) =>
+        val base = bindings.getOrElse(name,
+          throw new IllegalArgumentException(s"no column binding for template var $name"))
+        param match {
+          case Some(Template.Param("padding", "true")) =>
+            lpad(base.cast(StringType), 20, "0")
+          case Some(Template.Param("unit", u)) => recordTimeBucket(u, base)
+          case _ => base.cast(StringType)
+        }
+    }
+    concat(parts: _*)
+  }
+
+  /** O3 — key compaction: latest record per key (ties broken by partition
+    * then arrival order are impossible — offsets are unique per partition;
+    * across partitions the reference is explicitly nondeterministic,
+    * `README.md:135-198`; we pick the deterministic (offset, partition) max
+    * so reruns are idempotent). Null keys compact under the literal "null"
+    * (`IntegrationTest.java:370-373`). */
+  def compactLatestByKey(records: DataFrame): DataFrame = {
+    val keyStr = coalesce(col("key").cast(StringType), lit("null"))
+    val w = Window.partitionBy(keyStr)
+      .orderBy(col("offset").desc, col("partition").desc)
+    records
+      .withColumn("_k", keyStr)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Full grouping annotation for topic-partition mode: adds `_chunk`,
+    * `_start_offset` and `_filename` columns per the parsed config. One
+    * window pass; the subsequent `partitionBy(_filename)` write is the only
+    * shuffle. */
+  def annotate(records: DataFrame, config: SinkConfig, now: ZonedDateTime): DataFrame = {
+    val groupCols = Seq(col("topic"), col("partition"), chunkIndex(config.maxRecordsPerFile))
+    val withChunk = records.withColumn("_chunk", groupCols.last)
+    val start = min(col("offset")).over(
+      Window.partitionBy(col("topic"), col("partition"), col("_chunk")))
+    val bindings = Map(
+      "topic"        -> col("topic"),
+      "partition"    -> col("partition"),
+      "start_offset" -> col("_start_offset"),
+      "key"          -> coalesce(col("key").cast(StringType), lit("null")),
+      "timestamp"    -> lit(null) // replaced below per-unit with wallclock
+    )
+    val tpl = config.fileNameTemplate
+    val wallBindings = bindings ++ tpl.variables.collect {
+      case Template.Var("timestamp", Some(Template.Param("unit", u))) =>
+        "timestamp" -> wallclockBucket(u, now.withZoneSameInstant(config.timestampZone))
+    }.toMap
+    val fnameParts: Seq[Column] = tpl.parts.map {
+      case Template.Literal(s) => lit(s)
+      case Template.Var(name, param) =>
+        val base = wallBindings(name)
+        param match {
+          case Some(Template.Param("padding", "true")) =>
+            lpad(base.cast(StringType), 20, "0")
+          case _ => base.cast(StringType)
+        }
+    }
+    withChunk
+      .withColumn("_start_offset", start)
+      .withColumn("_filename",
+        concat(concat(fnameParts: _*), lit(config.compression.extension)))
+  }
+}
