@@ -50,8 +50,18 @@ object SparkEntry {
 
   // ------------------------------------------------------- connector family
 
-  /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One per implemented operator from SURVEY.md §2 plus the training-data
+    * pipeline operators (dedup / similarity / text / multimodal) and the
+    * beyond-parity relational set. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    connectorQueries ++ textQueries ++ dedupQueries ++ simQueries ++
+      mmQueries ++ relationalQueries
+
+  def oracleSql: Map[String, String] =
+    connectorOracles ++ textOracles ++ dedupOracles ++ simOracles ++
+      mmOracles ++ relationalOracles
+
+  private def connectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // O2 — topic-partition record grouping: group extents per flush.
     "sink_group_topic_partition" -> ((s, dir) => {
@@ -191,7 +201,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def connectorOracles: Map[String, String] = Map(
     "sink_group_topic_partition" -> (R +
       """SELECT topic, part, min(off) AS start_offset, max(off) AS end_offset,
         |       count(*) AS cnt
@@ -267,5 +277,387 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM records WHERE topic = 'signup') t
         |GROUP BY topic ORDER BY topic""".stripMargin)
+  )
+
+  // ------------------------------------------------------------ text family
+
+  import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "text_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id") +: TextAnalysis.qualityComponents(col("text")): _*)
+        .orderBy("doc_id")
+    }),
+    "text_lang_id" -> ((s, dir) => TextAnalysis.langIdQuery(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
+          TextAnalysis.rollingFingerprint(toks).as("fp_roll"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Shared DuckDB tokenization CTE over `documents`. */
+  private val T =
+    """WITH toks AS (
+      |  SELECT doc_id, text, lang, source,
+      |         string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents
+      |)
+      |""".stripMargin
+
+  private def textOracles: Map[String, String] = Map(
+    "text_token_count" -> (T +
+      "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks ORDER BY doc_id"),
+
+    "text_quality_score" -> (T +
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars2,
+        |  CAST(len(list_filter(t, x -> list_contains(
+        |    ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
+        |  round((n_stopwords * 1.0 / n_tokens) * 0.4 +
+        |        least(n_chars2 * 1.0 / n_tokens / 10.0, 1.0) * 0.3 +
+        |        (1.0 - n_punct * 1.0 / n_chars2) * 0.3, 6) AS quality
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    "text_lang_id" -> (T +
+      """SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> list_contains(['the','and','of'], x))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter(t, x -> list_contains(['der','und','die'], x))) AS BIGINT) AS de_score,
+        |  CAST(len(list_filter(t, x -> list_contains(['el','los','las'], x))) AS BIGINT) AS es_score,
+        |  CAST(len(list_filter(t, x -> list_contains(['le','les','des'], x))) AS BIGINT) AS fr_score,
+        |  CASE
+        |    WHEN de_score > en_score AND de_score >= es_score AND de_score >= fr_score THEN 'de'
+        |    WHEN es_score > en_score AND es_score > de_score AND es_score >= fr_score THEN 'es'
+        |    WHEN fr_score > en_score AND fr_score > de_score AND fr_score > es_score THEN 'fr'
+        |    ELSE 'en' END AS lang_pred
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    "text_fingerprint" -> (T +
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM toks ORDER BY doc_id""".stripMargin)
+  )
+
+  // ----------------------------------------------------------- dedup family
+
+  private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.blockedNgramJaccard(docs(s, dir), 0.0)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35))
+  )
+
+  /** Shingle + signature CTE chain shared by the minhash oracle. */
+  private val SH =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+      |)
+      |""".stripMargin
+
+  private def dedupOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> (SH +
+      """, sig AS (
+        |  SELECT doc_id,
+        |    min(md5('s0|' || sh)) AS mh0, min(md5('s1|' || sh)) AS mh1,
+        |    min(md5('s2|' || sh)) AS mh2, min(md5('s3|' || sh)) AS mh3,
+        |    min(md5('s4|' || sh)) AS mh4, min(md5('s5|' || sh)) AS mh5,
+        |    min(md5('s6|' || sh)) AS mh6, min(md5('s7|' || sh)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), buckets AS (
+        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), shs AS (
+        |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+        |)
+        |SELECT d1, d2,
+        |  round(len(list_intersect(s1.shs, s2.shs)) * 1.0 /
+        |        (len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs))), 6) AS jaccard
+        |FROM cand JOIN shs s1 ON cand.d1 = s1.doc_id JOIN shs s2 ON cand.d2 = s2.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), cnts AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h
+        |  FROM tok GROUP BY doc_id, tok
+        |), bits AS (
+        |  SELECT doc_id, bit,
+        |         CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS w
+        |  FROM cnts, LATERAL (SELECT unnest(generate_series(0, 15)) AS bit) g
+        |  GROUP BY doc_id, bit
+        |), sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |), chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c * 4)) & 15 AS ckey
+        |  FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) g
+        |)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (SH +
+      """, shsagg AS (
+        |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+        |), shs AS (
+        |  SELECT d.doc_id, d.lang, d.source, s.shs
+        |  FROM documents d JOIN shsagg s ON d.doc_id = s.doc_id
+        |)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  round(len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 6) AS jaccard
+        |FROM shs a JOIN shs b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
+        |ORDER BY d1, d2""".stripMargin
+  )
+
+  // ------------------------------------------------------ similarity family
+
+  private def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+    // Scale path: LSH-bucketed ANN. No SQL oracle (hyperplane hashing is not
+    // reasonably SQL-expressible) → driver records rows-only.
+    "sim_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    })
+  )
+
+  private def simOracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+
+  // ------------------------------------------------------ multimodal family
+
+  private def mmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> ((s, dir) => Multimodal.metaQuery(s, dir)),
+    // Stubbed decode via mapPartitions — not SQL-expressible → rows-only.
+    "mm_feature_extract" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.mediaFromEvents(s, dir)).toDF()
+        .select(col("media_id"), col("modality"), col("ok"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  private def mmOracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT event_id AS media_id,
+        |  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CASE WHEN substr(props, 1, 1) = '{' THEN 'json' ELSE 'raw' END AS format,
+        |  CAST(length(props) AS BIGINT) AS byte_len,
+        |  md5(props) AS payload_md5
+        |FROM events ORDER BY media_id""".stripMargin
+  )
+
+  // ------------------------------------------------------ relational family
+  // Beyond-parity (SURVEY.md §2.2): the reference has no joins/aggregations;
+  // these come from Spark SQL and double as the bench headliners.
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: partial-agg-friendly single shuffle.
+    "q1_pricing_summary" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style: broadcast the filtered dimensions into the fact scan.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < lit("1997-01-01"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > lit("1997-01-01"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: star join, all dims broadcast, one fact shuffle.
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // Ranking window: top-3 customers by balance per nation.
+    "q_window_top_customers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 3)
+        .select(col("c_nationkey").as("nationkey"), col("rank"),
+          col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+        .orderBy("nationkey", "rank")
+    }),
+
+    // Time-series rollup on the orders stream.
+    "q_monthly_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month")
+    }),
+
+    // Set operation: customers with open orders but no finished ones.
+    "q_set_except" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.where(col("o_orderstatus") === "O").select("o_custkey").distinct()
+        .except(ord.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    })
+  )
+
+  private def relationalOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_date, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_window_top_customers" ->
+      """SELECT c_nationkey AS nationkey,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank,
+        |  c_custkey AS custkey, c_acctbal AS acctbal
+        |FROM customer
+        |QUALIFY rank <= 3
+        |ORDER BY nationkey, rank""".stripMargin,
+
+    "q_monthly_orders" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin
   )
 }

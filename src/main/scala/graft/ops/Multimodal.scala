@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs as an
+  * iterator-to-iterator `mapPartitions` (the Scala analog of a batched
+  * Pandas UDF: no per-row task overhead, constant memory, codegen-friendly
+  * boundaries on both sides).
+  *
+  * The actual media decode is STUBBED — this container has no image/audio
+  * libraries — behind [[MediaCodec.decodeStub]], a deterministic fake that
+  * derives a fixed-shape feature vector from the payload bytes. The
+  * Spark-side contract (schema, partitioning, batch shape, null handling)
+  * is real and tested; swapping the stub for a JNI/OpenCV decoder changes
+  * no plan topology.
+  */
+object Multimodal {
+
+  /** Typed media record: payload + metadata, the schema a 100 TB media lake
+    * would partition by (modality, then format). */
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String, // image | audio | video
+      format: String,   // sniffed container format
+      payload: Array[Byte],
+      byte_len: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      feature: Array[Float], // fixed FeatureDim-sized embedding
+      ok: Boolean)
+
+  val FeatureDim = 8
+
+  object MediaCodec {
+    /** STUB decode: real systems would decode the image/audio here. The
+      * deterministic fake folds payload bytes into FeatureDim accumulators —
+      * same shape, same batch behavior, no media libs required. */
+    def decodeStub(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](FeatureDim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          acc(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      acc
+    }
+  }
+
+  /** Adapt the `events` table into a fake media lake: props bytes as the
+    * payload, modality derived from event_type. Stand-in for a real
+    * `binaryFile` / parquet-with-binary source. */
+  def mediaFromEvents(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.connector.Records.readEvents(spark, sfDir)
+      .select(
+        col("event_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("event_id") % 3).cast(IntegerType) + 1).as("modality"),
+        when(substring(col("props"), 1, 1) === "{", "json").otherwise("raw")
+          .as("format"),
+        col("props").cast(BinaryType).as("payload"),
+        length(col("props")).cast(LongType).as("byte_len"))
+      .as[MediaRecord]
+  }
+
+  /** Batched feature extraction: one decode pass per partition, iterator in /
+    * iterator out (never materializes a partition). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val feat = MediaCodec.decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.modality, feat, ok = r.payload != null)
+      }
+    }
+  }
+
+  /** Oracle-checkable metadata projection: byte length, md5 of the payload,
+    * sniffed format — the plumbing the oracle can verify without a decoder. */
+  def metaQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFromEvents(spark, sfDir).toDF()
+      .select(col("media_id"), col("modality"), col("format"), col("byte_len"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy("media_id")
+}

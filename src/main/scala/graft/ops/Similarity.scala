@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *     set against the full corpus, one pass, no shuffle of the corpus. The
+  *     correctness baseline.
+  *   - [[lshTopK]] — the scale path: random-hyperplane LSH buckets both
+  *     sides, joins co-partitioned on bucket, reranks exactly within
+  *     buckets. Candidate work is O(corpus × probes), not O(corpus ×
+  *     queries); at 100 TB the bucket join replaces the broadcast.
+  *
+  * Cosine is an in-order double fold (`aggregate` over `zip_with`) so the
+  * DuckDB oracle (`list_dot_product` et al.) can be validated digit-for-
+  * digit; outputs are pre-rounded.
+  */
+object Similarity {
+
+  /** In-order double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 decimals. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact top-k neighbors for each query vector (query set must be small —
+    * it is broadcast). Self-pairs excluded. Ties broken by neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val NumHyperplanes = 8
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from md5("hp|p|j") mapped into [-0.5, 0.5). Hash-derived so
+    * executors need no shared state and reruns are identical. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (conv(substring(md5(concat(lit(s"hp|$p|"), j.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / 16777216.0) - 0.5
+
+  /** Sign-bucket of one vector under the p-th hyperplane. */
+  private def signBit(vec: Column, p: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x.cast("double") * planeComponent(p, j)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH bucket id (NumHyperplanes-bit signature). */
+  def hyperplaneBuckets(vec: Column): Column =
+    (0 until NumHyperplanes).map(p => signBit(vec, p)).reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to vectors whose LSH bucket
+    * matches the query's, exact cosine rerank inside the bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", hyperplaneBuckets(col("embedding")))
+    val qb = queries.withColumn("bucket", hyperplaneBuckets(col("embedding")))
+    val scored = cb.as("c")
+      .join(qb.as("q"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * All operators are pure Catalyst column expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale embarrassingly-parallel: each is a
+  * per-row map over the scan — no shuffle at all until a downstream groupBy.
+  * Every scalar here is integer or pre-rounded, so results are bit-identical
+  * across engines (the DuckDB oracle mirrors each formula).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased, trimmed text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Token count (BPE-ish whitespace segmentation baseline). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast(LongType)
+
+  /** Sliding 3-gram (shingle) array over the token sequence; empty when the
+    * document has fewer than 3 tokens. 1-based indexing matches the DuckDB
+    * mirror (`t[i] || ' ' || t[i+1] || ' ' || t[i+2]`). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** English-ish stopword list used by quality scoring. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Language marker tokens (n-gram/stopword heuristic language ID). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "las"),
+    "fr" -> Seq("le", "les", "des"))
+
+  /** Count of tokens belonging to a marker set (multiplicity preserved). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast(LongType)
+
+  /** Count of non-alphanumeric, non-whitespace characters. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
+
+  /** Quality score in [0,1]: stopword density + token-length sanity +
+    * punctuation penalty. Deterministic double math, pre-rounded to 6
+    * decimals. */
+  def qualityComponents(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val nChar = length(text).cast(LongType)
+    val stop = markerCount(toks, Stopwords)
+    val punct = punctCount(text)
+    Seq(
+      nTok.as("n_tokens"),
+      nChar.as("n_chars2"),
+      stop.as("n_stopwords"),
+      punct.as("n_punct"),
+      round(
+        (stop.cast("double") / nTok) * 0.4 +
+          least(nChar.cast("double") / nTok / 10.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - punct.cast("double") / nChar) * 0.3,
+        6).as("quality"))
+  }
+
+  /** 16-bit hash of a token derived from its md5 hex prefix — chosen because
+    * both Spark and DuckDB expose md5, making the oracle bit-exact. */
+  def hash16(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast(LongType)
+
+  /** Polynomial rolling-hash fingerprint over the token sequence:
+    * fold (acc * 31 + hash16(tok)) mod 1e9+7 — order-sensitive, so
+    * reordered documents fingerprint differently (unlike bag-of-words). */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, hash16(_)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Content fingerprint: md5 of whitespace-normalized text (stable under
+    * formatting-only changes). */
+  def md5Fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full language-ID query: marker counts per language + argmax prediction
+    * ('en' wins ties / all-zero). */
+  def langIdQuery(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      markerCount(toks, LangMarkers("en")).as("en_score"),
+      markerCount(toks, LangMarkers("de")).as("de_score"),
+      markerCount(toks, LangMarkers("es")).as("es_score"),
+      markerCount(toks, LangMarkers("fr")).as("fr_score"))
+    scored.select(
+      col("doc_id"), col("en_score"), col("de_score"), col("es_score"), col("fr_score"),
+      when(col("de_score") > col("en_score") && col("de_score") >= col("es_score") &&
+        col("de_score") >= col("fr_score"), "de")
+        .when(col("es_score") > col("en_score") && col("es_score") > col("de_score") &&
+          col("es_score") >= col("fr_score"), "es")
+        .when(col("fr_score") > col("en_score") && col("fr_score") > col("de_score") &&
+          col("fr_score") > col("es_score"), "fr")
+        .otherwise("en").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+}
