@@ -115,18 +115,16 @@ object Grouping {
       "topic"        -> col("topic"),
       "partition"    -> col("partition"),
       "start_offset" -> col("_start_offset"),
-      "key"          -> coalesce(col("key").cast(StringType), lit("null")),
-      "timestamp"    -> lit(null) // replaced below per-unit with wallclock
-    )
+      "key"          -> coalesce(col("key").cast(StringType), lit("null")))
     val tpl = config.fileNameTemplate
-    val wallBindings = bindings ++ tpl.variables.collect {
-      case Template.Var("timestamp", Some(Template.Param("unit", u))) =>
-        "timestamp" -> wallclockBucket(u, now.withZoneSameInstant(config.timestampZone))
-    }.toMap
+    val zonedNow = now.withZoneSameInstant(config.timestampZone)
+    // timestamp vars resolve per-occurrence (a template may use several units)
     val fnameParts: Seq[Column] = tpl.parts.map {
       case Template.Literal(s) => lit(s)
+      case Template.Var("timestamp", Some(Template.Param("unit", u))) =>
+        wallclockBucket(u, zonedNow)
       case Template.Var(name, param) =>
-        val base = wallBindings(name)
+        val base = bindings(name)
         param match {
           case Some(Template.Param("padding", "true")) =>
             lpad(base.cast(StringType), 20, "0")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
+import org.apache.spark.sql.types.{BinaryType => BinT, StructType}
+
 import graft.config.{OutputField, OutputFieldEncodingType, OutputFieldType}
 
 /** Output-field projection + encoding (SURVEY.md §2 O6–O9, O14) as pure
@@ -60,28 +62,35 @@ object OutputFields {
   def csvLine(fields: Seq[OutputField]): Column =
     concat_ws(",", fields.map(csvCell): _*)
 
-  /** JSON value for one output field (O11/O12). Key/value render as UTF-8
-    * strings (post-converter semantics); headers as a name→value object;
-    * timestamp as epoch millis. */
-  def jsonField(f: OutputField): Column = f.fieldType match {
-    case OutputFieldType.Key       => col("key").cast(StringType).as("key")
-    case OutputFieldType.Value     => col("value").cast(StringType).as("value")
-    case OutputFieldType.Offset    => col("offset").as("offset")
-    case OutputFieldType.Timestamp => unix_millis(col("timestamp")).as("timestamp")
-    case OutputFieldType.Headers =>
-      map_from_entries(transform(col("headers"),
-        h => struct(h.getField("key"), h.getField("value").cast(StringType))))
-        .as("headers")
+  /** JSON value for one output field (O11/O12). Binary key/value render as
+    * UTF-8 strings (post-converter semantics); struct values stay structs so
+    * `to_json` nests them (`README.md:279`); headers as a name→value object;
+    * timestamp as epoch millis. `schema` is the record schema — needed to
+    * know whether key/value are binary. */
+  def jsonField(f: OutputField, schema: StructType): Column = {
+    def strOrKeep(name: String): Column =
+      if (schema(name).dataType == BinT) col(name).cast(StringType).as(name)
+      else col(name).as(name)
+    f.fieldType match {
+      case OutputFieldType.Key       => strOrKeep("key")
+      case OutputFieldType.Value     => strOrKeep("value")
+      case OutputFieldType.Offset    => col("offset").as("offset")
+      case OutputFieldType.Timestamp => unix_millis(col("timestamp")).as("timestamp")
+      case OutputFieldType.Headers =>
+        map_from_entries(transform(col("headers"),
+          h => struct(h.getField("key"), h.getField("value").cast(StringType))))
+          .as("headers")
+    }
   }
 
   /** O11 — one JSONL line: `{"field": value, …}` in configured field order. */
-  def jsonLine(fields: Seq[OutputField]): Column =
-    to_json(struct(fields.map(jsonField): _*))
+  def jsonLine(fields: Seq[OutputField], schema: StructType): Column =
+    to_json(struct(fields.map(jsonField(_, schema)): _*))
 
   /** O13 — the Parquet envelope record `{key, offset, timestamp, headers,
     * value}` (reference `README.md:355-405`). */
-  def parquetEnvelope(fields: Seq[OutputField]): Column =
-    struct(fields.map(jsonField): _*)
+  def parquetEnvelope(fields: Seq[OutputField], schema: StructType): Column =
+    struct(fields.map(jsonField(_, schema)): _*)
 
   /** O14 — envelope unwrap: with `format.output.envelope=false` and a single
     * struct-valued output field, drop the `{"value": …}` wrapper

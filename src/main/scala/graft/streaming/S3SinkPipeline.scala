@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.time.ZonedDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.config.{FormatType, GroupingMode, OutputField, OutputFieldEncodingType, OutputFieldType, SinkConfig}
+import graft.connector.{Grouping, OutputFields}
+import graft.formats.{GroupFileWriter, ParquetEnvelopeWriter}
+import graft.template.Template
+
+/** End-to-end Structured Streaming wiring (SURVEY.md §2 O1, O19; §3.2):
+  * Kafka source → micro-batch `foreachBatch` → group → encode → exact-named
+  * compressed objects on the target FileSystem.
+  *
+  * Delivery semantics parity: Structured Streaming checkpoints commit after
+  * the batch function returns — exactly the reference's flush-then-commit
+  * cycle (`S3SinkTask.java:120-124`): at-least-once, idempotent because
+  * file names are deterministic functions of the data.
+  */
+object S3SinkPipeline {
+
+  /** O1 — the Kafka source, `includeHeaders=true` delivering the canonical
+    * record schema (SURVEY.md §1.4). Not executable in this offline test
+    * container (no Kafka jars/broker); the rest of the pipeline is
+    * source-agnostic and tested with file/memory streams of the same shape.
+    */
+  def kafkaReader(spark: SparkSession, config: SinkConfig,
+                  bootstrapServers: String): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("includeHeaders", "true")
+    val subscribed = config.topicsRegex match {
+      case Some(re) => base.option("subscribePattern", re)
+      case None     => base.option("subscribe", config.topics.mkString(","))
+    }
+    config.kafkaRetryBackoffMs.foreach(ms =>
+      subscribed.option("kafka.retry.backoff.ms", ms.toString))
+    subscribed.load()
+      .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
+        col("key"), col("value"), col("headers"))
+  }
+
+  /** CSV schema strictness (SURVEY.md §7.4 item 4): the reference rejects
+    * non-BYTES/STRING values with a verbatim message
+    * (`S3SinkTaskTest.java:474-498,554-578`); Spark would happily cast, so
+    * we check explicitly. */
+  def checkCsvSchema(df: DataFrame): Unit = {
+    def connectName(dt: DataType): String = dt match {
+      case BinaryType => "BYTES"
+      case StringType => "STRING"
+      case _: StructType => "STRUCT"
+      case _: MapType => "MAP"
+      case _: ArrayType => "ARRAY"
+      case IntegerType => "INT32"
+      case LongType => "INT64"
+      case FloatType => "FLOAT32"
+      case DoubleType => "FLOAT64"
+      case BooleanType => "BOOLEAN"
+      case other => other.sql
+    }
+    Seq("value" -> "value", "key" -> "key").foreach { case (colName, label) =>
+      val dt = df.schema(colName).dataType
+      if (dt != BinaryType && dt != StringType)
+        throw new IllegalArgumentException(
+          s"Record $label schema type must be BYTES, STRING given"
+            .replace("STRING given", s"${connectName(dt)} given"))
+    }
+  }
+
+  /** The line column for text formats, honoring envelope semantics (O14):
+    * envelope off + single struct-valued field → the value object itself. */
+  private def lineColumn(config: SinkConfig, schema: StructType): Column = {
+    val fields = config.outputFields
+    val valueIsStruct = schema("value").dataType.isInstanceOf[StructType]
+    config.formatType match {
+      case FormatType.Csv => OutputFields.csvLine(fields)
+      case FormatType.Json | FormatType.Jsonl =>
+        val singleValue = fields.length == 1 &&
+          fields.head.fieldType == OutputFieldType.Value
+        if (!config.envelopeEnabled && singleValue && valueIsStruct)
+          to_json(col("value"))
+        else if (!config.envelopeEnabled && singleValue)
+          col("value").cast(StringType)
+        else OutputFields.jsonLine(fields, schema)
+      case FormatType.Parquet =>
+        throw new IllegalStateException("parquet has no line encoding")
+    }
+  }
+
+  /** O19 — one micro-batch: group, encode, write. The `foreachBatch` body.
+    * `now` is the batch-start wallclock (the reference's only timestamp
+    * source, `S3SinkConfig.java:492-503`). */
+  def writeBatch(batch: DataFrame, config: SinkConfig, baseUri: String,
+                 now: ZonedDateTime): Unit = {
+    if (batch.isEmpty) return // lazy acquisition: no records → no requests
+    if (config.formatType == FormatType.Csv) checkCsvSchema(batch)
+
+    val named = config.groupingMode match {
+      case GroupingMode.KeyRecord =>
+        val compacted = Grouping.compactLatestByKey(batch)
+        val bindings = Map(
+          "key"       -> col("_k"),
+          "topic"     -> col("topic"),
+          "partition" -> col("partition"))
+        compacted.withColumn("_filename",
+          concat(Grouping.filenameColumn(config.fileNameTemplate, bindings, now),
+            lit(config.compression.extension)))
+      case GroupingMode.TopicPartitionRecord =>
+        Grouping.annotate(batch, config, now)
+    }
+
+    val prefixed = if (config.prefix.nonEmpty) {
+      named.withColumn("_filename", concat(lit(config.prefix), col("_filename")))
+    } else named
+
+    config.formatType match {
+      case FormatType.Parquet =>
+        ParquetEnvelopeWriter.write(prefixed, baseUri, config.compression)
+      case _ =>
+        val withLine = prefixed.withColumn("_line",
+          lineColumn(config, batch.schema))
+        GroupFileWriter.writeLines(withLine, baseUri, config.formatType,
+          config.compression)
+    }
+  }
+
+  /** Wire a (streaming) canonical-record DataFrame into the sink. The
+    * trigger interval is the reference's flush cadence
+    * (`offset.flush.interval.ms`, default 60 s, `README.md:207`). */
+  def start(records: DataFrame, config: SinkConfig, baseUri: String,
+            checkpointDir: String, flushIntervalMs: Long = 60000L): StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(batch, config, baseUri, ZonedDateTime.now(config.timestampZone))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(flushIntervalMs))
+      .start()
+}

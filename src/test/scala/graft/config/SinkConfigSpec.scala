@@ -1,0 +1,126 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config parsing/validation parity (reference `S3SinkConfigTest.java`). */
+class SinkConfigSpec extends AnyFunSuite {
+
+  private val minimal = Map("aws.s3.bucket.name" -> "b")
+
+  private def ok(props: Map[String, String]): SinkConfig =
+    SinkConfig.parse(props).fold(
+      errs => fail(s"expected valid config, got $errs"), identity)
+
+  private def errsOf(props: Map[String, String]): List[String] =
+    SinkConfig.parse(props).fold(identity, c => fail(s"expected errors, got $c"))
+
+  test("defaults: gzip compression, csv format, value-only fields, template") {
+    val c = ok(minimal)
+    assert(c.compression == CompressionType.Gzip) // S3SinkConfig.java:802-813
+    assert(c.formatType == FormatType.Csv)
+    assert(c.outputFields ==
+      List(OutputField(OutputFieldType.Value, OutputFieldEncodingType.Base64)))
+    assert(c.fileNameTemplate.raw == "{{topic}}-{{partition}}-{{start_offset}}")
+    assert(c.groupingMode == GroupingMode.TopicPartitionRecord)
+    assert(c.partSizeBytes == 5L * 1024 * 1024)
+    assert(c.backoffDelayMs == 100L && c.backoffMaxDelayMs == 20000L &&
+      c.backoffMaxRetries == 3)
+    assert(c.envelopeEnabled)
+  }
+
+  test("missing bucket is mandatory") {
+    assert(SinkConfig.parse(Map.empty).left.exists(
+      _.exists(_.contains("aws.s3.bucket.name"))))
+  }
+
+  test("bad compression lists the supported set") {
+    val errs = errsOf(minimal + ("file.compression.type" -> "lz4"))
+    assert(errs.exists(_.contains("'none', 'gzip', 'snappy', 'zstd'")))
+  }
+
+  test("key template selects key grouping; max.records>1 then rejected") {
+    val c = ok(minimal + ("file.name.template" -> "{{key}}"))
+    assert(c.groupingMode == GroupingMode.KeyRecord)
+    val errs = errsOf(minimal +
+      ("file.name.template" -> "{{key}}") + ("file.max.records" -> "5"))
+    assert(errs.exists(_.contains("file.max.records must be either 1 or not set")))
+  }
+
+  test("unsupported template variable set is rejected") {
+    val errs = errsOf(minimal + ("file.name.template" -> "{{topic}}"))
+    assert(errs.exists(_.contains("unsupported set of template variables")))
+  }
+
+  test("YYYY is rewritten to yyyy (S3SinkConfig.java:143-174)") {
+    val c = ok(minimal + ("file.name.template" ->
+      "{{topic}}-{{partition}}-{{start_offset}}-{{timestamp:unit=YYYY}}"))
+    assert(c.fileNameTemplate.raw.contains("{{timestamp:unit=yyyy}}"))
+  }
+
+  test("old-style property names resolve; new-style wins when both present") {
+    val c = ok(Map("aws_s3_bucket" -> "oldb"))
+    assert(c.bucketName == "oldb")
+    val c2 = ok(Map("aws_s3_bucket" -> "oldb", "aws.s3.bucket.name" -> "newb"))
+    assert(c2.bucketName == "newb")
+    val c3 = ok(minimal + ("output_compression" -> "zstd"))
+    assert(c3.compression == CompressionType.Zstd)
+  }
+
+  test("static keys and STS role are mutually exclusive") {
+    val errs = errsOf(minimal ++ Map(
+      "aws.access.key.id" -> "k", "aws.secret.access.key" -> "s",
+      "aws.sts.role.arn" -> "arn:aws:iam::1:role/r",
+      "aws.sts.role.session.name" -> "sess"))
+    assert(errs.exists(_.contains("aws.sts.role.arn")))
+  }
+
+  test("sts duration bounds [900, 43200] (AwsStsRole.java:27-28)") {
+    val errs = errsOf(minimal ++ Map(
+      "aws.sts.role.arn" -> "arn:aws:iam::1:role/r",
+      "aws.sts.role.session.name" -> "sess",
+      "aws.sts.role.session.duration" -> "100"))
+    assert(errs.exists(_.contains("aws.sts.role.session.duration")))
+  }
+
+  test("part size bounds (0, 2GB] (S3SinkConfig.java:257-295)") {
+    assert(errsOf(minimal + ("aws.s3.part.size.bytes" -> "0"))
+      .exists(_.contains("aws.s3.part.size.bytes")))
+    assert(errsOf(minimal + ("aws.s3.part.size.bytes" -> "99999999999"))
+      .exists(_.contains("aws.s3.part.size.bytes")))
+    assert(ok(minimal + ("aws.s3.part.size.bytes" -> "1048576"))
+      .partSizeBytes == 1048576L)
+  }
+
+  test("timestamp source supports wallclock only (S3SinkConfig.java:492-503)") {
+    assert(errsOf(minimal + ("file.name.timestamp.source" -> "event"))
+      .exists(_.contains("file.name.timestamp.source")))
+  }
+
+  test("output field order is preserved as configured") {
+    val c = ok(minimal +
+      ("format.output.fields" -> "value,key,timestamp,offset,headers"))
+    assert(c.outputFields.map(_.fieldType) == List(
+      OutputFieldType.Value, OutputFieldType.Key, OutputFieldType.Timestamp,
+      OutputFieldType.Offset, OutputFieldType.Headers))
+  }
+
+  test("value encoding none vs base64; key always base64") {
+    val c = ok(minimal ++ Map(
+      "format.output.fields" -> "key,value",
+      "format.output.fields.value.encoding" -> "none"))
+    assert(c.outputFields == List(
+      OutputField(OutputFieldType.Key, OutputFieldEncodingType.Base64),
+      OutputField(OutputFieldType.Value, OutputFieldEncodingType.None)))
+  }
+
+  test("s3a option mapping carries retry/endpoint/credentials") {
+    val c = ok(minimal ++ Map(
+      "aws.access.key.id" -> "AK", "aws.secret.access.key" -> "SK",
+      "aws.s3.endpoint" -> "http://localhost:9000",
+      "aws.s3.backoff.max.retries" -> "7"))
+    val o = c.s3aOptions
+    assert(o("fs.s3a.access.key") == "AK")
+    assert(o("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(o("fs.s3a.retry.limit") == "7")
+  }
+}

@@ -1,0 +1,281 @@
+package graft.formats
+
+import java.io.{BufferedReader, FileInputStream, InputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.{ZoneId, ZonedDateTime}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import com.github.luben.zstd.ZstdInputStream
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.xerial.snappy.SnappyInputStream
+
+import graft.SparkSuite
+import graft.config._
+import graft.streaming.S3SinkPipeline
+
+/** End-to-end batch write tests mirroring the reference's fixtures
+  * (FIXTURES.md F1–F3; expected bytes from `S3SinkTaskTest.java`).
+  */
+class SinkWriteSpec extends SparkSuite {
+
+  private val Now = ZonedDateTime.of(2020, 3, 1, 7, 0, 0, 0, ZoneId.of("Z"))
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  /** F1-style record batch: bytes key/value + two headers, topic test-topic,
+    * partition 0, offsets from 0. */
+  private def f1Records(n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Row("test-topic", 0, i.toLong,
+        new java.sql.Timestamp(1000L),
+        s"test-key".getBytes, s"test-value-$i".getBytes,
+        Seq(
+          Row("test-header-key-1", "test-header-value-1".getBytes),
+          Row("test-header-key-2", "test-header-value-2".getBytes)))
+    }
+    spark.createDataFrame(rows.asJava, graft.connector.Records.schema)
+  }
+
+  /** F2-style string key/value records across topic0 p0/p1 and topic1 p0. */
+  private def f2Records(stringSchema: Boolean = true): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("topic", StringType, false),
+      StructField("partition", IntegerType, false),
+      StructField("offset", LongType, false),
+      StructField("timestamp", TimestampType, true),
+      StructField("key", StringType, true),
+      StructField("value", StringType, true),
+      StructField("headers", graft.connector.Records.schema("headers").dataType, true)))
+    val rows = Seq(
+      Row("topic0", 0, 10L, new java.sql.Timestamp(1000L), "key0", "value0", null),
+      Row("topic0", 1, 20L, new java.sql.Timestamp(1001L), "key1", "value1", null),
+      Row("topic1", 0, 30L, new java.sql.Timestamp(1002L), "key2", "value2", null))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** F3-style struct values {name: nameN}. */
+  private def f3Records(): DataFrame = {
+    val valueType = StructType(Seq(StructField("name", StringType)))
+    val schema = StructType(Seq(
+      StructField("topic", StringType, false),
+      StructField("partition", IntegerType, false),
+      StructField("offset", LongType, false),
+      StructField("timestamp", TimestampType, true),
+      StructField("key", StringType, true),
+      StructField("value", valueType, true),
+      StructField("headers", graft.connector.Records.schema("headers").dataType, true)))
+    val rows = Seq(
+      Row("topic0", 0, 10L, new java.sql.Timestamp(1000L), "key0", Row("name0"), null),
+      Row("topic0", 1, 20L, new java.sql.Timestamp(1001L), "key1", Row("name1"), null),
+      Row("topic1", 0, 30L, new java.sql.Timestamp(1002L), "key2", Row("name2"), null))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def config(extra: (String, String)*): SinkConfig =
+    SinkConfig.parse(Map("aws.s3.bucket.name" -> "test") ++ extra.toMap)
+      .fold(e => fail(e.mkString("; ")), identity)
+
+  private def decompressed(path: String, c: CompressionType): InputStream = {
+    val in = new FileInputStream(path)
+    c match {
+      case CompressionType.None   => in
+      case CompressionType.Gzip   => new GZIPInputStream(in)
+      case CompressionType.Snappy => new SnappyInputStream(in)
+      case CompressionType.Zstd   => new ZstdInputStream(in)
+    }
+  }
+
+  private def readLines(path: String, c: CompressionType): List[String] = {
+    val br = new BufferedReader(new InputStreamReader(decompressed(path, c)))
+    try Iterator.continually(br.readLine()).takeWhile(_ != null).toList
+    finally br.close()
+  }
+
+  private def ls(dir: String): Set[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")) // Hadoop LocalFileSystem .crc sidecars
+      .toSet
+
+  test("CSV lines with all output fields, every compression codec " +
+    "(S3SinkTaskTest.testAivenKafkaConnectS3SinkTask)") {
+    for (codec <- CompressionType.all) {
+      val dir = tmpDir(s"csv-${codec.name}")
+      val cfg = config(
+        "format.output.fields" -> "value,key,timestamp,offset,headers",
+        "file.compression.type" -> codec.name)
+      S3SinkPipeline.writeBatch(f1Records(3), cfg, dir, Now)
+      val fname = s"test-topic-0-0${codec.extension}"
+      assert(ls(dir) == Set(fname), s"codec ${codec.name}")
+      val lines = readLines(s"$dir/$fname", codec)
+      val expHeaders = s"${b64("test-header-key-1")}:${b64("test-header-value-1")};" +
+        s"${b64("test-header-key-2")}:${b64("test-header-value-2")}"
+      assert(lines == (0 until 3).map(i =>
+        s"${b64(s"test-value-$i")},${b64("test-key")},1000,$i,$expHeaders").toList)
+    }
+  }
+
+  test("default fields = value only; default compression = gzip") {
+    val dir = tmpDir("csv-defaults")
+    S3SinkPipeline.writeBatch(f1Records(2), config(), dir, Now)
+    assert(ls(dir) == Set("test-topic-0-0.gz"))
+    assert(readLines(s"$dir/test-topic-0-0.gz", CompressionType.Gzip) ==
+      List(b64("test-value-0"), b64("test-value-1")))
+  }
+
+  test("JSONL output {\"value\":…,\"key\":…} per group " +
+    "(S3SinkTaskTest.supportStringValuesForJsonL)") {
+    val dir = tmpDir("jsonl")
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "value,key",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset:padding=true}}")
+    S3SinkPipeline.writeBatch(f2Records(), cfg, dir, Now)
+    assert(ls(dir) == Set(
+      "topic0-0-00000000000000000010", "topic0-1-00000000000000000020",
+      "topic1-0-00000000000000000030"))
+    assert(readLines(s"$dir/topic0-0-00000000000000000010", CompressionType.None) ==
+      List("""{"value":"value0","key":"key0"}"""))
+  }
+
+  test("JSONL struct values nest (S3SinkTaskTest.supportStructValuesForJsonL)") {
+    val dir = tmpDir("jsonl-struct")
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "value,key",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f3Records(), cfg, dir, Now)
+    assert(readLines(s"$dir/topic0-0-10", CompressionType.None) ==
+      List("""{"value":{"name":"name0"},"key":"key0"}"""))
+  }
+
+  test("envelope=false unwraps single struct value field " +
+    "(S3SinkTaskTest.supportUnwrappedJsonEnvelopeForStructAndJsonL)") {
+    val dir = tmpDir("jsonl-unwrap")
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "value",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f3Records(), cfg, dir, Now)
+    assert(readLines(s"$dir/topic1-0-30", CompressionType.None) ==
+      List("""{"name":"name2"}"""))
+  }
+
+  test("JSON array framing: [ / rows with trailing commas / ] " +
+    "(S3SinkTaskTest.supportStructValuesForClassicJson)") {
+    val dir = tmpDir("json-array")
+    val cfg = config(
+      "format.output.type" -> "json",
+      "format.output.fields" -> "value,key",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f3Records(), cfg, dir, Now)
+    assert(readLines(s"$dir/topic0-0-10", CompressionType.None) ==
+      List("[", """{"value":{"name":"name0"},"key":"key0"}""", "]"))
+    // multi-record framing: records get trailing commas except the last
+    val dir2 = tmpDir("json-array-multi")
+    val cfg2 = config(
+      "format.output.type" -> "json",
+      "format.output.fields" -> "value",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(3), cfg2, dir2, Now)
+    val lines = readLines(s"$dir2/test-topic-0-0", CompressionType.None)
+    assert(lines.head == "[" && lines.last == "]")
+    assert(lines(1).endsWith(",") && lines(2).endsWith(",") && !lines(3).endsWith(","))
+  }
+
+  test("CSV rejects STRUCT values with the reference's message " +
+    "(S3SinkTaskTest.failedForStructValuesByDefault)") {
+    val e = intercept[IllegalArgumentException] {
+      S3SinkPipeline.writeBatch(f3Records(), config(
+        "format.output.fields" -> "key,value"), tmpDir("csv-fail"), Now)
+    }
+    assert(e.getMessage == "Record value schema type must be BYTES, STRING given"
+      .replace("BYTES, STRING", "BYTES, STRUCT")
+      || e.getMessage == "Record value schema type must be BYTES, STRUCT given")
+  }
+
+  test("file.max.records=1 splits each record into its own file " +
+    "(IntegrationTest.java:260-307)") {
+    val dir = tmpDir("maxrec")
+    val cfg = config("file.max.records" -> "1", "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(3), cfg, dir, Now)
+    assert(ls(dir) == Set("test-topic-0-0", "test-topic-0-1", "test-topic-0-2"))
+    assert(readLines(s"$dir/test-topic-0-1", CompressionType.None) ==
+      List(b64("test-value-1")))
+  }
+
+  test("key grouping compacts to latest record per key, null key -> \"null\" " +
+    "(IntegrationTest.java:309-379)") {
+    val schema = graft.connector.Records.schema
+    val rows = Seq(
+      Row("t", 0, 0L, new java.sql.Timestamp(1000L), "k1".getBytes, "old".getBytes, null),
+      Row("t", 0, 1L, new java.sql.Timestamp(1001L), "k1".getBytes, "new".getBytes, null),
+      Row("t", 0, 2L, new java.sql.Timestamp(1002L), null, "nullkey".getBytes, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val dir = tmpDir("keymode")
+    val cfg = config(
+      "file.name.template" -> "{{key}}",
+      "format.output.fields.value.encoding" -> "none",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(df, cfg, dir, Now)
+    assert(ls(dir) == Set("k1", "null"))
+    assert(readLines(s"$dir/k1", CompressionType.None) == List("new"))
+    assert(readLines(s"$dir/null", CompressionType.None) == List("nullkey"))
+  }
+
+  test("timestamp template buckets use batch wallclock in configured zone " +
+    "(IntegrationTest.java:185-244)") {
+    val dir = tmpDir("tsbucket")
+    val cfg = config(
+      "file.name.template" ->
+        ("{{topic}}-{{partition}}-{{start_offset}}-" +
+          "{{timestamp:unit=yyyy}}-{{timestamp:unit=MM}}-{{timestamp:unit=dd}}"),
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
+    assert(ls(dir) == Set("test-topic-0-0-2020-03-01"))
+  }
+
+  test("prefix is prepended to rendered names (S3SinkTaskTest prefix tests)") {
+    val dir = tmpDir("prefix")
+    val cfg = config(
+      "aws.s3.prefix" -> "aiven--",
+      "file.name.template" ->
+        "{{topic}}-{{partition}}-{{start_offset:padding=true}}",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(1), cfg, dir, Now)
+    assert(ls(dir) == Set("aiven--test-topic-0-00000000000000000000"))
+  }
+
+  test("parquet envelope round-trips through Spark's parquet reader " +
+    "(ParquetIntegrationTest envelope shape)") {
+    val dir = tmpDir("parquet")
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "file.compression.type" -> "snappy",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
+    val f = s"$dir/test-topic-0-0.snappy"
+    assert(Files.exists(Paths.get(f)))
+    val back = spark.read.parquet(f)
+    assert(back.columns.toSet == Set("key", "offset", "timestamp", "headers", "value"))
+    val rows = back.orderBy("offset").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("key") == "test-key")
+    assert(rows(0).getAs[String]("value") == "test-value-0")
+    assert(rows(0).getAs[Long]("timestamp") == 1000L)
+  }
+
+  test("empty batch produces no objects (lazy acquisition, " +
+    "S3OutputStreamTest.java:78-88)") {
+    val dir = tmpDir("empty")
+    S3SinkPipeline.writeBatch(f1Records(0), config(), dir, Now)
+    assert(ls(dir).isEmpty)
+  }
+}

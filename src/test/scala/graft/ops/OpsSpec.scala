@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantics tests for the training-data operators, with planted duplicates
+  * (the driver tables contain none, so these fixtures prove the detectors
+  * actually detect). */
+class OpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "while the cat sleeps near the warm fire in the old house"
+  private val nearDup = base.replace("cat", "kitten") // 1-token mutation
+  private val unrelated = "completely different content about spark query engines " +
+    "processing massive distributed datasets with columnar storage formats"
+
+  private def docsDf = Seq(
+    (0L, base, "en", "src0", base.length.toLong),
+    (1L, base, "en", "src0", base.length.toLong),          // exact dup of 0
+    (2L, nearDup, "en", "src0", nearDup.length.toLong),    // near dup of 0
+    (3L, unrelated, "en", "src0", unrelated.length.toLong))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val r = Dedup.exact(docsDf).collect()
+    val dupGroup = r.find(_.getAs[Long]("cnt") == 2)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") == 0L)
+    assert(r.length == 3) // 4 docs, one pair collapsed
+  }
+
+  test("minhash LSH surfaces the near-dup pair with high jaccard") {
+    val pairs = Dedup.minhashLshPairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toList
+    // exact dup pair (0,1) must collide in every band with jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 1 && j == 1.0 })
+    // near-dup (0,2) very likely shares a band; unrelated (x,3) must not
+    assert(!pairs.exists { case (_, b, _) => b == 3 })
+  }
+
+  test("simhash of near-dups is close, far docs differ") {
+    val sig = Dedup.simhash(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L)) // identical text -> identical simhash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(2L)) <= 4)
+    assert(ham(sig(0L), sig(3L)) > 4)
+  }
+
+  test("blocked ngram jaccard ranks near-dup far above unrelated") {
+    val r = Dedup.blockedNgramJaccard(docsDf, 0.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("jaccard")).toMap
+    assert(r((0L, 1L)) == 1.0)
+    assert(r((0L, 2L)) > 0.6)
+    assert(r((0L, 3L)) == 0.0)
+  }
+
+  test("embedding pairs finds planted near-identical vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.05f, 0.0f), 0), // near dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f), 1))   // same direction, other block
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(vecs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(pairs == List((0L, 1L))) // blocked: (0,3) not compared despite cos=1
+  }
+
+  test("brute-force topk returns exact neighbors in cosine order") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 3)
+      .select("neighbor_id").as[Long].collect().toList
+    assert(r == List(1L, 2L, 3L))
+  }
+
+  test("lsh topk results are a subset of brute-force ranking, same scoring") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" < 3), 5)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(vecs, vecs.where($"vec_id" < 3), 5)
+      .select("query_id", "neighbor_id", "cos").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      // every LSH pair's score matches the exact score when present in brute's topk
+      brute.get(k).foreach(exact => assert(exact == r.getDouble(2)))
+    }
+  }
+
+  test("token count handles empty and multi-space text") {
+    val df = Seq((0L, "a  b   c"), (1L, "  x  "), (2L, "one"))
+      .toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == 3 && r(1L) == 1 && r(2L) == 1)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is " +
+    "whitespace-normalizing") {
+    val df = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
+      (2L, "alpha  beta \t gamma"))
+      .toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextAnalysis.rollingFingerprint(TextAnalysis.tokens($"text")).as("roll"),
+      TextAnalysis.md5Fingerprint($"text").as("fp"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(0L)._1 != r(1L)._1) // reorder changes rolling hash
+    assert(r(0L)._1 == r(2L)._1) // whitespace does not
+    assert(r(0L)._2 == r(2L)._2)
+  }
+
+  test("language id picks the marker-dense language") {
+    val df = Seq(
+      (0L, "der hund und die katze und der vogel"),
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato los perros las casas el sol"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.langIdQuery(df).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("lang_pred")).toMap
+    assert(r == Map(0L -> "de", 1L -> "en", 2L -> "es"))
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    import graft.ops.Multimodal._
+    val media = Seq(
+      MediaRecord(0L, "image", "raw", Array[Byte](10, 20, 30), 3L),
+      MediaRecord(1L, "audio", "raw", Array[Byte](10, 20, 30), 3L),
+      MediaRecord(2L, "video", "raw", null, 0L)).toDS()
+    val feats = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).feature.toSeq == feats(1).feature.toSeq) // same bytes
+    assert(feats(0).feature.length == FeatureDim)
+    assert(!feats(2).ok && feats(2).feature.forall(_ == 0f)) // null payload
+  }
+}
