@@ -289,11 +289,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     }),
-    "text_quality_score" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id") +: TextAnalysis.qualityComponents(col("text")): _*)
-        .orderBy("doc_id")
-    }),
+    "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     "text_lang_id" -> ((s, dir) => TextAnalysis.langIdQuery(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -381,22 +377,23 @@ object SparkEntry {
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_lsh" -> (SH +
-      """, sig AS (
+      s""", xs AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS x FROM sh
+        |), sig AS (
         |  SELECT doc_id,
-        |    min(md5('s0|' || sh)) AS mh0, min(md5('s1|' || sh)) AS mh1,
-        |    min(md5('s2|' || sh)) AS mh2, min(md5('s3|' || sh)) AS mh3,
-        |    min(md5('s4|' || sh)) AS mh4, min(md5('s5|' || sh)) AS mh5,
-        |    min(md5('s6|' || sh)) AS mh6, min(md5('s7|' || sh)) AS mh7
-        |  FROM sh GROUP BY doc_id
+        |${(0 until graft.ops.Dedup.NumMinhashes).map { i =>
+             val (a, b) = graft.ops.Dedup.minhashParams(i)
+             s"    min((x * $a + $b) % ${graft.ops.Dedup.MersenneP}) AS mh$i"
+           }.mkString(",\n")}
+        |  FROM xs GROUP BY doc_id
         |), buckets AS (
-        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+        |${(0 until graft.ops.Dedup.NumBands).map { b =>
+             s"  SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+           }.mkString("\n  UNION ALL\n")}
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM buckets a JOIN buckets b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
         |), shs AS (
         |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
         |)

@@ -85,21 +85,27 @@ object Grouping {
     concat(parts: _*)
   }
 
-  /** O3 — key compaction: latest record per key (ties broken by partition
-    * then arrival order are impossible — offsets are unique per partition;
-    * across partitions the reference is explicitly nondeterministic,
-    * `README.md:135-198`; we pick the deterministic (offset, partition) max
-    * so reruns are idempotent). Null keys compact under the literal "null"
-    * (`IntegrationTest.java:370-373`). */
+  /** O3 — key compaction: latest record per key (the deterministic
+    * (offset, partition) max; the reference is explicitly nondeterministic
+    * across partitions, `README.md:135-198`, so any consistent pick is
+    * within contract). Null keys compact under the literal "null"
+    * (`IntegrationTest.java:370-373`).
+    *
+    * Implemented as `max_by` over a struct rather than a row_number window:
+    * the aggregate partial-combines map-side and is immune to hot-key skew
+    * (a window would hash-partition ALL records of a key to one task and
+    * sort them; with few distinct keys — the common compaction shape — that
+    * serializes the whole batch through a handful of tasks). */
   def compactLatestByKey(records: DataFrame): DataFrame = {
     val keyStr = coalesce(col("key").cast(StringType), lit("null"))
-    val w = Window.partitionBy(keyStr)
-      .orderBy(col("offset").desc, col("partition").desc)
-    records
-      .withColumn("_k", keyStr)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn")
+    val dataCols = records.columns
+    val tagged = records.withColumn("_k", keyStr)
+    tagged
+      .groupBy(col("_k"))
+      .agg(max_by(
+        struct(dataCols.map(col): _*),
+        struct(col("offset"), col("partition"))).as("_r"))
+      .select(col("_k") +: dataCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   /** Full grouping annotation for topic-partition mode: adds `_chunk`,

@@ -36,39 +36,56 @@ object Dedup {
 
   val NumMinhashes = 8
   val NumBands = 4 // 2 minhashes per band
+  val MersenneP: Long = (1L << 61) - 1 // prime modulus for universal hashing
 
-  /** Per-doc MinHash signature columns mh0..mh7: min over shingles of
-    * md5("s<i>|" || shingle). The min of the hex strings is the min of the
-    * 128-bit values (fixed-width lowercase hex ⇒ lexicographic = numeric). */
+  /** Universal-hash parameters for the i-th minhash: h_i(x) = (A_i x + B_i)
+    * mod (2^61-1). One md5 per shingle total; the k hash functions are
+    * cheap integer affine maps of its 48-bit prefix — the classic minwise
+    * universal-hashing construction. */
+  def minhashParams(i: Int): (Long, Long) = (2L * i + 3L, 1000003L * (i + 1))
+
+  /** 48-bit integer base hash of a shingle (md5 so the oracle can mirror). */
+  def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 12), 16, 10).cast(LongType)
+
+  /** Per-doc MinHash signature columns mh0..mh7 over 3-token shingles.
+    * Tokens are materialized in a projection BEFORE the shingle transform —
+    * otherwise Catalyst inlines the regex split into every `element_at` of
+    * the lambda and re-tokenizes the document once per shingle position. */
   def minhashSignature(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val sh = explode(TextAnalysis.shingles3(toks)).as("sh")
-    val exploded = docs.select(col("doc_id"), sh)
-    val aggs = (0 until NumMinhashes).map(i =>
-      min(md5(concat(lit(s"s$i|"), col("sh")))).as(s"mh$i"))
+    val exploded = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), explode(TextAnalysis.shingles3(col("_t"))).as("sh"))
+      .withColumn("x", shingleHash(col("sh")))
+    val aggs = (0 until NumMinhashes).map { i =>
+      val (a, b) = minhashParams(i)
+      min((col("x") * a + b) % MersenneP).as(s"mh$i")
+    }
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket (band b = md5 of the
-    * concatenated minhashes 2b, 2b+1), verified with exact Jaccard over
-    * distinct shingles. Returns (d1, d2, jaccard) with d1 < d2. */
+  /** LSH candidate pairs: docs sharing any band (band b joins on the raw
+    * minhash pair (mh_{2b}, mh_{2b+1}) — no re-hash needed), verified with
+    * exact Jaccard over distinct shingles. Returns (d1, d2, jaccard),
+    * d1 < d2. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignature(docs)
     val bands = (0 until NumBands).map(b =>
-      struct(lit(b).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bucket")))
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
+        col(s"mh${2 * b + 1}").as("h2")))
+    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.h1").as("h1"), col("bb.h2").as("h2"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val shingleSets = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.shingles3(TextAnalysis.tokens(col("text"))))
-        .as("shs"))
+    val shingleSets = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
     cand
       .join(shingleSets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(shingleSets.as("s2"), col("d2") === col("s2.doc_id"))
@@ -88,21 +105,24 @@ object Dedup {
 
   /** 16-bit SimHash per doc: per distinct token, weight = occurrence count;
     * bit j of the signature is 1 iff the count-weighted sum of (±1 per
-    * token's hash bit j) is positive. Map + one groupBy — no pairwise work. */
+    * token's hash bit j) is positive. One groupBy with 16 conditional-sum
+    * columns — no bit explosion (a per-bit explode would shuffle 16× the
+    * rows for the same answer). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val counted = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextAnalysis.hash16(col("tok")))
-    val bits = counted.select(col("doc_id"), col("cnt"), col("h"),
-      explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"))
-    bits
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as("w"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"w$j"))
+    counted
       .groupBy("doc_id")
-      .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j =>
+          when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, generated by
@@ -127,17 +147,40 @@ object Dedup {
 
   /** Blocked n-gram Jaccard near-dup scoring: all pairs within a
     * (lang, source) block, scored with exact Jaccard over distinct
-    * 3-shingles, keeping pairs above `minJaccard`. */
+    * 3-shingles, keeping pairs above `minJaccard`.
+    *
+    * Implemented as an inverted-index join — explode shingles, count common
+    * shingles per pair via a co-partitioned join on (block, shingle), then
+    * attach per-doc set sizes — instead of a per-pair `array_intersect`:
+    * per-pair set intersection does O(|A|+|B|) work for every one of the
+    * O(block²) pairs; the posting join only touches pairs that actually
+    * share a shingle and is a plain shuffled equi-join at any scale. Pairs
+    * sharing nothing get jaccard 0 via the size-only pair join. */
   def blockedNgramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val withSh = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(TextAnalysis.shingles3(TextAnalysis.tokens(col("text"))))
-        .as("shs"))
-    withSh.as("a")
-      .join(withSh.as("b"),
+    val sh = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
+    val sizes = sh.groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        jaccard(col("a.shs"), col("b.shs")).as("jaccard"))
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    sizes.as("x")
+      .join(sizes.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sz").as("sx"), col("y.sz").as("sy"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sx") + col("sy") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
   }
@@ -148,11 +191,13 @@ object Dedup {
     * double fold so the oracle can reproduce it bit-exactly. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("_n", Similarity.norm(col("embedding"))) // once per vector
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a._n") * col("b._n")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("d1", "d2")
   }

@@ -33,12 +33,20 @@ object Similarity {
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
   /** Exact top-k neighbors for each query vector (query set must be small —
-    * it is broadcast). Self-pairs excluded. Ties broken by neighbor id. */
+    * it is broadcast). Self-pairs excluded. Ties broken by neighbor id.
+    *
+    * Norms are precomputed once per vector (map-side, before the join) so
+    * the per-pair work is a single dot-product fold instead of three —
+    * bit-identical result, 3× less of the non-codegen higher-order-function
+    * cost that dominates this operator. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+    val c = corpus.withColumn("_n", norm(col("embedding")))
+    val q = queries.withColumn("_n", norm(col("embedding")))
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q._n") * col("c._n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -47,19 +55,28 @@ object Similarity {
   }
 
   val NumHyperplanes = 8
+  val MaxDim = 512
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * derived from md5("hp|p|j") mapped into [-0.5, 0.5). Hash-derived so
-    * executors need no shared state and reruns are identical. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (conv(substring(md5(concat(lit(s"hp|$p|"), j.cast("string"))), 1, 6), 16, 10)
-      .cast("double") / 16777216.0) - 0.5
+  /** Deterministic pseudo-random hyperplanes, precomputed ONCE on the driver
+    * (component j of plane p = md5("hp|p|j") first 6 hex nibbles mapped into
+    * [-0.5, 0.5)) and shipped as array literals — zero per-row hashing on
+    * executors, reruns identical everywhere. */
+  private lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumHyperplanes) { p =>
+      Array.tabulate(MaxDim) { j =>
+        val hex = md.digest(s"hp|$p|$j".getBytes("UTF-8"))
+          .take(3).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+      }
+    }
+  }
 
   /** Sign-bucket of one vector under the p-th hyperplane. */
   private def signBit(vec: Column, p: Int): Column = {
+    val w = typedLit(planes(p).toSeq)
     val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x.cast("double") * planeComponent(p, j)),
+      zip_with(vec, slice(w, lit(1), size(vec)), (x, c) => x.cast("double") * c),
       lit(0.0), (acc, x) => acc + x)
     when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
   }
@@ -69,15 +86,20 @@ object Similarity {
     (0 until NumHyperplanes).map(p => signBit(vec, p)).reduce(_ + _)
 
   /** Approximate top-k: candidates restricted to vectors whose LSH bucket
-    * matches the query's, exact cosine rerank inside the bucket. */
+    * matches the query's, exact cosine rerank inside the bucket. The bucket
+    * join is co-partitioned on the bucket id — at 100 TB this replaces the
+    * broadcast with a shuffle proportional to matching buckets only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cb = corpus.withColumn("bucket", hyperplaneBuckets(col("embedding")))
+      .withColumn("_n", norm(col("embedding")))
     val qb = queries.withColumn("bucket", hyperplaneBuckets(col("embedding")))
+      .withColumn("_n", norm(col("embedding")))
     val scored = cb.as("c")
       .join(qb.as("q"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q._n") * col("c._n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

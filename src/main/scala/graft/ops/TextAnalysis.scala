@@ -53,26 +53,26 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
 
-  /** Quality score in [0,1]: stopword density + token-length sanity +
+  /** Quality-score query in [0,1]: stopword density + token-length sanity +
     * punctuation penalty. Deterministic double math, pre-rounded to 6
-    * decimals. */
-  def qualityComponents(text: Column): Seq[Column] = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast(LongType)
-    val nChar = length(text).cast(LongType)
-    val stop = markerCount(toks, Stopwords)
-    val punct = punctCount(text)
-    Seq(
-      nTok.as("n_tokens"),
-      nChar.as("n_chars2"),
-      stop.as("n_stopwords"),
-      punct.as("n_punct"),
-      round(
-        (stop.cast("double") / nTok) * 0.4 +
-          least(nChar.cast("double") / nTok / 10.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - punct.cast("double") / nChar) * 0.3,
-        6).as("quality"))
-  }
+    * decimals. Tokens are projected once (see [[Dedup.minhashSignature]]
+    * note on lambda inlining). */
+  def qualityQuery(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars2"),
+        markerCount(col("_t"), Stopwords).as("n_stopwords"),
+        punctCount(col("text")).as("n_punct"))
+      .withColumn("quality",
+        round(
+          (col("n_stopwords").cast("double") / col("n_tokens")) * 0.4 +
+            least(col("n_chars2").cast("double") / col("n_tokens") / 10.0,
+              lit(1.0)) * 0.3 +
+            (lit(1.0) - col("n_punct").cast("double") / col("n_chars2")) * 0.3,
+          6))
+      .orderBy("doc_id")
 
   /** 16-bit hash of a token derived from its md5 hex prefix — chosen because
     * both Spark and DuckDB expose md5, making the oracle bit-exact. */
@@ -96,13 +96,14 @@ object TextAnalysis {
   /** Full language-ID query: marker counts per language + argmax prediction
     * ('en' wins ties / all-zero). */
   def langIdQuery(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id"),
-      markerCount(toks, LangMarkers("en")).as("en_score"),
-      markerCount(toks, LangMarkers("de")).as("de_score"),
-      markerCount(toks, LangMarkers("es")).as("es_score"),
-      markerCount(toks, LangMarkers("fr")).as("fr_score"))
+    val scored = docs
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(
+        col("doc_id"),
+        markerCount(col("_t"), LangMarkers("en")).as("en_score"),
+        markerCount(col("_t"), LangMarkers("de")).as("de_score"),
+        markerCount(col("_t"), LangMarkers("es")).as("es_score"),
+        markerCount(col("_t"), LangMarkers("fr")).as("fr_score"))
     scored.select(
       col("doc_id"), col("en_score"), col("de_score"), col("es_score"), col("fr_score"),
       when(col("de_score") > col("en_score") && col("de_score") >= col("es_score") &&
