@@ -136,6 +136,16 @@ final case class SinkConfig(
     topics: List[String],
     topicsRegex: Option[String]) {
 
+  /** Reference semantics (`S3SinkConfig.java:917-919`): a configured prefix
+    * (either property style) switches naming to the LEGACY path — rendered
+    * prefix template + `topic-partition-<%020d start_offset>` + extension
+    * (`S3SinkTask.java:157-205`); `file.name.template` names files only
+    * when no prefix is set. */
+  def usesFileNameTemplate: Boolean = prefix.isEmpty
+
+  /** The prefix parsed as a template (legacy vars incl. utc_date/local_date). */
+  def prefixTemplate: Template = Template.of(prefix)
+
   /** s3a Hadoop configuration equivalent to the reference's AWS client setup
     * (SURVEY.md §2 O18/O21/O22: retry policy, endpoint, credentials map onto
     * `fs.s3a.*` — configuration, not code). */
@@ -190,7 +200,9 @@ object SinkConfig {
   )
 
   /** Pre-process raw props: old→new precedence and the `YYYY`→`yyyy`
-    * template rewrite (reference `S3SinkConfig.java:143-174`). */
+    * rewrite. The reference applies the rewrite to the prefix properties
+    * (`S3SinkConfig.java:143-174`); we also apply it to
+    * `file.name.template` as a benign superset. */
   def preprocess(props: Map[String, String]): Map[String, String] = {
     val renamed = props.flatMap {
       case (k, v) if OldToNew.contains(k) =>
@@ -198,12 +210,12 @@ object SinkConfig {
         if (props.contains(nk)) scala.None else Some(nk -> v)
       case kv => Some(kv)
     }
-    renamed.get("file.name.template") match {
-      case Some(t) =>
-        renamed.updated(
-          "file.name.template",
-          UppercaseYyyy.replaceAllIn(t, "{{timestamp:unit=yyyy}}"))
-      case scala.None => renamed
+    Seq("file.name.template", "aws.s3.prefix").foldLeft(renamed) { (m, k) =>
+      m.get(k) match {
+        case Some(t) =>
+          m.updated(k, UppercaseYyyy.replaceAllIn(t, "{{timestamp:unit=yyyy}}"))
+        case scala.None => m
+      }
     }
   }
 
@@ -222,6 +234,9 @@ object SinkConfig {
     val template = Template.of(
       opt("file.name.template").getOrElse(DefaultTemplate))
     errs ++= Template.validate(template, Template.FilenameVars)
+    opt("aws.s3.prefix").foreach { p =>
+      errs ++= Template.validate(Template.of(p), Template.PrefixVars)
+    }
 
     val grouping = GroupingMode.resolve(template) match {
       case Right(g) => g

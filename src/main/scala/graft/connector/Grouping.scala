@@ -122,13 +122,21 @@ object Grouping {
       "partition"    -> col("partition"),
       "start_offset" -> col("_start_offset"),
       "key"          -> coalesce(col("key").cast(StringType), lit("null")))
-    val tpl = config.fileNameTemplate
     val zonedNow = now.withZoneSameInstant(config.timestampZone)
-    // timestamp vars resolve per-occurrence (a template may use several units)
-    val fnameParts: Seq[Column] = tpl.parts.map {
+
+    // render any template to filename-column parts; timestamp vars resolve
+    // per-occurrence (a template may use several units), utc/local_date are
+    // batch wallclock (legacy prefix vars, S3SinkTask.java:186-193)
+    def renderParts(tpl: Template): Seq[Column] = tpl.parts.map {
       case Template.Literal(s) => lit(s)
       case Template.Var("timestamp", Some(Template.Param("unit", u))) =>
         wallclockBucket(u, zonedNow)
+      case Template.Var("utc_date", _) =>
+        lit(now.withZoneSameInstant(java.time.ZoneId.of("Z"))
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE))
+      case Template.Var("local_date", _) =>
+        lit(now.withZoneSameInstant(java.time.ZoneId.systemDefault())
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE))
       case Template.Var(name, param) =>
         val base = bindings(name)
         param match {
@@ -137,6 +145,15 @@ object Grouping {
           case _ => base.cast(StringType)
         }
     }
+
+    // Legacy naming when a prefix is configured (S3SinkTask.java:157-205):
+    // renderedPrefix + topic-partition-<%020d start_offset>; the modern
+    // file.name.template names files only when no prefix is set.
+    val fnameParts: Seq[Column] =
+      if (config.usesFileNameTemplate) renderParts(config.fileNameTemplate)
+      else renderParts(config.prefixTemplate) ++ Seq(
+        col("topic"), lit("-"), col("partition").cast(StringType), lit("-"),
+        lpad(col("_start_offset").cast(StringType), 20, "0"))
     withChunk
       .withColumn("_start_offset", start)
       .withColumn("_filename",

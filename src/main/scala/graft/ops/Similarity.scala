@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** In-order double dot product of two float vectors. */
+  /** In-order double dot product of two float vectors — a native codegen'd
+    * Catalyst expression ([[graft.functions.VectorDot]]); bit-identical to
+    * the equivalent `aggregate`/`zip_with` fold but stays inside
+    * whole-stage codegen instead of the interpreted HOF path. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
+
+  /** The HOF formulation (kept for cross-checking the native kernel). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

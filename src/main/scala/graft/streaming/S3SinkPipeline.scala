@@ -113,9 +113,7 @@ object S3SinkPipeline {
         Grouping.annotate(batch, config, now)
     }
 
-    val prefixed = if (config.prefix.nonEmpty) {
-      named.withColumn("_filename", concat(lit(config.prefix), col("_filename")))
-    } else named
+    val prefixed = named
 
     config.formatType match {
       case FormatType.Parquet =>

@@ -242,15 +242,25 @@ class SinkWriteSpec extends SparkSuite {
     assert(ls(dir) == Set("test-topic-0-0-2020-03-01"))
   }
 
-  test("prefix is prepended to rendered names (S3SinkTaskTest prefix tests)") {
+  test("configured prefix switches to legacy naming: prefix + " +
+    "topic-partition-paddedOffset (S3SinkTaskTest.java:184,277-293)") {
     val dir = tmpDir("prefix")
     val cfg = config(
       "aws.s3.prefix" -> "aiven--",
-      "file.name.template" ->
-        "{{topic}}-{{partition}}-{{start_offset:padding=true}}",
       "file.compression.type" -> "none")
     S3SinkPipeline.writeBatch(f1Records(1), cfg, dir, Now)
     assert(ls(dir) == Set("aiven--test-topic-0-00000000000000000000"))
+  }
+
+  test("legacy prefix template renders {{utc_date}} " +
+    "(S3SinkTaskTest.java:420-434)") {
+    val dir = tmpDir("prefix-utc")
+    val cfg = config(
+      "aws_s3_prefix" -> "prefix-{{ utc_date }}--", // old-style property
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(1), cfg, dir, Now)
+    // utc_date renders the batch wallclock (Now fixture = 2020-03-01)
+    assert(ls(dir) == Set("prefix-2020-03-01--test-topic-0-00000000000000000000"))
   }
 
   test("parquet envelope round-trips through Spark's parquet reader " +
