@@ -55,11 +55,11 @@ object SparkEntry {
     * beyond-parity relational set. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     connectorQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      mmQueries ++ relationalQueries
+      mmQueries ++ relationalQueries ++ streamingQueries
 
   def oracleSql: Map[String, String] =
     connectorOracles ++ textOracles ++ dedupOracles ++ simOracles ++
-      mmOracles ++ relationalOracles
+      mmOracles ++ relationalOracles ++ streamingOracles
 
   private def connectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -472,6 +472,12 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+    // Second scale path: IVF cells + nProbe search. Rows-only likewise.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     })
   )
 
@@ -656,5 +662,51 @@ object SparkEntry {
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin
+  )
+
+  // ------------------------------------------------- streaming-op analogs
+  // Batch-mode runs of the event-time operators (graft.streaming
+  // .EventTimeOps); the same code paths run under readStream with
+  // watermarks / mapGroupsWithState (StreamingSpec covers that mode).
+
+  private def streamingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time windows per topic.
+    "q_windowed_counts" -> ((s, dir) => {
+      graft.streaming.EventTimeOps.windowedCounts(Records.fromEvents(s, dir))
+        .select(unix_millis(col("window_start")).as("wstart_ms"),
+          col("topic"), col("cnt"))
+        .orderBy("wstart_ms", "topic")
+    }),
+    // 30-minute-gap sessionization per user (lag + cumsum session ids).
+    "q_sessionization" -> ((s, dir) => {
+      graft.streaming.EventTimeOps.batchSessions(
+        Records.readEvents(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")))
+    })
+  )
+
+  private def streamingOracles: Map[String, String] = Map(
+    "q_windowed_counts" -> (R +
+      """SELECT epoch_ms(date_trunc('hour', rts)) AS wstart_ms, topic,
+        |       count(*) AS cnt
+        |FROM records GROUP BY wstart_ms, topic ORDER BY wstart_ms, topic""".stripMargin),
+
+    "q_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        |), s AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+        |), t AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, session_id, min(ts_ms) AS session_start,
+        |       max(ts_ms) AS session_end, count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
 }

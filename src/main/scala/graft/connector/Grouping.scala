@@ -111,12 +111,37 @@ object Grouping {
   /** Full grouping annotation for topic-partition mode: adds `_chunk`,
     * `_start_offset` and `_filename` columns per the parsed config. One
     * window pass; the subsequent `partitionBy(_filename)` write is the only
-    * shuffle. */
-  def annotate(records: DataFrame, config: SinkConfig, now: ZonedDateTime): DataFrame = {
-    val groupCols = Seq(col("topic"), col("partition"), chunkIndex(config.maxRecordsPerFile))
-    val withChunk = records.withColumn("_chunk", groupCols.last)
+    * shuffle.
+    *
+    * `schemaFingerprint` implements the reference's Parquet schema-change
+    * rotation (`ParquetIntegrationTest.java:346-415`: a mid-stream value-
+    * schema change starts a new file at the first offset with the new
+    * schema). Upstream decode supplies a per-record fingerprint column
+    * (e.g. md5 of the value's Avro/JSON schema); each CONTIGUOUS
+    * fingerprint run (in offset order) becomes its own group whose
+    * `start_offset` is the run's first offset — A,B,A produces three
+    * files, like the reference's rotate-on-change writer
+    * (SURVEY.md §1.4, §7.4 item on rotation). */
+  def annotate(records: DataFrame, config: SinkConfig, now: ZonedDateTime,
+               schemaFingerprint: Option[Column] = None): DataFrame = {
+    val withRun = schemaFingerprint match {
+      case None => records
+      case Some(fp) =>
+        val w = Window.partitionBy(col("topic"), col("partition"))
+          .orderBy(col("offset"))
+        val changed =
+          when(lag(fp, 1).over(w).isNull || lag(fp, 1).over(w) =!= fp, 1L)
+            .otherwise(0L)
+        records.withColumn("_schema_run",
+          sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val withChunk = withRun.withColumn("_chunk", chunkIndex(config.maxRecordsPerFile))
+    val runRef =
+      if (schemaFingerprint.isEmpty) Nil else Seq(col("_schema_run"))
     val start = min(col("offset")).over(
-      Window.partitionBy(col("topic"), col("partition"), col("_chunk")))
+      Window.partitionBy(
+        Seq(col("topic"), col("partition"), col("_chunk")) ++ runRef: _*))
     val bindings = Map(
       "topic"        -> col("topic"),
       "partition"    -> col("partition"),

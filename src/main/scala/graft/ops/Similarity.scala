@@ -113,4 +113,53 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * LSH: partition the corpus into `nLists` cells around centroids, search
+    * only the `nProbe` cells nearest each query.
+    *
+    * Centroids are the first `nLists` corpus vectors (deterministic; a
+    * k-means refinement would drop in without changing the topology). The
+    * corpus is assigned once (map + broadcast argmax over centroids — the
+    * cell id becomes a partition key); queries explode to their nProbe
+    * cells and join co-partitioned on cell id. Probe cost is
+    * O(corpus × nProbe / nLists) per query instead of O(corpus).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.where(col("vec_id") < nLists)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        norm(col("embedding")).as("cn"))
+    // nearest cell per corpus vector: small cross join, max_by on cosine
+    def cellOf(df: DataFrame, idCol: String): DataFrame =
+      df.withColumn("_n", norm(col("embedding")))
+        .crossJoin(broadcast(cent))
+        .withColumn("_sim",
+          dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+        .groupBy(col(idCol), col("embedding"), col("_n"))
+        .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
+    val assigned = cellOf(corpus, "vec_id")
+    // queries keep their nProbe best cells
+    val qw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cell"))
+    val probes = queries.withColumn("_n", norm(col("embedding")))
+      .crossJoin(broadcast(cent))
+      .withColumn("_sim",
+        dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= nProbe)
+      .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
+    // exact rerank inside probed cells
+    val scored = assigned.as("c")
+      .join(probes.as("q"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(dot(col("q.embedding"), col("c.embedding")) /
+          (col("q._n") * col("c._n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

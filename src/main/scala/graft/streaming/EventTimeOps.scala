@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators — beyond the reference's surface (it has
+  * no event-time semantics at all, SURVEY.md §2.2: wallclock bucketing only,
+  * no watermarks, no late-data handling). These are the Structured-
+  * Streaming-native building blocks a training-data ingest pipeline layers
+  * on top of the sink: watermarked tumbling-window aggregation and
+  * session-window state via `mapGroupsWithState`.
+  *
+  * State is per-key and incremental: at 100 TB/day the watermark bounds
+  * state size and the session state store scales with live keys, not
+  * history.
+  */
+object EventTimeOps {
+
+  /** Tumbling event-time window counts with late-data eviction.
+    * Works on any frame with (timestamp, topic) — streaming or batch. */
+  def windowedCounts(records: DataFrame, windowDuration: String = "1 hour",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDuration), col("topic"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("topic"), col("cnt"))
+
+  final case class SessionInput(user: String, ts: Long)
+  final case class SessionState(start: Long, last: Long, events: Long)
+  final case class SessionOutput(user: String, start: Long, end: Long,
+                                 events: Long, closed: Boolean)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Session logic shared by the streaming and batch paths: fold events
+    * (sorted by ts) into gap-separated sessions. */
+  def foldSessions(events: Iterator[Long], gapMs: Long): List[(Long, Long, Long)] = {
+    val sorted = events.toList.sorted
+    sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+      case (Nil, t) => List((t, t, 1L))
+      case ((s, last, n) :: rest, t) if t - last <= gapMs =>
+        (s, t, n + 1) :: rest
+      case (acc, t) => (t, t, 1L) :: acc
+    }.reverse
+  }
+
+  /** Streaming sessionization: 30-minute-gap sessions per user via
+    * `mapGroupsWithState`. In production run with
+    * `GroupStateTimeout.ProcessingTimeTimeout` so idle sessions close and
+    * their state is evicted; tests pass `NoTimeout` (with a processing-time
+    * timeout registered, `processAllAvailable` never quiesces — the engine
+    * keeps scheduling batches to service pending timeouts). */
+  def sessionize(events: Dataset[SessionInput],
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user)
+      .mapGroupsWithState[SessionState, SessionOutput](timeout) {
+        (user: String, batch: Iterator[SessionInput],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOutput(user, s.start, s.last, s.events, closed = true)
+          } else {
+            val ts = batch.map(_.ts).toList
+            val prev = state.getOption
+            val merged = (prev.map(s => List(s.start, s.last)).getOrElse(Nil) ++ ts)
+            val (start, last) = (merged.min, merged.max)
+            val events = prev.map(_.events).getOrElse(0L) + ts.length
+            val ns = SessionState(start, last, events)
+            state.update(ns)
+            if (useTimeout) state.setTimeoutDuration(SessionGapMs)
+            SessionOutput(user, ns.start, ns.last, ns.events, closed = false)
+          }
+      }
+  }
+
+  /** Batch-mode sessionization over the events table (same 30-minute-gap
+    * semantics, pure DataFrame — lag + cumulative sum session ids, one
+    * window pass per user). */
+  def batchSessions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    events
+      .withColumn("_prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          col("ts_ms") - col("_prev") > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts_ms").as("session_start"), max("ts_ms").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -95,7 +95,8 @@ object S3SinkPipeline {
     * `now` is the batch-start wallclock (the reference's only timestamp
     * source, `S3SinkConfig.java:492-503`). */
   def writeBatch(batch: DataFrame, config: SinkConfig, baseUri: String,
-                 now: ZonedDateTime): Unit = {
+                 now: ZonedDateTime,
+                 schemaFingerprint: Option[Column] = None): Unit = {
     if (batch.isEmpty) return // lazy acquisition: no records → no requests
     if (config.formatType == FormatType.Csv) checkCsvSchema(batch)
 
@@ -110,7 +111,7 @@ object S3SinkPipeline {
           concat(Grouping.filenameColumn(config.fileNameTemplate, bindings, now),
             lit(config.compression.extension)))
       case GroupingMode.TopicPartitionRecord =>
-        Grouping.annotate(batch, config, now)
+        Grouping.annotate(batch, config, now, schemaFingerprint)
     }
 
     val prefixed = named

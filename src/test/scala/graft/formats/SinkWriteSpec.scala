@@ -282,6 +282,27 @@ class SinkWriteSpec extends SparkSuite {
     assert(rows(0).getAs[Long]("timestamp") == 1000L)
   }
 
+  test("schema-change rotation: contiguous fingerprint runs split files at " +
+    "the change offset (ParquetIntegrationTest.java:346-415)") {
+    import org.apache.spark.sql.functions.{length => strlen, col}
+    val dir = tmpDir("rotate")
+    val cfg = config("file.compression.type" -> "none",
+      "format.output.fields.value.encoding" -> "none")
+    // values switch "schema" (here: byte length) at offset 2, back at 4:
+    // A A B B A -> three files starting at offsets 0, 2, 4
+    val schema = graft.connector.Records.schema
+    val rows = Seq("aa", "ab", "xxxx", "xyyy", "ac").zipWithIndex.map {
+      case (v, i) => Row("t", 0, i.toLong, new java.sql.Timestamp(1000L),
+        "k".getBytes, v.getBytes, null)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    S3SinkPipeline.writeBatch(df, cfg, dir, Now,
+      schemaFingerprint = Some(strlen(col("value").cast("string"))))
+    assert(ls(dir) == Set("t-0-0", "t-0-2", "t-0-4"))
+    assert(readLines(s"$dir/t-0-2", CompressionType.None) == List("xxxx", "xyyy"))
+    assert(readLines(s"$dir/t-0-4", CompressionType.None) == List("ac"))
+  }
+
   test("empty batch produces no objects (lazy acquisition, " +
     "S3OutputStreamTest.java:78-88)") {
     val dir = tmpDir("empty")

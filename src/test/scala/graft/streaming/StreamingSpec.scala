@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSuite
 import graft.config.{CompressionType, SinkConfig}
@@ -64,5 +65,47 @@ class StreamingSpec extends SparkSuite {
     assert(ls(outDir).contains("t-1-5"))
     val lines = Files.readAllLines(Paths.get(s"$outDir/t-1-5")).asScala
     assert(lines.toList == List("v5"))
+  }
+
+  test("mapGroupsWithState sessionization accumulates per-user sessions " +
+    "across micro-batches") {
+    import spark.implicits._
+    import EventTimeOps._
+    val stream = MemoryStream[SessionInput](
+      org.apache.spark.sql.Encoders.product[SessionInput], spark)
+    val out = sessionize(stream.toDS(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val query = out.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update())
+      .start()
+    stream.addData(SessionInput("u1", 1000L), SessionInput("u1", 2000L))
+    query.processAllAvailable()
+    stream.addData(SessionInput("u1", 3000L), SessionInput("u2", 500L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("sessions").as[SessionOutput].collect()
+    val latestU1 = rows.filter(_.user == "u1").maxBy(_.events)
+    assert(latestU1.events == 3L && latestU1.start == 1000L && latestU1.end == 3000L)
+    assert(rows.exists(r => r.user == "u2" && r.events == 1L))
+  }
+
+  test("windowed counts with watermark run in streaming mode") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)]
+    val stream = MemoryStream[(java.sql.Timestamp, String)](enc, spark)
+    val counts = EventTimeOps.windowedCounts(
+      stream.toDF().toDF("timestamp", "topic"), "1 hour", "10 minutes")
+    val query = counts.writeStream
+      .format("memory").queryName("wcounts")
+      .outputMode(OutputMode.Update())
+      .start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData((t(10, 5), "a"), (t(10, 20), "a"), (t(11, 1), "a"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("wcounts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+    assert(rows == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
   }
 }
