@@ -173,7 +173,7 @@ final case class SinkConfig(
 object SinkConfig {
 
   val DefaultPartSize: Long = 5L * 1024 * 1024 // 5 MiB (S3OutputStream.java:41)
-  val MaxPartSize: Long = 2L * 1024 * 1024 * 1024 // 2 GB upper bound
+  val MaxPartSize: Long = 2000000000L // "2GB" decimal bound (S3SinkConfigTest.java:277)
   val DefaultBackoffDelayMs = 100L     // S3SinkConfig.java:128
   val DefaultBackoffMaxDelayMs = 20000L // S3SinkConfig.java:129
   val DefaultBackoffMaxRetries = 3     // S3SinkConfig.java:136
@@ -200,9 +200,9 @@ object SinkConfig {
   )
 
   /** Pre-process raw props: old→new precedence and the `YYYY`→`yyyy`
-    * rewrite. The reference applies the rewrite to the prefix properties
-    * (`S3SinkConfig.java:143-174`); we also apply it to
-    * `file.name.template` as a benign superset. */
+    * rewrite — applied to the PREFIX only, like the reference
+    * (`S3SinkConfig.java:143-174`); `YYYY` inside `file.name.template` is a
+    * validation error (`S3SinkConfigTest.java:786-807`). */
   def preprocess(props: Map[String, String]): Map[String, String] = {
     val renamed = props.flatMap {
       case (k, v) if OldToNew.contains(k) =>
@@ -210,12 +210,11 @@ object SinkConfig {
         if (props.contains(nk)) scala.None else Some(nk -> v)
       case kv => Some(kv)
     }
-    Seq("file.name.template", "aws.s3.prefix").foldLeft(renamed) { (m, k) =>
-      m.get(k) match {
-        case Some(t) =>
-          m.updated(k, UppercaseYyyy.replaceAllIn(t, "{{timestamp:unit=yyyy}}"))
-        case scala.None => m
-      }
+    renamed.get("aws.s3.prefix") match {
+      case Some(t) =>
+        renamed.updated("aws.s3.prefix",
+          UppercaseYyyy.replaceAllIn(t, "{{timestamp:unit=yyyy}}"))
+      case scala.None => renamed
     }
   }
 
@@ -228,12 +227,43 @@ object SinkConfig {
 
     def opt(k: String): Option[String] = props.get(k).map(_.trim).filter(_.nonEmpty)
 
-    val bucket = opt("aws.s3.bucket.name")
-    if (bucket.isEmpty) errs += "aws.s3.bucket.name property is mandatory"
+    // present-but-empty strings get the reference's ConfigDef message
+    // (`S3SinkConfigTest.java:309-421`)
+    Seq("aws.s3.bucket.name", "aws.s3.region", "aws.s3.prefix",
+      "aws.s3.endpoint").foreach { k =>
+      if (props.get(k).exists(_.trim.isEmpty))
+        errs += s"Invalid value  for configuration $k: String must be non-empty"
+    }
+    Seq("aws.access.key.id", "aws.secret.access.key").foreach { k =>
+      if (props.get(k).exists(_.trim.isEmpty))
+        errs += s"Invalid value [hidden] for configuration $k: Password must be non-empty"
+    }
+    opt("aws.s3.endpoint").foreach { e =>
+      val ok = try {
+        val u = new java.net.URI(e)
+        u.getScheme != null && Set("http", "https").contains(u.getScheme)
+      } catch { case _: Exception => false }
+      if (!ok)
+        errs += s"Invalid value $e for configuration aws.s3.endpoint: should be valid URL"
+    }
 
-    val template = Template.of(
-      opt("file.name.template").getOrElse(DefaultTemplate))
-    errs ++= Template.validate(template, Template.FilenameVars)
+    val bucket = opt("aws.s3.bucket.name")
+    if (!props.contains("aws.s3.bucket.name") && bucket.isEmpty)
+      errs += "Missing required configuration \"aws.s3.bucket.name\" which has no default value."
+
+    val templateRaw = opt("file.name.template").getOrElse(DefaultTemplate)
+    val template = Template.of(templateRaw)
+    val varErrs = Template.validate(template, Template.FilenameVars)
+    // parameter-level violations use the reference's "parameters" message
+    // verbatim (S3SinkConfigTest.java:786-807); set-level use the set text
+    errs ++= varErrs.map { e =>
+      if (e.startsWith("unsupported parameter") || e.startsWith("unsupported value"))
+        s"Invalid value $templateRaw for configuration file.name.template: " +
+          "unsupported set of template variables parameters, supported sets are: " +
+          "partition:padding=true|false,start_offset:padding=true|false," +
+          "timestamp:unit=yyyy|MM|dd|HH"
+      else e
+    }.distinct
     opt("aws.s3.prefix").foreach { p =>
       errs ++= Template.validate(Template.of(p), Template.PrefixVars)
     }
@@ -264,20 +294,24 @@ object SinkConfig {
     }
 
     // Default projection is `value` alone (README.md:227); CSV key is always
-    // base64 (README.md:239-250), value encoding is configurable.
-    val outputFields = opt("format.output.fields")
+    // base64 (README.md:239-250), value encoding is configurable. Invalid
+    // names surface the reference's whole-list message
+    // (`S3SinkConfigTest.java:526-539`); empty list is rejected (`:475-486`).
+    val rawFieldNames = opt("format.output.fields")
       .map(_.split(",").toList.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(List("value"))
-      .map { n =>
-        OutputFieldType.forName(n) match {
-          case Right(OutputFieldType.Value) =>
-            Some(OutputField(OutputFieldType.Value, valueEncoding))
-          case Right(t) =>
-            Some(OutputField(t, OutputFieldEncodingType.Base64))
-          case Left(e) => errs += e; scala.None
-        }
+    if (props.contains("format.output.fields") && rawFieldNames.forall(_.isEmpty))
+      errs += "Invalid value [] for configuration format.output.fields: cannot be empty"
+    val fieldNames = rawFieldNames.getOrElse(List("value"))
+    if (fieldNames.exists(n => OutputFieldType.forName(n).isLeft))
+      errs += s"Invalid value [${fieldNames.mkString(", ")}] " +
+        "for configuration format.output.fields: " +
+        "supported values are: 'key', 'value', 'offset', 'timestamp', 'headers'"
+    val outputFields = fieldNames
+      .flatMap(n => OutputFieldType.forName(n).toOption)
+      .map {
+        case OutputFieldType.Value => OutputField(OutputFieldType.Value, valueEncoding)
+        case t                     => OutputField(t, OutputFieldEncodingType.Base64)
       }
-      .flatten
 
     val maxRecords = opt("file.max.records").map(_.toIntOption) match {
       case Some(Some(n)) if n >= 0 => n
@@ -304,10 +338,19 @@ object SinkConfig {
         errs += s"Invalid value $s for configuration file.name.timestamp.source"
     }
 
+    // bounds + messages: S3SinkConfigTest.java:277-292
     val partSize = opt("aws.s3.part.size.bytes").map(_.toLongOption) match {
       case Some(Some(n)) if n > 0 && n <= MaxPartSize => n
-      case Some(_) =>
-        errs += ("aws.s3.part.size.bytes must be in range (0, 2147483647]"); DefaultPartSize
+      case Some(Some(n)) if n <= 0 =>
+        errs += s"Invalid value $n for configuration aws.s3.part.size.bytes: " +
+          "Part size must be greater than 0"
+        DefaultPartSize
+      case Some(Some(n)) =>
+        errs += s"Invalid value $n for configuration aws.s3.part.size.bytes: " +
+          s"Part size must be no more: $MaxPartSize bytes (2GB)"
+        DefaultPartSize
+      case Some(scala.None) =>
+        errs += "aws.s3.part.size.bytes must be a number"; DefaultPartSize
       case scala.None => DefaultPartSize
     }
 
@@ -319,8 +362,13 @@ object SinkConfig {
     val stsArn = opt("aws.sts.role.arn")
     val stsRole = stsArn.map { arn =>
       val dur = opt("aws.sts.role.session.duration").flatMap(_.toIntOption).getOrElse(3600)
-      if (dur < StsDurationMin || dur > StsDurationMax)
-        errs += s"aws.sts.role.session.duration must be in range [$StsDurationMin, $StsDurationMax]"
+      // bounds text: S3SinkConfigTest.java:883-894
+      if (dur < StsDurationMin)
+        errs += s"Invalid value $dur for configuration aws.sts.role.session.duration: " +
+          s"Value must be at least $StsDurationMin"
+      else if (dur > StsDurationMax)
+        errs += s"Invalid value $dur for configuration aws.sts.role.session.duration: " +
+          s"Value must be no more than $StsDurationMax"
       val session = opt("aws.sts.role.session.name").getOrElse {
         errs += "aws.sts.role.session.name is mandatory when aws.sts.role.arn is set"; ""
       }
@@ -331,14 +379,22 @@ object SinkConfig {
         "must be set together, or assuming role properties aws.sts.role.arn, " +
         "aws.sts.role.session.name must be set together"
 
-    val backoffDelay = opt("aws.s3.backoff.delay.ms").flatMap(_.toLongOption)
-      .getOrElse(DefaultBackoffDelayMs)
-    val backoffMaxDelay = opt("aws.s3.backoff.max.delay.ms").flatMap(_.toLongOption)
-      .getOrElse(DefaultBackoffMaxDelayMs)
-    val backoffRetries = opt("aws.s3.backoff.max.retries").flatMap(_.toIntOption)
-      .getOrElse(DefaultBackoffMaxRetries)
-    if (backoffRetries < 1 || backoffRetries > MaxBackoffRetries)
-      errs += s"aws.s3.backoff.max.retries must be in range [1, $MaxBackoffRetries]"
+    // "Value must be at least 1" / "no more than 30": S3SinkConfigTest.java:574-614
+    def atLeastOne(key: String, default: Long): Long =
+      opt(key).flatMap(_.toLongOption) match {
+        case Some(n) if n < 1 =>
+          errs += s"Invalid value $n for configuration $key: Value must be at least 1"
+          default
+        case Some(n) => n
+        case scala.None => default
+      }
+    val backoffDelay = atLeastOne("aws.s3.backoff.delay.ms", DefaultBackoffDelayMs)
+    val backoffMaxDelay = atLeastOne("aws.s3.backoff.max.delay.ms", DefaultBackoffMaxDelayMs)
+    val backoffRetries = atLeastOne("aws.s3.backoff.max.retries",
+      DefaultBackoffMaxRetries.toLong).toInt
+    if (backoffRetries > MaxBackoffRetries)
+      errs += s"Invalid value $backoffRetries for configuration aws.s3.backoff.max.retries: " +
+        s"Value must be no more than $MaxBackoffRetries"
 
     val kafkaBackoff = opt("kafka.retry.backoff.ms").flatMap(_.toLongOption).map { ms =>
       if (ms < 0 || ms > MaxKafkaRetryBackoffMs)

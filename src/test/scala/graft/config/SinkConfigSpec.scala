@@ -28,9 +28,62 @@ class SinkConfigSpec extends AnyFunSuite {
     assert(c.envelopeEnabled)
   }
 
-  test("missing bucket is mandatory") {
-    assert(SinkConfig.parse(Map.empty).left.exists(
-      _.exists(_.contains("aws.s3.bucket.name"))))
+  test("missing bucket is mandatory (ConfigDef-style message)") {
+    assert(SinkConfig.parse(Map.empty).left.exists(_.contains(
+      "Missing required configuration \"aws.s3.bucket.name\" which has no default value.")))
+  }
+
+  test("present-but-empty strings get the reference's non-empty message " +
+    "(S3SinkConfigTest.java:309-421)") {
+    val errs = errsOf(minimal ++ Map("aws.s3.endpoint" -> "", "aws.s3.region" -> " "))
+    assert(errs.contains(
+      "Invalid value  for configuration aws.s3.endpoint: String must be non-empty"))
+    assert(errs.contains(
+      "Invalid value  for configuration aws.s3.region: String must be non-empty"))
+  }
+
+  test("bad endpoint URL (S3SinkConfigTest.java:440-455)") {
+    val errs = errsOf(minimal + ("aws.s3.endpoint" -> "ffff://asdsadas"))
+    assert(errs.contains(
+      "Invalid value ffff://asdsadas for configuration aws.s3.endpoint: should be valid URL"))
+  }
+
+  test("unsupported output field lists the whole configured value " +
+    "(S3SinkConfigTest.java:526-539)") {
+    val errs = errsOf(minimal +
+      ("format.output.fields" -> "key,value,offset,timestamp,unsupported"))
+    assert(errs.contains(
+      "Invalid value [key, value, offset, timestamp, unsupported] " +
+        "for configuration format.output.fields: " +
+        "supported values are: 'key', 'value', 'offset', 'timestamp', 'headers'"))
+  }
+
+  test("part size bounds messages (S3SinkConfigTest.java:277-292)") {
+    assert(errsOf(minimal + ("aws.s3.part.size.bytes" -> "2000000001")).contains(
+      "Invalid value 2000000001 for configuration aws.s3.part.size.bytes: " +
+        "Part size must be no more: 2000000000 bytes (2GB)"))
+    assert(errsOf(minimal + ("aws.s3.part.size.bytes" -> "0")).contains(
+      "Invalid value 0 for configuration aws.s3.part.size.bytes: " +
+        "Part size must be greater than 0"))
+  }
+
+  test("backoff bounds messages (S3SinkConfigTest.java:574-614)") {
+    assert(errsOf(minimal + ("aws.s3.backoff.delay.ms" -> "0")).contains(
+      "Invalid value 0 for configuration aws.s3.backoff.delay.ms: Value must be at least 1"))
+    assert(errsOf(minimal + ("aws.s3.backoff.max.retries" -> "35")).contains(
+      "Invalid value 35 for configuration aws.s3.backoff.max.retries: " +
+        "Value must be no more than 30"))
+  }
+
+  test("YYYY in file.name.template errors with the verbatim parameters " +
+    "message (S3SinkConfigTest.java:786-807)") {
+    val tpl = "{{topic}}-{{timestamp:unit=YYYY}}-{{partition}}-{{start_offset:padding=true}}.gz"
+    val errs = errsOf(minimal + ("file.name.template" -> tpl))
+    assert(errs.contains(
+      s"Invalid value $tpl for configuration file.name.template: " +
+        "unsupported set of template variables parameters, supported sets are: " +
+        "partition:padding=true|false,start_offset:padding=true|false," +
+        "timestamp:unit=yyyy|MM|dd|HH"))
   }
 
   test("bad compression lists the supported set") {
@@ -51,10 +104,9 @@ class SinkConfigSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("unsupported set of template variables")))
   }
 
-  test("YYYY is rewritten to yyyy (S3SinkConfig.java:143-174)") {
-    val c = ok(minimal + ("file.name.template" ->
-      "{{topic}}-{{partition}}-{{start_offset}}-{{timestamp:unit=YYYY}}"))
-    assert(c.fileNameTemplate.raw.contains("{{timestamp:unit=yyyy}}"))
+  test("YYYY is rewritten to yyyy in the PREFIX only (S3SinkConfig.java:143-174)") {
+    val c = ok(minimal + ("aws.s3.prefix" -> "p-{{timestamp:unit=YYYY}}-"))
+    assert(c.prefix.contains("{{timestamp:unit=yyyy}}"))
   }
 
   test("old-style property names resolve; new-style wins when both present") {
