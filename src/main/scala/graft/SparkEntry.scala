@@ -607,6 +607,60 @@ object SparkEntry {
       ord.where(col("o_orderstatus") === "O").select("o_custkey").distinct()
         .except(ord.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
         .orderBy("o_custkey")
+    }),
+
+    // As-of join: latest strictly-prior signup event per event, same user.
+    // Union + ordered-window formulation (graft.operators.AsOfJoin) — one
+    // shuffle, no range blowup; oracle uses DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val signups = Records.readEvents(s, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id").as("signup_id"))
+      graft.operators.AsOfJoin
+        .asOfJoin(ev, signups, "user_id", "ts_ms", Seq("signup_id"))
+        .select(col("event_id"), col("asof_signup_id").as("prior_signup"))
+        .orderBy("event_id")
+    }),
+
+    // Hierarchical rollup: revenue by (region, nation) with subtotals.
+    "q_rollup_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("revenue"), col("n_items"))
+        .orderBy("region", "nation")
+    }),
+
+    // Left-semi: customers having at least one urgent open order.
+    "q_join_semi" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+
+    // Left-anti: customers with no urgent orders (complement of the semi).
+    "q_join_anti" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
     })
   )
 
@@ -661,7 +715,41 @@ object SparkEntry {
       """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, s.signup_id AS prior_signup
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id AS signup_id
+        |  FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts_ms > s.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT coalesce(r_name, '(all)') AS region,
+        |       coalesce(n_name, '(all)') AS nation,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
   )
 
   // ------------------------------------------------- streaming-op analogs
