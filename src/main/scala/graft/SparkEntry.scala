@@ -358,16 +358,43 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedNgramJaccard(docs(s, dir), 0.0)),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35))
+      Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // Full pipeline: LSH candidates -> connected components -> keep-list.
+    "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir)))
   )
 
-  /** Shingle + signature CTE chain shared by the minhash oracle. */
-  private val SH =
-    """WITH toks AS (
+  /** Shingle CTE chain (no leading WITH) shared by the minhash oracles. */
+  private val ShChain =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
       |), sh AS (
       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+      |)
+      |""".stripMargin
+
+  private val SH = "WITH " + ShChain
+
+  /** MinHash signature → band-bucket → candidate-pair CTE chain (no leading
+    * WITH), generated from the same parameters as the Scala implementation. */
+  private val MinhashCandChain = ShChain +
+    s""", xs AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS x FROM sh
+      |), sig AS (
+      |  SELECT doc_id,
+      |${(0 until graft.ops.Dedup.NumMinhashes).map { i =>
+           val (a, b) = graft.ops.Dedup.minhashParams(i)
+           s"    min((x * $a + $b) % ${graft.ops.Dedup.MersenneP}) AS mh$i"
+         }.mkString(",\n")}
+      |  FROM xs GROUP BY doc_id
+      |), buckets AS (
+      |${(0 until graft.ops.Dedup.NumBands).map { b =>
+           s"  SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
+         }.mkString("\n  UNION ALL\n")}
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM buckets a JOIN buckets b
+      |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
       |)
       |""".stripMargin
 
@@ -376,25 +403,8 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
 
-    "dedup_minhash_lsh" -> (SH +
-      s""", xs AS (
-        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS x FROM sh
-        |), sig AS (
-        |  SELECT doc_id,
-        |${(0 until graft.ops.Dedup.NumMinhashes).map { i =>
-             val (a, b) = graft.ops.Dedup.minhashParams(i)
-             s"    min((x * $a + $b) % ${graft.ops.Dedup.MersenneP}) AS mh$i"
-           }.mkString(",\n")}
-        |  FROM xs GROUP BY doc_id
-        |), buckets AS (
-        |${(0 until graft.ops.Dedup.NumBands).map { b =>
-             s"  SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig"
-           }.mkString("\n  UNION ALL\n")}
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM buckets a JOIN buckets b
-        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
-        |), shs AS (
+    "dedup_minhash_lsh" -> ("WITH " + MinhashCandChain +
+      """, shs AS (
         |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
         |)
         |SELECT d1, d2,
@@ -444,6 +454,19 @@ object SparkEntry {
         |FROM shs a JOIN shs b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin),
+
+    "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
+      """, edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION ALL SELECT d2, d1 FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        |)
+        |SELECT node AS doc_id, min(label) AS cluster,
+        |       (node = min(label)) AS keep
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS d1, b.vec_id AS d2,

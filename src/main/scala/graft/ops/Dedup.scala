@@ -145,6 +145,52 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over a near-dup pair graph — the final step of a
+    * dedup pipeline: transitively-linked docs form one cluster; the keeper
+    * is the cluster's minimum doc_id.
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges and takes the min — a driver loop over DataFrame rounds
+    * (the data never visits the driver; each round is one shuffled join +
+    * aggregate, converging in O(cluster diameter) rounds). This is how
+    * large-scale dedup closes clusters at 100 TB; GraphX does the same
+    * thing with more machinery. */
+  def connectedComponents(pairs: DataFrame, allIds: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = allIds.select(col("doc_id"),
+      col("doc_id").as("cluster")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "_b"), col("b") === col("_b"))
+        .select(col("a").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "_old"), "doc_id")
+        .where(col("cluster") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full dedup keep-list: LSH candidate pairs → connected components →
+    * per-doc (cluster, keep) assignment. */
+  def clusterKeepList(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select("d1", "d2")
+    connectedComponents(pairs, docs.select("doc_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
   /** Blocked n-gram Jaccard near-dup scoring: all pairs within a
     * (lang, source) block, scored with exact Jaccard over distinct
     * 3-shingles, keeping pairs above `minJaccard`.

@@ -69,6 +69,16 @@ class OpsSpec extends SparkSuite {
     assert(pairs == List((0L, 1L))) // blocked: (0,3) not compared despite cos=1
   }
 
+  test("connected components close transitive near-dup clusters") {
+    import spark.implicits._
+    // edges 1-2, 2-3 (one cluster) and 5-6; 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val r = Dedup.connectedComponents(pairs, ids).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("brute-force topk returns exact neighbors in cosine order") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),

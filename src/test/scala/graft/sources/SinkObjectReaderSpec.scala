@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.time.{ZoneId, ZonedDateTime}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.SparkSuite
+import graft.config.{CompressionType, SinkConfig}
+import graft.streaming.S3SinkPipeline
+
+/** Round-trip fidelity: objects written by the sink read back into the
+  * original records through the source module — every codec. */
+class SinkObjectReaderSpec extends SparkSuite {
+
+  private val Now = ZonedDateTime.of(2020, 3, 1, 7, 0, 0, 0, ZoneId.of("Z"))
+
+  private def records(n: Int) = {
+    val rows = (0 until n).map { i =>
+      Row("rt-topic", i % 2, i.toLong, new java.sql.Timestamp(1000L + i),
+        s"key-$i".getBytes(StandardCharsets.UTF_8),
+        s"value,$i with \"stuff\"".getBytes(StandardCharsets.UTF_8), null)
+    }
+    spark.createDataFrame(rows.asJava, graft.connector.Records.schema)
+  }
+
+  test("CSV objects round-trip through readCsv for every codec") {
+    for (codec <- CompressionType.all) {
+      val dir = tmpDir(s"rt-${codec.name}")
+      val cfg = SinkConfig.parse(Map(
+        "aws.s3.bucket.name" -> "b",
+        "format.output.fields" -> "value,key,timestamp,offset",
+        "file.compression.type" -> codec.name)).toOption.get
+      S3SinkPipeline.writeBatch(records(6), cfg, dir, Now)
+      val back = SinkObjectReader.readCsv(spark, dir, cfg)
+        .orderBy("offset").collect()
+      assert(back.length == 6, s"codec ${codec.name}")
+      back.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[String]("value") == s"""value,$i with "stuff"""")
+        assert(r.getAs[String]("key") == s"key-$i")
+        assert(r.getAs[Long]("offset") == i.toLong)
+        assert(r.getAs[Long]("timestamp_ms") == 1000L + i)
+      }
+    }
+  }
+
+  test("JSONL objects round-trip through readJsonl") {
+    val dir = tmpDir("rt-jsonl")
+    val cfg = SinkConfig.parse(Map(
+      "aws.s3.bucket.name" -> "b",
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "value,key",
+      "file.compression.type" -> "gzip")).toOption.get
+    S3SinkPipeline.writeBatch(records(4), cfg, dir, Now)
+    val schema = StructType(Seq(
+      StructField("value", StringType), StructField("key", StringType)))
+    val back = SinkObjectReader.readJsonl(spark, dir, schema)
+      .orderBy("object_name", "line_no").collect()
+    assert(back.length == 4)
+    assert(back.map(_.getAs[String]("key")).toSet ==
+      (0 until 4).map(i => s"key-$i").toSet)
+  }
+}
