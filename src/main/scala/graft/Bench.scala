@@ -12,7 +12,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so per-query numbers are steady-state
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/events.parquet").count()
+    graft.connector.Records.readEvents(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

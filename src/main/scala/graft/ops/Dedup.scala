@@ -160,7 +160,10 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
-    var labels = allIds.select(col("doc_id"),
+    // only nodes that appear in an edge can ever change label — iterate on
+    // that (much smaller) set and union the isolated rest back at the end
+    val edgeNodes = edges.select(col("a").as("doc_id")).distinct().cache()
+    var labels = edgeNodes.select(col("doc_id"),
       col("doc_id").as("cluster")).cache()
     var changed = 1L
     var iter = 0
@@ -179,7 +182,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    val isolated = allIds.select(col("doc_id"))
+      .join(edgeNodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.unionByName(isolated)
   }
 
   /** Full dedup keep-list: LSH candidate pairs → connected components →
