@@ -35,14 +35,21 @@ object GroupFileWriter {
     * object per distinct `_filename` under `baseUri`. Returns nothing; the
     * write is the effect (used inside `foreachBatch`).
     */
+  /** `groupCols` is any column set that determines `_filename` (e.g.
+    * (topic, partition)) — repartitioning on it satisfies the upstream
+    * grouping window's required distribution, so Catalyst plans ONE
+    * exchange for annotate+write instead of two. Defaults to `_filename`
+    * itself. */
   def writeLines(df: DataFrame, baseUri: String, format: FormatType,
-                 compression: CompressionType): Unit = {
+                 compression: CompressionType,
+                 groupCols: Seq[String] = Seq("_filename")): Unit = {
     val spark = df.sparkSession
     val serConf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val jsonArray = format == FormatType.Json
-    df.select(col("_filename"), col("_line"), col("offset"))
-      .repartition(col("_filename"))
+    val keep = (Seq("_filename", "_line", "offset") ++ groupCols).distinct
+    df.select(keep.map(col): _*)
+      .repartition(groupCols.map(col): _*)
       .sortWithinPartitions(col("_filename"), col("offset"))
       .foreachPartition { (it: Iterator[Row]) =>
         writePartition(it, baseUri, serConf.value, compression, jsonArray)

@@ -52,15 +52,17 @@ object ParquetEnvelopeWriter {
     * `headers`, `value` columns in the canonical record schema) as one
     * parquet object per distinct `_filename` under `baseUri`. */
   def write(records: DataFrame, baseUri: String,
-            compression: CompressionType): Unit = {
+            compression: CompressionType,
+            groupCols: Seq[String] = Seq("_filename")): Unit = {
     val serConf = new SerializableConfiguration(
       records.sparkSession.sparkContext.hadoopConfiguration)
     val codecName = codec(compression)
     records
-      .select(col("_filename"), col("key").cast("string").as("key"),
+      .select((Seq(col("_filename"), col("key").cast("string").as("key"),
         col("offset"), unix_millis(col("timestamp")).as("ts_ms"),
-        col("headers"), col("value").cast("string").as("value"))
-      .repartition(col("_filename"))
+        col("headers"), col("value").cast("string").as("value")) ++
+        groupCols.filterNot(_ == "_filename").map(col)): _*)
+      .repartition(groupCols.map(col): _*)
       .sortWithinPartitions(col("_filename"), col("offset"))
       .foreachPartition { (it: Iterator[Row]) =>
         writePartition(it, baseUri, serConf.value, codecName)

@@ -118,12 +118,23 @@ object S3SinkPipeline {
 
     config.formatType match {
       case FormatType.Parquet =>
-        ParquetEnvelopeWriter.write(prefixed, baseUri, config.compression)
+        val pqGroupCols = config.groupingMode match {
+          case GroupingMode.KeyRecord            => Seq("_k")
+          case GroupingMode.TopicPartitionRecord => Seq("topic", "partition")
+        }
+        ParquetEnvelopeWriter.write(prefixed, baseUri, config.compression,
+          pqGroupCols)
       case _ =>
         val withLine = prefixed.withColumn("_line",
           lineColumn(config, batch.schema))
+        // repartition on the same keys the grouping window clustered by, so
+        // the annotate+write pipeline needs a single exchange
+        val groupCols = config.groupingMode match {
+          case GroupingMode.KeyRecord            => Seq("_k")
+          case GroupingMode.TopicPartitionRecord => Seq("topic", "partition")
+        }
         GroupFileWriter.writeLines(withLine, baseUri, config.formatType,
-          config.compression)
+          config.compression, groupCols)
     }
   }
 

@@ -67,6 +67,56 @@ class StreamingSpec extends SparkSuite {
     assert(lines.toList == List("v5"))
   }
 
+  test("checkpoint restart resumes from committed offsets (at-least-once + " +
+    "idempotent overwrite, S3SinkTask.java:120-124 contract)") {
+    import org.apache.spark.sql.functions.lit
+    val srcDir = tmpDir("ckpt-src")
+    val outDir = tmpDir("ckpt-out")
+    val ckpt = tmpDir("ckpt-state")
+    val cfg = SinkConfig.parse(Map(
+      "aws.s3.bucket.name" -> "b",
+      "file.compression.type" -> "none",
+      "format.output.fields.value.encoding" -> "none")).toOption.get
+
+    def writeSource(offsets: Seq[Long], part: String): Unit = {
+      val rows = offsets.map(o =>
+        ("t", 0, o, new java.sql.Timestamp(1000L + o),
+          "k".getBytes, s"v$o".getBytes))
+      spark.createDataFrame(rows)
+        .toDF("topic", "partition", "offset", "timestamp", "key", "value")
+        .withColumn("headers", lit(null)
+          .cast(graft.connector.Records.schema("headers").dataType))
+        .write.mode("append").parquet(srcDir)
+    }
+    def runOnce(): Unit = {
+      val records = spark.readStream
+        .schema(graft.connector.Records.schema).parquet(srcDir)
+      val q = records.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          S3SinkPipeline.writeBatch(batch, cfg, outDir,
+            java.time.ZonedDateTime.now(java.time.ZoneId.of("Z")))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeSource(Seq(0L, 1L), "p1")
+    runOnce()
+    assert(ls(outDir) == Set("t-0-0"))
+    val firstContent = Files.readAllLines(Paths.get(s"$outDir/t-0-0")).asScala.toList
+
+    writeSource(Seq(5L, 6L), "p2")
+    runOnce() // restart from the SAME checkpoint: only the new file batch runs
+    assert(ls(outDir) == Set("t-0-0", "t-0-5"))
+    // batch 1's object is untouched (not rewritten with merged content)
+    assert(Files.readAllLines(Paths.get(s"$outDir/t-0-0")).asScala.toList
+      == firstContent)
+    assert(Files.readAllLines(Paths.get(s"$outDir/t-0-5")).asScala.toList
+      == List("v5", "v6"))
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user sessions " +
     "across micro-batches") {
     import spark.implicits._
