@@ -677,6 +677,19 @@ object SparkEntry {
         .select(col("c_custkey")).orderBy("c_custkey")
     }),
 
+    // Skew-mitigated join: events (5 heavily-skewed topics) x per-topic dim,
+    // salted 16 ways. Result identical to the plain join -- oracled as one.
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Records.fromEvents(s, dir)
+        .select(col("topic"), col("offset").as("off"))
+      val dim = Records.fromEvents(s, dir)
+        .groupBy("topic").agg(count(lit(1)).as("topic_total"))
+      graft.operators.SaltedJoin.join(ev, dim, "topic")
+        .groupBy(col("topic"), col("topic_total"))
+        .agg(count(lit(1)).as("cnt"), sum(col("off")).as("sum_off"))
+        .orderBy("topic")
+    }),
+
     // Left-anti: customers with no urgent orders (complement of the semi).
     "q_join_anti" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
@@ -761,6 +774,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "q_salted_join" -> (R +
+      """, dim AS (SELECT topic, count(*) AS topic_total FROM records GROUP BY topic)
+        |SELECT r.topic, dim.topic_total, count(*) AS cnt,
+        |       CAST(sum(r.off) AS BIGINT) AS sum_off
+        |FROM records r JOIN dim ON r.topic = dim.topic
+        |GROUP BY r.topic, dim.topic_total ORDER BY r.topic""".stripMargin),
 
     "q_join_semi" ->
       """SELECT c_custkey FROM customer

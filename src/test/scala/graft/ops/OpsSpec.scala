@@ -142,6 +142,35 @@ class OpsSpec extends SparkSuite {
     assert(r == Map(0L -> "de", 1L -> "en", 2L -> "es"))
   }
 
+  test("salted join equals the plain join exactly") {
+    import graft.operators.SaltedJoin
+    val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
+    val small = Seq(("a", 10), ("b", 20)).toDF("k", "w")
+    val salted = SaltedJoin.join(big, small, "k", buckets = 4)
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    val plain = big.join(small, "k")
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 4)
+  }
+
+  test("vec_dot is SQL-callable once registered (GraftExtensions wiring)") {
+    // GraftExtensions installs into a SparkSessionExtensions without error
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // and the same builder registered on a live session evaluates in SQL
+    val sess = spark.newSession()
+    sess.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorDot(children.head, children(1)),
+      "built-in")
+    val r = sess.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     import graft.ops.Multimodal._
     val media = Seq(
