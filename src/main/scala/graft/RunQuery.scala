@@ -20,11 +20,13 @@ object RunQuery {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toList.sorted}"))
-    val df = fn(spark, sfDir)
-    if (args.contains("--explain")) df.explain("formatted")
-    if (args.contains("--show")) df.show(20, truncate = false)
+    if (args.contains("--explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("--show")) fn(spark, sfDir).show(20, truncate = false)
+    // time construction + count together: some operators (iterative CC)
+    // run driver-looped actions during construction
+    if (args.contains("--warm")) fn(spark, sfDir).count()
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = fn(spark, sfDir).count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"$name: $n rows in $dt%.2f s")
     spark.stop()

@@ -616,6 +616,29 @@ object SparkEntry {
         .orderBy("nationkey", "rank")
     }),
 
+    // Exact distinct cardinalities (oracle-checked); the HLL-sketch twin
+    // below demonstrates the approximate path for 100TB cardinalities.
+    "q_count_distinct" -> ((s, dir) => {
+      Records.fromEvents(s, dir)
+        .groupBy("topic")
+        .agg(countDistinct(col("key")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("topic")
+    }),
+    // approx_count_distinct (HyperLogLog++): sketch differs from DuckDB's
+    // implementation -> rows-only; the exact twin above is the oracle.
+    "q_sketch_distinct" -> ((s, dir) => {
+      Records.fromEvents(s, dir)
+        .groupBy("topic")
+        .agg(approx_count_distinct(col("key"), 0.02).as("approx_users"),
+          expr("approx_percentile(offset, array(0.5D, 0.95D))")
+            .as("off_quantiles"))
+        .withColumn("off_p50", element_at(col("off_quantiles"), 1))
+        .withColumn("off_p95", element_at(col("off_quantiles"), 2))
+        .drop("off_quantiles")
+        .orderBy("topic")
+    }),
+
     // Time-series rollup on the orders stream.
     "q_monthly_orders" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
@@ -741,6 +764,10 @@ object SparkEntry {
         |FROM customer
         |QUALIFY rank <= 3
         |ORDER BY nationkey, rank""".stripMargin,
+
+    "q_count_distinct" -> (R +
+      """SELECT topic, count(DISTINCT rkey) AS n_users, count(*) AS n_events
+        |FROM records GROUP BY topic ORDER BY topic""".stripMargin),
 
     "q_monthly_orders" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,

@@ -165,21 +165,28 @@ object Dedup {
     val edgeNodes = edges.select(col("a").as("doc_id")).distinct().cache()
     var labels = edgeNodes.select(col("doc_id"),
       col("doc_id").as("cluster")).cache()
+    labels.count() // materialize edges + init labels once, before the loop
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val prop = edges
+      // one action per round: next labels carry the old label, so
+      // materializing `next` also yields the convergence count
+      val minNbr = edges
         .join(labels.withColumnRenamed("doc_id", "_b"), col("b") === col("_b"))
-        .select(col("a").as("doc_id"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .groupBy(col("a").as("doc_id")).agg(min("cluster").as("_nbr"))
+      val next = labels
+        .join(minNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"),
+          col("cluster").as("_old"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "_old"), "doc_id")
-        .where(col("cluster") =!= col("_old")).count()
+      changed = next.where(col("cluster") =!= col("_old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "cluster")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter: $changed changed " +
+          s"(${(System.nanoTime() / 1e9)})")
     }
     edges.unpersist()
     val isolated = allIds.select(col("doc_id"))

@@ -61,7 +61,9 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val NumHyperplanes = 8
+  val NumHyperplanes = 16 // 4 tables x 4 planes
+  val PlanesPerTable = 4
+  val NumTables = 4
   val MaxDim = 512
 
   /** Deterministic pseudo-random hyperplanes, precomputed ONCE on the driver
@@ -79,34 +81,49 @@ object Similarity {
     }
   }
 
-  /** Sign-bucket of one vector under the p-th hyperplane. */
-  private def signBit(vec: Column, p: Int): Column = {
+  /** Sign-bit of one vector under hyperplane `p`, shifted to bit `bitPos`. */
+  private def signBit(vec: Column, p: Int, bitPos: Int): Column = {
     val w = typedLit(planes(p).toSeq)
     val proj = aggregate(
       zip_with(vec, slice(w, lit(1), size(vec)), (x, c) => x.cast("double") * c),
       lit(0.0), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    when(proj >= 0, lit(1L << bitPos)).otherwise(lit(0L))
   }
 
-  /** Random-hyperplane LSH bucket id (NumHyperplanes-bit signature). */
-  def hyperplaneBuckets(vec: Column): Column =
-    (0 until NumHyperplanes).map(p => signBit(vec, p)).reduce(_ + _)
+  /** Banded multi-table LSH buckets: NumTables entries of
+    * (table_id, PlanesPerTable sign bits). AND within a table, OR across
+    * tables — the standard recall/precision dial (all-16-bits-AND would
+    * give ~zero recall on weakly-similar vectors). */
+  def hyperplaneBuckets(vec: Column): Column = {
+    val tables = (0 until NumTables).map { t =>
+      val bits = (0 until PlanesPerTable)
+        .map(j => signBit(vec, t * PlanesPerTable + j, j))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bits"))
+    }
+    array(tables: _*)
+  }
 
-  /** Approximate top-k: candidates restricted to vectors whose LSH bucket
-    * matches the query's, exact cosine rerank inside the bucket. The bucket
-    * join is co-partitioned on the bucket id — at 100 TB this replaces the
+  /** Approximate top-k: candidates are vectors sharing ANY table bucket
+    * with the query, exact cosine rerank, distinct pairs. The bucket join
+    * is co-partitioned on (table, bits) — at 100 TB this replaces the
     * broadcast with a shuffle proportional to matching buckets only. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", hyperplaneBuckets(col("embedding")))
+    def bucketed(df: DataFrame) = df
       .withColumn("_n", norm(col("embedding")))
-    val qb = queries.withColumn("bucket", hyperplaneBuckets(col("embedding")))
-      .withColumn("_n", norm(col("embedding")))
+      .withColumn("bb", explode(hyperplaneBuckets(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+    val cb = bucketed(corpus)
+    val qb = bucketed(queries)
     val scored = cb.as("c")
       .join(qb.as("q"),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+        col("q.tbl") === col("c.tbl") && col("q.bits") === col("c.bits") &&
+          col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(dot(col("q.embedding"), col("c.embedding")) /
           (col("q._n") * col("c._n")), 6).as("cos"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

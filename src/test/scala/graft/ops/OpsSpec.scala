@@ -142,6 +142,23 @@ class OpsSpec extends SparkSuite {
     assert(r == Map(0L -> "de", 1L -> "en", 2L -> "es"))
   }
 
+  test("LSH and IVF ANN recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topkSet(Similarity.bruteForceTopK(emb, queries, 10))
+    val lsh = topkSet(Similarity.lshTopK(emb, queries, 10))
+    val ivf = topkSet(Similarity.ivfTopK(emb, queries, 10))
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    info(f"LSH recall: $lshRecall%.2f, IVF recall: $ivfRecall%.2f")
+    // approximate paths must return a meaningful fraction of true neighbors
+    assert(lshRecall > 0.1, s"LSH recall $lshRecall")
+    assert(ivfRecall > 0.3, s"IVF recall $ivfRecall")
+  }
+
   test("salted join equals the plain join exactly") {
     import graft.operators.SaltedJoin
     val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
