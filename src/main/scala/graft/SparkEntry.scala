@@ -286,7 +286,9 @@ object SparkEntry {
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
@@ -312,7 +314,10 @@ object SparkEntry {
 
   private def textOracles: Map[String, String] = Map(
     "text_token_count" -> (T +
-      "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks ORDER BY doc_id"),
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+        |    AS n_bpe_tokens
+        |FROM toks ORDER BY doc_id""".stripMargin),
 
     "text_quality_score" -> (T +
       """SELECT doc_id,

@@ -82,6 +82,47 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: real systems decode + rescale pixels; the stub derives a
+    * deterministic fixed-size byte grid from the payload. The Spark-side
+    * contract (typed Dataset in/out, iterator batching) is the real part. */
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = new Array[Byte](w * h)
+        if (r.payload != null && r.payload.nonEmpty) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = r.payload(i % r.payload.length)
+            i += 1
+          }
+        }
+        ResizedMedia(r.media_id, w, h, out)
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** STUB frame sampling for video payloads: emits every `stride`-th fixed-
+    * size chunk as a "frame" — a flatMap (1→N) iterator pipeline, the shape
+    * a real decoder would use. */
+  def frameSampleStub(media: Dataset[MediaRecord], frameBytes: Int,
+                      stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.payload == null) Iterator.empty
+        else r.payload.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, i) => Frame(r.media_id, i, chunk) }
+      }
+    }
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -20,9 +20,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Token count (BPE-ish whitespace segmentation baseline). */
+  /** Token count (whitespace segmentation baseline). */
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast(LongType)
+
+  /** BPE-ish pre-tokenizer regex (GPT-2-style byte-pair-encoding input
+    * segmentation approximation): runs of letters, runs of digits, runs of
+    * other symbols — each optionally space-prefixed. Chosen to be
+    * dialect-portable (same matches in Java regex and DuckDB's RE2). */
+  val BpeIshPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** BPE-ish token count — a closer proxy for LLM token budgets than
+    * whitespace counting (punctuation and number runs count separately). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0))).cast(LongType)
 
   /** Sliding 3-gram (shingle) array over the token sequence; empty when the
     * document has fewer than 3 tokens. 1-based indexing matches the DuckDB

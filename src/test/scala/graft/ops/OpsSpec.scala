@@ -188,6 +188,29 @@ class OpsSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("BPE-ish token count segments punctuation and digits separately") {
+    val df = Seq((0L, "hello world"), (1L, "a1b2!"), (2L, "price: $4.99"))
+      .toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == 2) // "hello", " world"
+    assert(r(1L) == 5) // a / 1 / b / 2 / !
+    assert(r(2L) == 6) // price / : / " $" / 4 / . / 99
+  }
+
+  test("multimodal resize and frame-sample stubs keep the batch contract") {
+    import graft.ops.Multimodal._
+    val media = Seq(
+      MediaRecord(0L, "image", "raw", Array.tabulate(10)(_.toByte), 10L),
+      MediaRecord(1L, "video", "raw", Array.tabulate(64)(_.toByte), 64L)).toDS()
+    val resized = resizeStub(media, 4, 4).collect().sortBy(_.media_id)
+    assert(resized.forall(r => r.payload.length == 16))
+    assert(resized(0).payload.toSeq == resized(0).payload.toSeq) // deterministic
+    val frames = frameSampleStub(media, frameBytes = 16, stride = 2).collect()
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(1L)) // video only
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2)) // every 2nd of 4
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     import graft.ops.Multimodal._
     val media = Seq(
