@@ -26,14 +26,24 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // element accessor per side: float or double arrays both accepted
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -43,11 +53,15 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val ax = if (isDouble(left)) s"$a.getDouble($i)"
+               else s"(double) $a.getFloat($i)"
+      val bx = if (isDouble(right)) s"$b.getDouble($i)"
+               else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  ${ev.value}_acc += $ax * $bx;
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin

@@ -81,12 +81,13 @@ object Similarity {
     }
   }
 
-  /** Sign-bit of one vector under hyperplane `p`, shifted to bit `bitPos`. */
+  /** Sign-bit of one vector under hyperplane `p`, shifted to bit `bitPos`.
+    * Projection runs through the codegen'd [[graft.functions.VectorDot]]
+    * kernel (float vector × double plane literal). */
   private def signBit(vec: Column, p: Int, bitPos: Int): Column = {
     val w = typedLit(planes(p).toSeq)
-    val proj = aggregate(
-      zip_with(vec, slice(w, lit(1), size(vec)), (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, x) => acc + x)
+    val proj = graft.functions.VectorExpressions.vecDot(
+      vec, slice(w, lit(1), size(vec)))
     when(proj >= 0, lit(1L << bitPos)).otherwise(lit(0L))
   }
 

@@ -263,23 +263,26 @@ class SinkWriteSpec extends SparkSuite {
     assert(ls(dir) == Set("prefix-2020-03-01--test-topic-0-00000000000000000000"))
   }
 
-  test("parquet envelope round-trips through Spark's parquet reader " +
-    "(ParquetIntegrationTest envelope shape)") {
-    val dir = tmpDir("parquet")
-    val cfg = config(
-      "format.output.type" -> "parquet",
-      "file.compression.type" -> "snappy",
-      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
-    S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
-    val f = s"$dir/test-topic-0-0.snappy"
-    assert(Files.exists(Paths.get(f)))
-    val back = spark.read.parquet(f)
-    assert(back.columns.toSet == Set("key", "offset", "timestamp", "headers", "value"))
-    val rows = back.orderBy("offset").collect()
-    assert(rows.length == 2)
-    assert(rows(0).getAs[String]("key") == "test-key")
-    assert(rows(0).getAs[String]("value") == "test-value-0")
-    assert(rows(0).getAs[Long]("timestamp") == 1000L)
+  test("parquet envelope round-trips through Spark's parquet reader, " +
+    "every codec (ParquetIntegrationTest envelope shape)") {
+    for (codec <- CompressionType.all) {
+      val dir = tmpDir(s"parquet-${codec.name}")
+      val cfg = config(
+        "format.output.type" -> "parquet",
+        "file.compression.type" -> codec.name,
+        "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+      S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
+      val f = s"$dir/test-topic-0-0${codec.extension}"
+      assert(Files.exists(Paths.get(f)), s"codec ${codec.name}")
+      val back = spark.read.parquet(f)
+      assert(back.columns.toSet ==
+        Set("key", "offset", "timestamp", "headers", "value"))
+      val rows = back.orderBy("offset").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("key") == "test-key")
+      assert(rows(0).getAs[String]("value") == "test-value-0")
+      assert(rows(0).getAs[Long]("timestamp") == 1000L)
+    }
   }
 
   test("schema-change rotation: contiguous fingerprint runs split files at " +
