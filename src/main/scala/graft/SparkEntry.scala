@@ -661,8 +661,9 @@ object SparkEntry {
     }),
 
     // As-of join: latest strictly-prior signup event per event, same user.
-    // Union + ordered-window formulation (graft.operators.AsOfJoin) — one
-    // shuffle, no range blowup; oracle uses DuckDB's native ASOF JOIN.
+    // Runs the CUSTOM plan ladder (AsOfJoinNode -> AsOfJoinStrategy ->
+    // AsOfJoinExec streaming merge); the composed union+window variant is
+    // proven equal in AsOfJoinPlanSpec; oracle is DuckDB's native ASOF JOIN.
     "q_asof_join" -> ((s, dir) => {
       val ev = Records.readEvents(s, dir)
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
@@ -671,7 +672,7 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_id").as("signup_id"))
       graft.operators.AsOfJoin
-        .asOfJoin(ev, signups, "user_id", "ts_ms", Seq("signup_id"))
+        .asOfJoinNative(ev, signups, "user_id", "ts_ms", Seq("signup_id"))
         .select(col("event_id"), col("asof_signup_id").as("prior_signup"))
         .orderBy("event_id")
     }),

@@ -62,4 +62,32 @@ object AsOfJoin {
         rightCols.map(c => col(s"_match.$c").as(s"asof_$c"))): _*)
     out
   }
+
+  /** Native-plan variant: constructs [[graft.plans.AsOfJoinNode]] and plans
+    * it with [[graft.plans.AsOfJoinExec]] — a streaming merge per
+    * co-partition, O(1) state, instead of the union+window's full sort +
+    * window machinery. Installs the strategy on the session idempotently.
+    * Same semantics/columns as [[asOfJoin]] (cross-validated in tests). */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = GraftBridge.analyzedPlan(left)
+    val rPlan = GraftBridge.analyzedPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key), attr(rPlan, ts),
+      rightCols.map(c => attr(rPlan, c)))
+    val raw = GraftBridge.ofRows(spark, node)
+    // align output names with asOfJoin: left cols + asof_-prefixed payload
+    val leftNames = left.columns
+    raw.toDF(leftNames ++ rightCols.map(c => s"asof_$c"): _*)
+  }
 }

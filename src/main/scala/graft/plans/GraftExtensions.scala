@@ -2,25 +2,47 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Round}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.VectorDot
 
-/** SparkSessionExtensions installer: registers graft's native functions for
-  * SQL use. Activate with
+/** Optimizer rule: `round(round(x, n), m)` with `m >= n` is the inner round
+  * alone — the outer re-round of an already-coarser value is a no-op. Shows
+  * up when pre-rounded scores (cosines, quality) are re-rounded at query
+  * boundaries; eliminating it removes a non-trivial BigDecimal round from
+  * the per-row hot path.
+  */
+object CollapseRedundantRound extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case outer @ Round(inner @ Round(_, innerScale, _), outerScale, _)
+          if innerScale.foldable && outerScale.foldable &&
+            innerScale.eval() != null && outerScale.eval() != null &&
+            outerScale.eval().asInstanceOf[Int] >=
+              innerScale.eval().asInstanceOf[Int] =>
+        inner
+    }
+}
+
+/** SparkSessionExtensions installer: registers graft's native function,
+  * optimizer rule, and planner strategy. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — after which
   * `SELECT vec_dot(a.embedding, b.embedding) FROM …` runs the codegen'd
-  * kernel.
+  * kernel, redundant rounds collapse, and [[AsOfJoinNode]] plans natively.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         VectorDot(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => CollapseRedundantRound)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

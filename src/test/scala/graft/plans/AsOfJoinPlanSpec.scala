@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.AsOfJoin
+
+/** Native AsOfJoinExec vs the composed union+window operator: identical
+  * results on real data, plus plan-shape and optimizer-rule checks. */
+class AsOfJoinPlanSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def eventsMs = {
+    graft.connector.Records.readEvents(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+  }
+
+  test("native as-of join matches the composed operator on 1000 events") {
+    val left = eventsMs.select("event_id", "user_id", "ts_ms")
+    val right = eventsMs.where($"event_type" === "signup")
+      .select($"user_id", $"ts_ms", $"event_id".as("signup_id"))
+    val composed = AsOfJoin.asOfJoin(left, right, "user_id", "ts_ms", Seq("signup_id"))
+      .select("event_id", "asof_signup_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val native = AsOfJoin.asOfJoinNative(left, right, "user_id", "ts_ms", Seq("signup_id"))
+      .select("event_id", "asof_signup_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.size == 1000)
+    assert(native == composed)
+    assert(native.values.exists(_ >= 0) && native.values.exists(_ == -1L))
+  }
+
+  test("native as-of join plans AsOfJoinExec with sorted, clustered children") {
+    val left = eventsMs.select("event_id", "user_id", "ts_ms")
+    val right = eventsMs.select($"user_id", $"ts_ms", $"event_id".as("rid"))
+    val df = AsOfJoin.asOfJoinNative(left, right, "user_id", "ts_ms", Seq("rid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"plan:\n$plan")
+    assert(plan.contains("Sort"), "children must be sorted for the merge scan")
+  }
+
+  test("strict semantics: same-timestamp right rows are not matched") {
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 100L, 7L), ("k", 99L, 5L)).toDF("k", "ts", "rid")
+    val r = AsOfJoin.asOfJoinNative(left, right, "k", "ts", Seq("rid")).collect()
+    assert(r(0).getLong(3) == 5L) // ts=100 right excluded, ts=99 matched
+  }
+
+  test("CollapseRedundantRound removes outer coarser re-rounds") {
+    val sess = spark.newSession()
+    sess.experimental.extraOptimizations =
+      sess.experimental.extraOptimizations :+ CollapseRedundantRound
+    import sess.implicits._
+    val df = Seq(1.234567891).toDF("x")
+      .select(round(round($"x", 4), 6).as("y"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // outer round(…, 6) of a round(…, 4) value must be gone
+    assert(!optimized.contains("round(round("), s"plan:\n$optimized")
+    assert(df.collect()(0).getDouble(0) == 1.2346)
+    // but a genuinely tightening round stays
+    val df2 = Seq(1.234567891).toDF("x")
+      .select(round(round($"x", 6), 4).as("y"))
+    assert(df2.collect()(0).getDouble(0) == 1.2346)
+  }
+}
