@@ -677,6 +677,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range join (no equi key): events falling inside promo windows derived
+    // from the first 50 orders (order date + 3 days). Bucketized interval
+    // join — never a nested-loop cross product.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val windows = Records.readEvents(s, dir)
+        .where(col("event_type") === "signup" && col("event_id") < 500)
+        .select(col("event_id").as("win_id"),
+          unix_millis(col("ts")).as("w_start"),
+          (unix_millis(col("ts")) + 6L * 3600000L).as("w_end"))
+      graft.operators.RangeJoin
+        .bucketed(ev, "ts_ms", windows, "w_start", "w_end",
+          Seq("win_id"), bucketMs = 3600000L)
+        .groupBy(col("range_win_id").as("win_id"))
+        .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+        .orderBy("win_id")
+    }),
+
     // Hierarchical rollup: revenue by (region, nation) with subtotals.
     "q_rollup_revenue" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -794,6 +813,16 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup') s
         |  ON e.user_id = s.user_id AND e.ts_ms > s.ts_ms
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |wins AS (
+        |  SELECT event_id AS win_id, epoch_ms(ts) AS w_start,
+        |         epoch_ms(ts) + 6 * 3600000 AS w_end
+        |  FROM events WHERE event_type = 'signup' AND event_id < 500)
+        |SELECT win_id, count(*) AS n_events, min(event_id) AS first_event
+        |FROM ev JOIN wins ON ev.ts_ms BETWEEN w_start AND w_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q_rollup_revenue" ->
       """SELECT coalesce(r_name, '(all)') AS region,
