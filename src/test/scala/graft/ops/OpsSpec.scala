@@ -159,6 +159,17 @@ class OpsSpec extends SparkSuite {
     assert(ivfRecall > 0.3, s"IVF recall $ivfRecall")
   }
 
+  test("range join boundaries are inclusive and bucketing loses nothing") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 100L), (2L, 150L), (3L, 200L), (4L, 201L), (5L, 99L))
+      .toDF("id", "ts")
+    // window exactly [100, 200]; bucket width 7 (doesn't divide anything)
+    val wins = Seq((9L, 100L, 200L)).toDF("wid", "s", "e")
+    val r = RangeJoin.bucketed(pts, "ts", wins, "s", "e", Seq("wid"), 7L)
+      .select("id").as[Long].collect().sorted.toList
+    assert(r == List(1L, 2L, 3L)) // 100 and 200 inclusive, 99/201 out
+  }
+
   test("salted join equals the plain join exactly") {
     import graft.operators.SaltedJoin
     val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
