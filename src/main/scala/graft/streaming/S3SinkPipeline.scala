@@ -44,10 +44,11 @@ object S3SinkPipeline {
         col("key"), col("value"), col("headers"))
   }
 
-  /** CSV schema strictness (SURVEY.md §7.4 item 4): the reference rejects
-    * non-BYTES/STRING values with a verbatim message
-    * (`S3SinkTaskTest.java:474-498,554-578`); Spark would happily cast, so
-    * we check explicitly. */
+  /** CSV schema strictness (SURVEY.md §7.4 item 4): the reference's CSV
+    * writer accepts BYTES ONLY — even STRING values throw, with the
+    * verbatim message asserted in `S3SinkTaskTest.java:474-498` ("…must be
+    * BYTES, STRING given") and `:554-578` ("…STRUCT given"). Value is
+    * checked before key. Spark would happily cast, so we check explicitly. */
   def checkCsvSchema(df: DataFrame): Unit = {
     def connectName(dt: DataType): String = dt match {
       case BinaryType => "BYTES"
@@ -62,12 +63,11 @@ object S3SinkPipeline {
       case BooleanType => "BOOLEAN"
       case other => other.sql
     }
-    Seq("value" -> "value", "key" -> "key").foreach { case (colName, label) =>
-      val dt = df.schema(colName).dataType
-      if (dt != BinaryType && dt != StringType)
+    Seq("value", "key").foreach { label =>
+      val dt = df.schema(label).dataType
+      if (dt != BinaryType)
         throw new IllegalArgumentException(
-          s"Record $label schema type must be BYTES, STRING given"
-            .replace("STRING given", s"${connectName(dt)} given"))
+          s"Record $label schema type must be BYTES, ${connectName(dt)} given")
     }
   }
 

@@ -196,9 +196,16 @@ class SinkWriteSpec extends SparkSuite {
       S3SinkPipeline.writeBatch(f3Records(), config(
         "format.output.fields" -> "key,value"), tmpDir("csv-fail"), Now)
     }
-    assert(e.getMessage == "Record value schema type must be BYTES, STRING given"
-      .replace("BYTES, STRING", "BYTES, STRUCT")
-      || e.getMessage == "Record value schema type must be BYTES, STRUCT given")
+    assert(e.getMessage == "Record value schema type must be BYTES, STRUCT given")
+  }
+
+  test("CSV rejects even STRING values — BYTES only " +
+    "(S3SinkTaskTest.failedForStringValuesByDefault)") {
+    val e = intercept[IllegalArgumentException] {
+      S3SinkPipeline.writeBatch(f2Records(), config(
+        "format.output.fields" -> "key,value"), tmpDir("csv-fail2"), Now)
+    }
+    assert(e.getMessage == "Record value schema type must be BYTES, STRING given")
   }
 
   test("file.max.records=1 splits each record into its own file " +
