@@ -652,6 +652,39 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // Correlated scalar subquery through the engine's SQL surface.
+    "q_correlated_subquery" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM v_orders o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT avg(o_totalprice) FROM v_orders o2
+          |  WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // INTERSECT: customers holding both open and finished orders.
+    "q_set_intersect" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.where(col("o_orderstatus") === "O").select("o_custkey").distinct()
+        .intersect(
+          ord.where(col("o_orderstatus") === "F").select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    }),
+
+    // GROUPING SETS (disjoint axes — not expressible as one rollup).
+    "q_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("v_orders2")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |       coalesce(o_orderpriority, '(all)') AS priority,
+          |       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+          |FROM v_orders2
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
     // Set operation: customers with open orders but no finished ones.
     "q_set_except" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -798,6 +831,28 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
 
     "q_set_except" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -313,6 +313,17 @@ class SinkWriteSpec extends SparkSuite {
     assert(readLines(s"$dir/t-0-4", CompressionType.None) == List("ac"))
   }
 
+  test("re-running the same batch overwrites objects byte-identically " +
+    "(idempotent at-least-once retry, S3SinkTask.java:120-124)") {
+    val dir = tmpDir("idem")
+    val cfg = config("file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(3), cfg, dir, Now)
+    val first = readLines(s"$dir/test-topic-0-0", CompressionType.None)
+    S3SinkPipeline.writeBatch(f1Records(3), cfg, dir, Now) // retry
+    assert(ls(dir) == Set("test-topic-0-0")) // no duplicate objects
+    assert(readLines(s"$dir/test-topic-0-0", CompressionType.None) == first)
+  }
+
   test("empty batch produces no objects (lazy acquisition, " +
     "S3OutputStreamTest.java:78-88)") {
     val dir = tmpDir("empty")
