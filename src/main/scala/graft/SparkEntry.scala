@@ -365,7 +365,29 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Full pipeline: LSH candidates -> connected components -> keep-list.
-    "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir)))
+    "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir))),
+    // Scale path: LSH-bucket blocking instead of the label column (the
+    // "at 100 TB the block key is an LSH bucket" variant). Rows-only —
+    // hyperplane hashing is not SQL-expressible.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bucketed = emb
+        .withColumn("_n", graft.ops.Similarity.norm(col("embedding")))
+        .withColumn("bb",
+          explode(graft.ops.Similarity.hyperplaneBuckets(col("embedding"))))
+        .select(col("vec_id"), col("embedding"), col("_n"),
+          col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bits") === col("b.bits") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          round(graft.ops.Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a._n") * col("b._n")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
+        .distinct()
+        .orderBy("d1", "d2")
+    })
   )
 
   /** Shingle CTE chain (no leading WITH) shared by the minhash oracles. */
@@ -537,6 +559,13 @@ object SparkEntry {
         .select(col("media_id"), col("modality"), col("ok"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
+    }),
+    // Frame sampling over the video modality (1->N flatMap) — rows-only.
+    "mm_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSampleStub(
+        Multimodal.mediaFromEvents(s, dir), frameBytes = 4, stride = 2).toDF()
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
     })
   )
 
@@ -607,6 +636,16 @@ object SparkEntry {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
+    }),
+
+    // TPC-H Q6-style: pure filter + aggregate, fully pushed to the scan.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
     // Ranking window: top-3 customers by balance per nation.
@@ -814,6 +853,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_window_top_customers" ->
       """SELECT c_nationkey AS nationkey,
