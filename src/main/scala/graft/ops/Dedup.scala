@@ -64,11 +64,10 @@ object Dedup {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band (band b joins on the raw
-    * minhash pair (mh_{2b}, mh_{2b+1}) — no re-hash needed), verified with
-    * exact Jaccard over distinct shingles. Returns (d1, d2, jaccard),
-    * d1 < d2. */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  /** LSH candidate pairs only (no verification): docs sharing any band
+    * (band b joins on the raw minhash pair (mh_{2b}, mh_{2b+1})), distinct,
+    * d1 < d2. The cheap first stage shared by pair-scoring and clustering. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
     val sig = minhashSignature(docs)
     val bands = (0 until NumBands).map(b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
@@ -76,12 +75,18 @@ object Dedup {
     val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.h1").as("h1"), col("bb.h2").as("h2"))
-    val cand = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** LSH candidate pairs verified with exact Jaccard over distinct
+    * shingles. Returns (d1, d2, jaccard), d1 < d2. */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val cand = minhashCandidates(docs)
     val shingleSets = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"),
@@ -196,9 +201,11 @@ object Dedup {
   }
 
   /** Full dedup keep-list: LSH candidate pairs → connected components →
-    * per-doc (cluster, keep) assignment. */
+    * per-doc (cluster, keep) assignment. Uses unverified candidates — the
+    * Jaccard-verify joins don't change connectivity for clustering-by-
+    * collision semantics and cost two extra shingle-array joins. */
   def clusterKeepList(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshPairs(docs).select("d1", "d2")
+    val pairs = minhashCandidates(docs)
     connectedComponents(pairs, docs.select("doc_id"))
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("boolean"))
       .orderBy("doc_id")
