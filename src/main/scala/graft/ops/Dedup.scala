@@ -132,22 +132,45 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, generated by
     * 4-bit chunk banding (pigeonhole guarantee for maxDist ≤ 3) and verified
-    * with bit_count(xor). */
+    * with bit_count(xor).
+    *
+    * The pair join runs at the DISTINCT-SIGNATURE level, not the doc level:
+    * docs sharing a signature are grouped once, signature values chunk-join
+    * among themselves (a set orders of magnitude smaller than docs when
+    * signatures repeat), and doc pairs are re-expanded only for signature
+    * pairs that pass the hamming filter — plus the intra-group pairs
+    * (hamming 0). Same output as the doc-level join, minus millions of
+    * per-doc-pair hamming evaluations. (collect_list bounds: group size =
+    * duplicate-cluster size, the quantity dedup assumes is manageable.) */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val groups = sig.groupBy("simhash")
+      .agg(collect_list("doc_id").as("ids")).cache()
+    val chunks = groups.select(col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 4) & 15"))
-    chunks.as("a")
+    val sigPairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
-          .as("hamming"))
-      .where(col("hamming") <= maxDist)
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
       .distinct()
-      .orderBy("d1", "d2")
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
+      .where(col("hamming") <= maxDist)
+    val cross = sigPairs
+      .join(groups.select(col("simhash").as("s1"), col("ids").as("ids1")), "s1")
+      .join(groups.select(col("simhash").as("s2"), col("ids").as("ids2")), "s2")
+      .select(col("hamming"), explode(col("ids1")).as("da"), col("ids2"))
+      .select(col("hamming"), col("da"), explode(col("ids2")).as("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    val intra = groups.where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .where(col("d1") < col("d2"))
+      .withColumn("hamming", lit(0L))
+    cross.unionByName(intra).orderBy("d1", "d2")
   }
 
   /** Connected components over a near-dup pair graph — the final step of a
