@@ -55,11 +55,11 @@ object SparkEntry {
     * beyond-parity relational set. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     connectorQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      mmQueries ++ relationalQueries ++ streamingQueries
+      mmQueries ++ relationalQueries ++ streamingQueries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
     connectorOracles ++ textOracles ++ dedupOracles ++ simOracles ++
-      mmOracles ++ relationalOracles ++ streamingOracles
+      mmOracles ++ relationalOracles ++ streamingOracles ++ pipelineOracles
 
   private def connectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -506,6 +506,57 @@ object SparkEntry {
         |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
         |ORDER BY d1, d2""".stripMargin
+  )
+
+  // ------------------------------------------------- composed pipeline demo
+
+  /** The end-to-end training-data cleaning pipeline as ONE query:
+    * quality-score filter → MinHash-LSH cluster dedup (keep lowest id per
+    * cluster) → per-doc token stats for the surviving corpus. Every stage
+    * is one of the operators above; this entry proves they compose. */
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityQuery(d)
+        .where(col("quality") >= 0.25)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val keep = Dedup.clusterKeepList(d).where(col("keep"))
+        .select(col("doc_id"), col("cluster"))
+      quality.join(keep, "doc_id")
+        .select(col("doc_id"), col("cluster"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def pipelineOracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> ("WITH RECURSIVE " + MinhashCandChain +
+      """, edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION ALL SELECT d2, d1 FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        |), clusters AS (
+        |  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
+        |), quality AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round((CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |        * 1.0 / len(t)) * 0.4 +
+        |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |        / length(text)) * 0.3, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents) q
+        |)
+        |SELECT q.doc_id, c.cluster, q.n_tokens, q.quality
+        |FROM quality q
+        |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
+        |WHERE q.quality >= 0.25
+        |ORDER BY q.doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------ similarity family

@@ -185,6 +185,16 @@ object SinkConfig {
 
   private val UppercaseYyyy: Regex = """\{\{\s*timestamp\s*:\s*unit\s*=\s*YYYY\s*\}\}""".r
 
+  /** Standard AWS commercial regions (mirrors the SDK `Regions` enum the
+    * reference validates against, `AwsRegionValidator`). */
+  val KnownRegions: Seq[String] = Seq(
+    "us-east-1", "us-east-2", "us-west-1", "us-west-2",
+    "eu-west-1", "eu-west-2", "eu-west-3", "eu-central-1", "eu-north-1",
+    "eu-south-1", "ap-south-1", "ap-southeast-1", "ap-southeast-2",
+    "ap-northeast-1", "ap-northeast-2", "ap-northeast-3", "ap-east-1",
+    "sa-east-1", "ca-central-1", "me-south-1", "af-south-1",
+    "us-gov-east-1", "us-gov-west-1", "cn-north-1", "cn-northwest-1")
+
   /** Old-style → new-style property precedence (reference
     * `S3SinkConfig.java:143-174`; asserted `S3SinkConfigTest.java:161-212`):
     * new names win when both are present. */
@@ -229,8 +239,7 @@ object SinkConfig {
 
     // present-but-empty strings get the reference's ConfigDef message
     // (`S3SinkConfigTest.java:309-421`)
-    Seq("aws.s3.bucket.name", "aws.s3.region", "aws.s3.prefix",
-      "aws.s3.endpoint").foreach { k =>
+    Seq("aws.s3.bucket.name", "aws.s3.prefix", "aws.s3.endpoint").foreach { k =>
       if (props.get(k).exists(_.trim.isEmpty))
         errs += s"Invalid value  for configuration $k: String must be non-empty"
     }
@@ -245,6 +254,15 @@ object SinkConfig {
       } catch { case _: Exception => false }
       if (!ok)
         errs += s"Invalid value $e for configuration aws.s3.endpoint: should be valid URL"
+    }
+    // Region validated against the known set with the reference's message
+    // shape (`S3SinkConfigTest.java:338-353`; the reference's list is the
+    // AWS SDK's Regions enum — same structure, SDK-version-dependent tail)
+    props.get("aws.s3.region").map(_.trim).foreach { r =>
+      // "" gets this message too, like the reference (S3SinkConfigTest:332-342)
+      if (!KnownRegions.contains(r))
+        errs += s"Invalid value $r for configuration aws.s3.region: " +
+          s"supported values are: ${KnownRegions.mkString(", ")}"
     }
 
     val bucket = opt("aws.s3.bucket.name")

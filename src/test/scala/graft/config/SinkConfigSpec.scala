@@ -38,8 +38,16 @@ class SinkConfigSpec extends AnyFunSuite {
     val errs = errsOf(minimal ++ Map("aws.s3.endpoint" -> "", "aws.s3.region" -> " "))
     assert(errs.contains(
       "Invalid value  for configuration aws.s3.endpoint: String must be non-empty"))
-    assert(errs.contains(
-      "Invalid value  for configuration aws.s3.region: String must be non-empty"))
+    // region gets the supported-values message even when empty (:332-342)
+    assert(errs.exists(_.startsWith(
+      "Invalid value  for configuration aws.s3.region: supported values are: us-east-1")))
+  }
+
+  test("region validated against the known set; valid region accepted") {
+    assert(errsOf(minimal + ("aws.s3.region" -> "mars-north-1")).exists(
+      _.contains("for configuration aws.s3.region: supported values are:")))
+    assert(ok(minimal + ("aws.s3.region" -> "eu-central-1"))
+      .region.contains("eu-central-1"))
   }
 
   test("bad endpoint URL (S3SinkConfigTest.java:440-455)") {
