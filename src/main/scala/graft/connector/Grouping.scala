@@ -103,9 +103,9 @@ object Grouping {
     tagged
       .groupBy(col("_k"))
       .agg(max_by(
-        struct(dataCols.map(col): _*),
+        struct(dataCols.toSeq.map(col): _*),
         struct(col("offset"), col("partition"))).as("_r"))
-      .select(col("_k") +: dataCols.map(c => col(s"_r.$c").as(c)): _*)
+      .select(col("_k") +: dataCols.toSeq.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   /** Full grouping annotation for topic-partition mode: adds `_chunk`,

@@ -88,6 +88,6 @@ object AsOfJoin {
     val raw = GraftBridge.ofRows(spark, node)
     // align output names with asOfJoin: left cols + asof_-prefixed payload
     val leftNames = left.columns
-    raw.toDF(leftNames ++ rightCols.map(c => s"asof_$c"): _*)
+    raw.toDF(leftNames.toSeq ++ rightCols.map(c => s"asof_$c"): _*)
   }
 }

@@ -29,7 +29,7 @@ object RangeJoin {
         (col(endCol) / bucketMs).cast("long"))))
     lb.join(rb, Seq("_bucket"))
       .where(col(tsCol).between(col(startCol), col(endCol)))
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         rightCols.map(c => col(c).as(s"range_$c")): _*)
   }
 }

@@ -21,7 +21,7 @@ object SaltedJoin {
            buckets: Int = 16): DataFrame = {
     // deterministic per-row salt: hash of all big-side columns
     val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toSeq.map(col): _*), lit(buckets)))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted
