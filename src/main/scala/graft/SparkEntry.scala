@@ -189,6 +189,19 @@ object SparkEntry {
         .orderBy(col("off"))
     }),
 
+    // Offset continuity audit: gaps in the per-partition offset sequence
+    // (a data-quality check a sink pipeline runs before committing).
+    "sink_offset_gap_check" -> ((s, dir) => {
+      val w = Window.partitionBy(col("topic"), col("partition")).orderBy(col("offset"))
+      rec(s, dir)
+        .withColumn("_prev", lag(col("offset"), 1).over(w))
+        .where(col("_prev").isNotNull && col("offset") =!= col("_prev") + 1)
+        .groupBy(col("topic"), col("partition").as("part"))
+        .agg(count(lit(1)).as("n_gaps"), max(col("offset") - col("_prev") - 1)
+          .as("max_gap"))
+        .orderBy("topic", "part")
+    }),
+
     // O1 — multi-topic subscription = union of topic streams.
     "sink_multi_topic_union" -> ((s, dir) => {
       val r = rec(s, dir)
@@ -270,6 +283,15 @@ object SparkEntry {
     "sink_envelope_unwrap" -> (R +
       """SELECT off, CAST(json_extract_string(rvalue, '$.k') AS INT) AS k
         |FROM records ORDER BY off""".stripMargin),
+
+    "sink_offset_gap_check" -> (R +
+      """SELECT topic, part, count(*) AS n_gaps, max(off - prev - 1) AS max_gap
+        |FROM (
+        |  SELECT topic, part, off,
+        |         lag(off) OVER (PARTITION BY topic, part ORDER BY off) AS prev
+        |  FROM records) t
+        |WHERE prev IS NOT NULL AND off <> prev + 1
+        |GROUP BY topic, part ORDER BY topic, part""".stripMargin),
 
     "sink_multi_topic_union" -> (R +
       """SELECT topic, count(*) AS cnt FROM (
@@ -358,6 +380,14 @@ object SparkEntry {
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // Normalized exact dedup: case/whitespace-insensitive content key.
+    "dedup_exact_norm" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("h"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+        .orderBy("keep_id")
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -428,6 +458,11 @@ object SparkEntry {
   private def dedupOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    "dedup_exact_norm" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |       min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_lsh" -> ("WITH " + MinhashCandChain +
