@@ -80,4 +80,25 @@ class TemplateSpec extends AnyFunSuite {
   test("unbound variable raises") {
     assertThrows[IllegalArgumentException](render("{{topic}}", Map.empty))
   }
+
+  test("padding law: 20 chars, numeric round-trip (200 scalacheck longs)") {
+    val gen = Gen.chooseNum(0L, Long.MaxValue / 2)
+    (0 until 200).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach { n =>
+        val r = render("{{start_offset:padding=true}}",
+          Map("start_offset" -> Template.VarBinding.padded(n)))
+        assert(r.length == math.max(20, n.toString.length))
+        assert(r.toLong == n)
+      }
+    }
+  }
+
+  test("session tuning sizes shuffle partitions to the data") {
+    val t = graft.GraftSession.tuneFor(
+      totalDataBytes = 100L * 1024 * 1024 * 1024 * 1024, // 100 TB
+      executorCores = 1000 * 8)
+    assert(t("spark.sql.shuffle.partitions").toLong == 819200) // 100TB/128MB
+    val small = graft.GraftSession.tuneFor(1024L * 1024, 32)
+    assert(small("spark.sql.shuffle.partitions").toLong == 64) // core floor
+  }
 }
