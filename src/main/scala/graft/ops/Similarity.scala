@@ -61,9 +61,9 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val NumHyperplanes = 16 // 4 tables x 4 planes
+  val NumHyperplanes = 32 // 8 tables x 4 planes
   val PlanesPerTable = 4
-  val NumTables = 4
+  val NumTables = 8
   val MaxDim = 512
 
   /** Deterministic pseudo-random hyperplanes, precomputed ONCE on the driver
@@ -132,12 +132,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic seed centroids: the first `nLists` corpus vectors. */
+  def seedCentroids(corpus: DataFrame, nLists: Int): DataFrame =
+    corpus.where(col("vec_id") < nLists)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        norm(col("embedding")).as("cn"))
+
+  /** One Lloyd (k-means) iteration: assign every corpus vector to its
+    * nearest seed cell, recompute each cell's centroid as the element-wise
+    * mean of its members (posexplode → per-dimension avg → re-assemble).
+    * One iteration fixes the worst seed imbalance; more iterations drop in
+    * by chaining. Deterministic — no RNG. */
+  def refineCentroids(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = corpus
+      .withColumn("_n", norm(col("embedding")))
+      .crossJoin(broadcast(cent))
+      .withColumn("_sim",
+        dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
+    val dims = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+    dims
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+      .select(col("cell"),
+        transform(col("pairs"), p => p.getField("m").cast("float")).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path next to
     * LSH: partition the corpus into `nLists` cells around centroids, search
     * only the `nProbe` cells nearest each query.
     *
-    * Centroids are the first `nLists` corpus vectors (deterministic; a
-    * k-means refinement would drop in without changing the topology). The
+    * Centroids are k-means-refined (one Lloyd iteration over deterministic
+    * seeds — see [[refineCentroids]]). The
     * corpus is assigned once (map + broadcast argmax over centroids — the
     * cell id becomes a partition key); queries explode to their nProbe
     * cells and join co-partitioned on cell id. Probe cost is
@@ -145,9 +175,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.where(col("vec_id") < nLists)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
-        norm(col("embedding")).as("cn"))
+    val cent = refineCentroids(corpus, seedCentroids(corpus, nLists))
     // nearest cell per corpus vector: small cross join, max_by on cosine
     def cellOf(df: DataFrame, idCol: String): DataFrame =
       df.withColumn("_n", norm(col("embedding")))
