@@ -769,6 +769,18 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    // Window frame: running revenue total per customer over order dates.
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy("custkey", "orderkey")
+    }),
+
     // Time-series rollup on the orders stream.
     "q_monthly_orders" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
@@ -959,6 +971,14 @@ object SparkEntry {
     "q_count_distinct" -> (R +
       """SELECT topic, count(DISTINCT rkey) AS n_users, count(*) AS n_events
         |FROM records GROUP BY topic ORDER BY topic""".stripMargin),
+
+    "q_running_total" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY custkey, orderkey""".stripMargin,
 
     "q_monthly_orders" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
