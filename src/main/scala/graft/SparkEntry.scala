@@ -822,6 +822,18 @@ object SparkEntry {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // Exact percentiles (sort-based interpolated; the approx twin lives in
+    // q_sketch_distinct's approx_percentile).
+    "q_percentile_exact" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95D)"), 4).as("p95"),
+          count(lit(1)).as("cnt"))
+        .orderBy("status")
+    }),
+
     // Set operation: customers with open orders but no finished ones.
     "q_set_except" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -1006,6 +1018,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
+
+    "q_percentile_exact" ->
+      """SELECT o_orderstatus AS status,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
 
     "q_set_except" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

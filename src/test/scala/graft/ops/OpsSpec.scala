@@ -170,6 +170,21 @@ class OpsSpec extends SparkSuite {
     assert(r == List(1L, 2L, 3L)) // 100 and 200 inclusive, 99/201 out
   }
 
+  test("k-means centroid refinement is deterministic across runs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def centroids() = Similarity.refineCentroids(
+      emb, Similarity.seedCentroids(emb, 8))
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toList
+    val a = centroids()
+    val b = centroids()
+    assert(a == b && a.nonEmpty)
+    // refined centroids are means, not corpus vectors
+    val seeds = emb.where($"vec_id" < 8).collect()
+      .map(_.getSeq[Float](1).toList).toSet
+    assert(a.exists(c => !seeds.contains(c._2)))
+  }
+
   test("salted join equals the plain join exactly") {
     import graft.operators.SaltedJoin
     val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
