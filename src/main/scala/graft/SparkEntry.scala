@@ -822,6 +822,29 @@ object SparkEntry {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // Pivot: order counts status x priority (conditional-agg formulation so
+    // the shape is fixed and oracle-portable).
+    "q_pivot_status_priority" -> ((s, dir) => {
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          sum(when(col("o_orderpriority") === pr(0), 1L).otherwise(0L)).as("urgent"),
+          sum(when(col("o_orderpriority") === pr(1), 1L).otherwise(0L)).as("high"),
+          sum(when(col("o_orderpriority") === pr(2), 1L).otherwise(0L)).as("medium"),
+          sum(when(col("o_orderpriority") === pr(3), 1L).otherwise(0L)).as("unspec"),
+          sum(when(col("o_orderpriority") === pr(4), 1L).otherwise(0L)).as("low"))
+        .orderBy("status")
+    }),
+
+    // Histogram: event-value distribution in width-50 buckets.
+    "q_value_histogram" -> ((s, dir) => {
+      Records.readEvents(s, dir)
+        .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+        .orderBy("bucket")
+    }),
+
     // Exact percentiles (sort-based interpolated; the approx twin lives in
     // q_sketch_distinct's approx_percentile).
     "q_percentile_exact" -> ((s, dir) => {
@@ -1018,6 +1041,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot_status_priority" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt,
+        |       round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_percentile_exact" ->
       """SELECT o_orderstatus AS status,
