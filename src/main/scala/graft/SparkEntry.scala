@@ -348,9 +348,10 @@ object SparkEntry {
         |  CAST(len(list_filter(t, x -> list_contains(
         |    ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT) AS n_stopwords,
         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct,
-        |  round((n_stopwords * 1.0 / n_tokens) * 0.4 +
-        |        least(n_chars2 * 1.0 / n_tokens / 10.0, 1.0) * 0.3 +
-        |        (1.0 - n_punct * 1.0 / n_chars2) * 0.3, 6) AS quality
+        |  floor(((n_stopwords * 1.0 / n_tokens) * 0.4 +
+        |         least(n_chars2 * 1.0 / n_tokens / 10.0, 1.0) * 0.3 +
+        |         (1.0 - n_punct * 1.0 / n_chars2) * 0.3) * 1000000 + 0.5)
+        |    / 1000000 AS quality
         |FROM toks ORDER BY doc_id""".stripMargin),
 
     "text_lang_id" -> (T +
@@ -470,8 +471,9 @@ object SparkEntry {
         |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
         |)
         |SELECT d1, d2,
-        |  round(len(list_intersect(s1.shs, s2.shs)) * 1.0 /
-        |        (len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs))), 6) AS jaccard
+        |  floor((len(list_intersect(s1.shs, s2.shs)) * 1.0 /
+        |         (len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs))))
+        |        * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM cand JOIN shs s1 ON cand.d1 = s1.doc_id JOIN shs s2 ON cand.d2 = s2.doc_id
         |ORDER BY d1, d2""".stripMargin),
 
@@ -511,8 +513,9 @@ object SparkEntry {
         |  FROM documents d JOIN shsagg s ON d.doc_id = s.doc_id
         |)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |  round(len(list_intersect(a.shs, b.shs)) * 1.0 /
-        |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 6) AS jaccard
+        |  floor((len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |         (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
+        |        * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM shs a JOIN shs b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin),
@@ -577,12 +580,12 @@ object SparkEntry {
         |), quality AS (
         |  SELECT doc_id,
         |    CAST(len(t) AS BIGINT) AS n_tokens,
-        |    round((CAST(len(list_filter(t, x -> list_contains(
+        |    floor(((CAST(len(list_filter(t, x -> list_contains(
         |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
         |        * 1.0 / len(t)) * 0.4 +
         |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
         |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
-        |        / length(text)) * 0.3, 6) AS quality
+        |        / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
         |  FROM (SELECT doc_id, text,
         |          string_split_regex(lower(trim(text)), '\s+') AS t
         |        FROM documents) q

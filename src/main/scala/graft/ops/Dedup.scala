@@ -99,11 +99,13 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Jaccard similarity of two distinct-element arrays, rounded to 6. */
+  /** Jaccard similarity of two distinct-element arrays, rounded to 6 with
+    * the boundary-safe [[TextAnalysis.round6]] (int ratios hit exact .5
+    * decimal boundaries where HALF_UP differs across engines). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(LongType)
-    round(inter.cast("double") /
-      (size(a).cast(LongType) + size(b).cast(LongType) - inter), 6)
+    TextAnalysis.round6(inter.cast("double") /
+      (size(a).cast(LongType) + size(b).cast(LongType) - inter))
   }
 
   val SimhashBits = 16
@@ -267,8 +269,8 @@ object Dedup {
         col("x.sz").as("sx"), col("y.sz").as("sy"))
       .join(inter, Seq("d1", "d2"), "left")
       .select(col("d1"), col("d2"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sx") + col("sy") - coalesce(col("inter"), lit(0L))), 6)
+        TextAnalysis.round6(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sx") + col("sy") - coalesce(col("inter"), lit(0L))))
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")

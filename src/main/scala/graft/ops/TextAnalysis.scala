@@ -16,6 +16,17 @@ import org.apache.spark.sql.types.LongType
   */
 object TextAnalysis {
 
+  /** Portable 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6`. Ratio-valued
+    * scores (ints over ints) can land EXACTLY on a .5 decimal boundary,
+    * where Spark's BigDecimal HALF_UP and DuckDB's double rounding disagree
+    * on the last digit (seen at sf0.1: 0.5103125 → .510313 vs .510312).
+    * floor on the same IEEE double is bit-identical in both engines. */
+  def round6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** The SQL mirror of [[round6]]. */
+  def round6Sql(expr: String): String =
+    s"floor(($expr) * 1000000 + 0.5) / 1000000"
+
   /** Whitespace tokenization of lowercased, trimmed text. */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
@@ -77,12 +88,11 @@ object TextAnalysis {
         markerCount(col("_t"), Stopwords).as("n_stopwords"),
         punctCount(col("text")).as("n_punct"))
       .withColumn("quality",
-        round(
+        round6(
           (col("n_stopwords").cast("double") / col("n_tokens")) * 0.4 +
             least(col("n_chars2").cast("double") / col("n_tokens") / 10.0,
               lit(1.0)) * 0.3 +
-            (lit(1.0) - col("n_punct").cast("double") / col("n_chars2")) * 0.3,
-          6))
+            (lit(1.0) - col("n_punct").cast("double") / col("n_chars2")) * 0.3))
       .orderBy("doc_id")
 
   /** 16-bit hash of a token derived from its md5 hex prefix — chosen because
