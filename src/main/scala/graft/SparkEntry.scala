@@ -315,6 +315,18 @@ object SparkEntry {
     }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     "text_lang_id" -> ((s, dir) => TextAnalysis.langIdQuery(docs(s, dir))),
+    // Vocabulary statistics: top document-frequency tokens (corpus-level
+    // inverted-index aggregation; at scale this is the df-cut input that
+    // guards the shingle postings join — see SCALING.md).
+    "text_vocab_top" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), explode(array_distinct(col("_t"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       docs(s, dir)
@@ -367,6 +379,11 @@ object SparkEntry {
         |    ELSE 'en' END AS lang_pred
         |FROM toks ORDER BY doc_id""".stripMargin),
 
+    "text_vocab_top" -> (T +
+      """SELECT tok, count(*) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks) u
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin),
+
     "text_fingerprint" -> (T +
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
@@ -393,6 +410,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedNgramJaccard(docs(s, dir), 0.0)),
+    // Asymmetric containment (quote/subset detection) on the same blocks.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.blockedContainment(docs(s, dir), 0.01)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Full pipeline: LSH candidates -> connected components -> keep-list.
@@ -532,6 +552,23 @@ object SparkEntry {
         |SELECT node AS doc_id, min(label) AS cluster,
         |       (node = min(label)) AS keep
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    "dedup_containment" -> (SH +
+      """, shsagg AS (
+        |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+        |), shs AS (
+        |  SELECT d.doc_id, d.lang, d.source, s.shs
+        |  FROM documents d JOIN shsagg s ON d.doc_id = s.doc_id
+        |)
+        |SELECT d1, d2, containment FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    floor((len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |           least(len(a.shs), len(b.shs))) * 1000000 + 0.5) / 1000000
+        |      AS containment
+        |  FROM shs a JOIN shs b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+        |WHERE containment >= 0.01
+        |ORDER BY d1, d2""".stripMargin),
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -276,6 +276,34 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Containment score |A∩B| / min(|A|,|B|) over distinct 3-shingles —
+    * the asymmetric near-dup metric for quote/subset detection (a short
+    * document fully contained in a long one scores 1.0 where Jaccard is
+    * tiny). Same inverted-index topology as [[blockedNgramJaccard]]. */
+  def blockedContainment(docs: DataFrame, minScore: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
+    val sizes = sh.groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy")), "d2")
+      .select(col("d1"), col("d2"),
+        TextAnalysis.round6(col("inter").cast("double") /
+          least(col("sx"), col("sy"))).as("containment"))
+      .where(col("containment") >= minScore)
+      .orderBy("d1", "d2")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold between vectors sharing a
     * `label` block (at scale the block key is an LSH bucket — see
     * [[Similarity.hyperplaneBuckets]]). Cosine is computed as an in-order
