@@ -27,6 +27,19 @@ object EventTimeOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("topic"), col("cnt"))
 
+  /** Streaming exact dedup: first occurrence of each content hash wins,
+    * across micro-batches. `dropDuplicatesWithinWatermark` keeps the seen-
+    * hash state only until the watermark passes — bounded state at any
+    * throughput, the streaming twin of the batch `Dedup.exact` operator
+    * (a training-data ingest pipeline's first line of defense). */
+  def streamingDedup(records: DataFrame,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    records
+      .withColumn("_h", md5(col("value").cast("string")))
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   final case class SessionInput(user: String, ts: Long)
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOutput(user: String, start: Long, end: Long,

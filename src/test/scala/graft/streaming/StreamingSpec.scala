@@ -140,6 +140,29 @@ class StreamingSpec extends SparkSuite {
     assert(rows.exists(r => r.user == "u2" && r.events == 1L))
   }
 
+  test("streaming dedup drops duplicate content within and across batches") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      (java.sql.Timestamp, Array[Byte])]
+    val stream = MemoryStream[(java.sql.Timestamp, Array[Byte])](enc, spark)
+    val deduped = EventTimeOps.streamingDedup(
+      stream.toDF().toDF("timestamp", "value"), "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((t(0), "aaa".getBytes), (t(1), "aaa".getBytes),
+      (t(2), "bbb".getBytes))
+    query.processAllAvailable()
+    stream.addData((t(3), "aaa".getBytes), (t(4), "ccc".getBytes))
+    query.processAllAvailable()
+    query.stop()
+    val vals = spark.table("dedup_out").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).sorted.toList
+    assert(vals == List("aaa", "bbb", "ccc")) // each content exactly once
+  }
+
   test("windowed counts with watermark run in streaming mode") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)]
