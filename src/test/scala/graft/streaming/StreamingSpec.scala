@@ -140,6 +140,28 @@ class StreamingSpec extends SparkSuite {
     assert(rows.exists(r => r.user == "u2" && r.events == 1L))
   }
 
+  test("S3SinkPipeline.start wires the full pipeline with trigger + checkpoint") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[
+      (String, Int, Long, java.sql.Timestamp, Array[Byte], Array[Byte])]
+    val stream = MemoryStream[
+      (String, Int, Long, java.sql.Timestamp, Array[Byte], Array[Byte])](spark)
+    val records = stream.toDF()
+      .toDF("topic", "partition", "offset", "timestamp", "key", "value")
+      .withColumn("headers", org.apache.spark.sql.functions.lit(null)
+        .cast(graft.connector.Records.schema("headers").dataType))
+    val outDir = tmpDir("start-out")
+    val cfg = SinkConfig.parse(Map(
+      "aws.s3.bucket.name" -> "b", "file.compression.type" -> "none",
+      "format.output.fields.value.encoding" -> "none")).toOption.get
+    val query = S3SinkPipeline.start(records, cfg, outDir,
+      tmpDir("start-ckpt"), flushIntervalMs = 50L)
+    stream.addData(("s", 0, 7L, new java.sql.Timestamp(1000L),
+      "k".getBytes, "payload".getBytes))
+    query.processAllAvailable()
+    query.stop()
+    assert(ls(outDir) == Set("s-0-7"))
+  }
+
   test("streaming dedup drops duplicate content within and across batches") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[
