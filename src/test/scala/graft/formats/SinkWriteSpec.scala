@@ -289,6 +289,12 @@ class SinkWriteSpec extends SparkSuite {
       assert(rows(0).getAs[String]("key") == "test-key")
       assert(rows(0).getAs[String]("value") == "test-value-0")
       assert(rows(0).getAs[Long]("timestamp") == 1000L)
+      // the repeated-group headers survive with order + names intact
+      val hs = rows(0).getSeq[Row](rows(0).fieldIndex("headers"))
+        .map(h => (h.getString(0),
+          new String(h.getAs[Array[Byte]](1), StandardCharsets.UTF_8)))
+      assert(hs == Seq("test-header-key-1" -> "test-header-value-1",
+        "test-header-key-2" -> "test-header-value-2"))
     }
   }
 

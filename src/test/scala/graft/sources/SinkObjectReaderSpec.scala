@@ -47,6 +47,24 @@ class SinkObjectReaderSpec extends SparkSuite {
     }
   }
 
+  test("header cells decode back to ordered (key, value) pairs " +
+    "(BucketAccessor.readAndDecodeLines parity)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Row("t", 0, 0L, new java.sql.Timestamp(1000L), "k".getBytes, "v".getBytes,
+        Seq(Row("h1", "v1".getBytes), Row("h1", "v2".getBytes), // dup keys
+          Row("h2", "v3".getBytes))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), graft.connector.Records.schema)
+    val flat = df.select(
+      graft.connector.OutputFields.flattenHeaders(col("headers")).as("flat"))
+    val back = flat.select(
+      SinkObjectReader.decodeHeadersFlat(col("flat")).as("hs"))
+      .collect()(0).getSeq[Row](0)
+      .map(r => (r.getString(0), r.getString(1))).toList
+    assert(back == List(("h1", "v1"), ("h1", "v2"), ("h2", "v3")))
+  }
+
   test("JSONL objects round-trip through readJsonl") {
     val dir = tmpDir("rt-jsonl")
     val cfg = SinkConfig.parse(Map(
