@@ -49,6 +49,19 @@ class OpsSpec extends SparkSuite {
     assert(ham(sig(0L), sig(3L)) > 4)
   }
 
+  test("containment detects a quoted subset where jaccard stays small") {
+    val long = base + " " + unrelated // B's shingles are a strict subset of A's
+    val subset = base
+    val df = Seq(
+      (0L, long, "en", "s", long.length.toLong),
+      (1L, subset, "en", "s", subset.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = Dedup.blockedContainment(df, 0.0).collect()(0)
+    assert(c.getAs[Double]("containment") == 1.0) // fully contained
+    val j = Dedup.blockedNgramJaccard(df, 0.0).collect()(0)
+    assert(j.getAs[Double]("jaccard") < 0.8) // jaccard diluted by A's extra
+  }
+
   test("blocked ngram jaccard ranks near-dup far above unrelated") {
     val r = Dedup.blockedNgramJaccard(docsDf, 0.0).collect()
       .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("jaccard")).toMap
