@@ -657,7 +657,143 @@ object SparkEntry {
     })
   )
 
+  /** Hyperplane-LSH bucket CTE chain (no leading WITH): reproduces
+    * Similarity's md5-derived planes and banded sign-bit buckets in SQL.
+    * Sum-order noise in projections only matters when a projection is
+    * within ~1e-15 of zero — measure-zero on real data. */
+  private val LshBucketChain =
+    s"""planes AS (
+      |  SELECT p, j,
+      |    CAST(('0x' || substr(md5('hp|' || p || '|' || j), 1, 6)) AS INT)
+      |      / 16777216.0 - 0.5 AS w
+      |  FROM generate_series(0, ${graft.ops.Similarity.NumHyperplanes - 1}) t1(p),
+      |       generate_series(0, 63) t2(j)
+      |), proj AS (
+      |  SELECT v.vec_id, pl.p,
+      |         sum(CAST(v.embedding[pl.j + 1] AS DOUBLE) * pl.w) AS s
+      |  FROM embeddings v JOIN planes pl ON pl.j < len(v.embedding)
+      |  GROUP BY v.vec_id, pl.p
+      |), bkt AS (
+      |  SELECT vec_id, p // ${graft.ops.Similarity.PlanesPerTable} AS tbl,
+      |    CAST(sum(CASE WHEN s >= 0
+      |      THEN (1 << (p % ${graft.ops.Similarity.PlanesPerTable})) ELSE 0 END) AS BIGINT) AS bits
+      |  FROM proj GROUP BY vec_id, tbl
+      |), nrm AS (
+      |  SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                       CAST(embedding AS DOUBLE[]))) AS n
+      |  FROM embeddings
+      |)
+      |""".stripMargin
+
   private def simOracles: Map[String, String] = Map(
+    "sim_ann_lsh" -> ("WITH " + LshBucketChain +
+      """, scored AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+        |                           CAST(ce.embedding AS DOUBLE[])) /
+        |          (qn.n * cn.n), 6) AS cos
+        |  FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
+        |    AND q.vec_id <> c.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |  JOIN nrm qn ON qn.vec_id = q.vec_id
+        |  JOIN nrm cn ON cn.vec_id = c.vec_id
+        |  WHERE q.vec_id < 20
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "dedup_embedding_lsh" -> ("WITH " + LshBucketChain +
+      """SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+        |  round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
+        |                         CAST(be.embedding AS DOUBLE[])) /
+        |        (an.n * bn.n), 6) AS cos
+        |FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bits = b.bits
+        |  AND a.vec_id < b.vec_id
+        |JOIN embeddings ae ON ae.vec_id = a.vec_id
+        |JOIN embeddings be ON be.vec_id = b.vec_id
+        |JOIN nrm an ON an.vec_id = a.vec_id
+        |JOIN nrm bn ON bn.vec_id = b.vec_id
+        |WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
+        |                             CAST(be.embedding AS DOUBLE[])) /
+        |            (an.n * bn.n), 6) >= 0.3
+        |ORDER BY d1, d2""".stripMargin),
+
+    "sim_ann_ivf" ->
+      s"""WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings
+        |), seed AS (
+        |  SELECT vec_id AS cell, embedding AS cvec, n AS cn FROM nrm
+        |  WHERE vec_id < 16
+        |), assign0 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(s.cvec AS DOUBLE[])) / (v.n * s.cn) DESC,
+        |        s.cell) AS rn
+        |    FROM nrm v CROSS JOIN seed s) t
+        |  WHERE rn = 1
+        |), cent AS (
+        |  SELECT cell,
+        |    list_transform(
+        |      list_sort(list(struct_pack(i := i, m := m))),
+        |      x -> CAST(x.m AS REAL)) AS cvec
+        |  FROM (
+        |    SELECT a.cell, g.i, avg(CAST(v.embedding[g.i] AS DOUBLE)) AS m
+        |    FROM assign0 a
+        |    JOIN nrm v ON v.vec_id = a.vec_id,
+        |    LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) g
+        |    GROUP BY a.cell, g.i) d
+        |  GROUP BY cell
+        |), cent_n AS (
+        |  SELECT cell, cvec,
+        |    sqrt(list_dot_product(CAST(cvec AS DOUBLE[]), CAST(cvec AS DOUBLE[]))) AS cn
+        |  FROM cent
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |        c.cell) AS rn
+        |    FROM nrm v CROSS JOIN cent_n c) t
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |        c.cell) AS rn
+        |    FROM nrm v CROSS JOIN cent_n c
+        |    WHERE v.vec_id < 20) t
+        |  WHERE rn <= 4
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+        |                           CAST(ae.embedding AS DOUBLE[])) /
+        |          (qe.n * ae.n), 6) AS cos
+        |  FROM probes q JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+        |  JOIN nrm qe ON qe.vec_id = q.vec_id
+        |  JOIN nrm ae ON ae.vec_id = a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -696,6 +832,26 @@ object SparkEntry {
   )
 
   private def mmOracles: Map[String, String] = Map(
+    // feature[0] = float32(sum of every-8th byte / 255): ASCII payloads make
+    // ord(char) == byte; the float narrowing absorbs sum-order noise
+    "mm_feature_extract" ->
+      """SELECT e.event_id AS media_id,
+        |  CASE CAST(e.event_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  true AS ok,
+        |  round(CAST(CAST(sum(ord(substr(e.props, g.p, 1)) / 255.0) AS REAL) AS DOUBLE), 4) AS f0
+        |FROM events e, LATERAL (
+        |  SELECT unnest(generate_series(1, length(e.props), 8)) AS p) g
+        |GROUP BY e.event_id ORDER BY media_id""".stripMargin,
+
+    // frame count is arithmetic on payload length: ceil(len/4) chunks,
+    // every 2nd kept -> (chunks+1)//2, video modality = event_id%3==2
+    "mm_frame_sample" ->
+      """SELECT event_id AS media_id,
+        |  (CAST(ceil(length(props) / 4.0) AS BIGINT) + 1) // 2 AS n_frames
+        |FROM events WHERE event_id % 3 = 2 AND length(props) > 0
+        |ORDER BY media_id""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT event_id AS media_id,
         |  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

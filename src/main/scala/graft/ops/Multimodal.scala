@@ -39,17 +39,20 @@ object Multimodal {
   object MediaCodec {
     /** STUB decode: real systems would decode the image/audio here. The
       * deterministic fake folds payload bytes into FeatureDim accumulators —
-      * same shape, same batch behavior, no media libs required. */
+      * same shape, same batch behavior, no media libs required. Accumulates
+      * in double and narrows to float at the end, so the SQL oracle can
+      * reproduce it exactly (sum-order last-bit noise dies in the float
+      * cast). */
     def decodeStub(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](FeatureDim)
+      val acc = new Array[Double](FeatureDim)
       if (payload != null) {
         var i = 0
         while (i < payload.length) {
-          acc(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+          acc(i % FeatureDim) += (payload(i) & 0xff) / 255.0
           i += 1
         }
       }
-      acc
+      acc.map(_.toFloat)
     }
   }
 
