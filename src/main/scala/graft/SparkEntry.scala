@@ -398,6 +398,21 @@ object SparkEntry {
 
   private def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // Keep-best policy: per content key, keep the LONGEST doc (ties ->
+    // lowest id) — the practical keeper choice for near-dup clusters.
+    "dedup_keep_longest" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.md5Fingerprint(col("text")).as("h"))
+        .groupBy("h")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("keep_id"),
+          max(col("n_chars")).as("keep_len"),
+          count(lit(1)).as("cnt"))
+        .orderBy("keep_id")
+    }),
+
     // Normalized exact dedup: case/whitespace-insensitive content key.
     "dedup_exact_norm" -> ((s, dir) => {
       docs(s, dir)
@@ -480,6 +495,20 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    "dedup_keep_longest" ->
+      """WITH k AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |         doc_id, n_chars FROM documents
+        |), r AS (
+        |  SELECT h, doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn,
+        |    max(n_chars) OVER (PARTITION BY h) AS keep_len,
+        |    count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM k
+        |)
+        |SELECT h, doc_id AS keep_id, keep_len, cnt
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_exact_norm" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
