@@ -55,7 +55,8 @@ object SparkEntry {
     * beyond-parity relational set. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     connectorQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      mmQueries ++ relationalQueries ++ streamingQueries ++ pipelineQueries
+      mmQueries ++ relationalQueries ++ streamingQueries ++ pipelineQueries ++
+      pipelineReportQuery
 
   def oracleSql: Map[String, String] =
     connectorOracles ++ textOracles ++ dedupOracles ++ simOracles ++
@@ -632,7 +633,55 @@ object SparkEntry {
     })
   )
 
+  private def pipelineReportQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-row pipeline report: corpus in/out + dedup rate + mean quality —
+    // the summary a data-curation run logs after each pass.
+    "pipeline_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityQuery(d)
+      val kept = Dedup.clusterKeepList(d).where(col("keep"))
+      val joined = quality.join(kept.select("doc_id"), "doc_id")
+      val total = d.count()
+      joined.agg(
+        lit(total).as("docs_in"),
+        count(lit(1)).as("docs_kept"),
+        TextAnalysis.round6(lit(1.0) - count(lit(1)).cast("double") / total)
+          .as("drop_rate"),
+        TextAnalysis.round6(avg(col("quality"))).as("mean_quality"))
+    })
+  )
+
   private def pipelineOracles: Map[String, String] = Map(
+    "pipeline_report" -> ("WITH RECURSIVE " + MinhashCandChain +
+      """, edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION ALL SELECT d2, d1 FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        |), keepers AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY node
+        |  HAVING node = min(label)
+        |), q AS (
+        |  SELECT doc_id,
+        |    floor(((CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |        * 1.0 / len(t)) * 0.4 +
+        |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |        / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents) s
+        |)
+        |SELECT (SELECT count(*) FROM documents) AS docs_in,
+        |  count(*) AS docs_kept,
+        |  floor((1.0 - count(*) * 1.0 / (SELECT count(*) FROM documents))
+        |        * 1000000 + 0.5) / 1000000 AS drop_rate,
+        |  floor(avg(quality) * 1000000 + 0.5) / 1000000 AS mean_quality
+        |FROM q JOIN keepers USING (doc_id)""".stripMargin),
+
     "pipeline_clean_corpus" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (
         |  SELECT d1 AS a, d2 AS b FROM cand

@@ -228,6 +228,12 @@ object SinkConfig {
     }
   }
 
+  /** Pre-flight validation (reference entry point C, SURVEY.md §3.3: the
+    * Connect REST `/config/validate` path) — returns all errors without
+    * constructing a config. */
+  def validate(rawProps: Map[String, String]): List[String] =
+    parse(rawProps).left.getOrElse(Nil)
+
   /** Parse + validate; returns every error found (reference surfaces them via
     * ConfigDef validators + `validate()` cross-field checks,
     * `S3SinkConfig.java:687-738`). */
