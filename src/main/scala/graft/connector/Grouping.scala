@@ -77,7 +77,8 @@ object Grouping {
           throw new IllegalArgumentException(s"no column binding for template var $name"))
         param match {
           case Some(Template.Param("padding", "true")) =>
-            lpad(base.cast(StringType), 20, "0")
+            lpad(base.cast(StringType),
+              if (name == "partition") 10 else 20, "0")
           case Some(Template.Param("unit", u)) => recordTimeBucket(u, base)
           case _ => base.cast(StringType)
         }
@@ -166,7 +167,10 @@ object Grouping {
         val base = bindings(name)
         param match {
           case Some(Template.Param("padding", "true")) =>
-            lpad(base.cast(StringType), 20, "0")
+            // widths differ per variable: offsets %020d, partitions %010d
+            // (README.md:66-75)
+            val width = if (name == "partition") 10 else 20
+            lpad(base.cast(StringType), width, "0")
           case _ => base.cast(StringType)
         }
     }

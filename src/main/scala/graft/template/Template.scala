@@ -76,12 +76,19 @@ object Template {
   object VarBinding {
     def const(v: String): VarBinding = _ => v
 
-    /** Numeric binding honoring `padding=true` → `%020d` (reference
-      * `OldFullKeyFormatters.java:29-33`). */
-    def padded(v: Long): VarBinding = {
-      case Some(Param("padding", "true")) => f"$v%020d"
-      case _                              => v.toString
+    /** Numeric binding honoring `padding=true`. Widths differ per variable
+      * in the reference: offsets pad to 20 (`OldFullKeyFormatters.java:
+      * 29-33`, `%020d`), partitions to 10 (`README.md:73`:
+      * `mytopic-0000000001-1.gz`). */
+    def padded(v: Long, width: Int = 20): VarBinding = {
+      case Some(Param("padding", "true")) =>
+        val s = v.toString
+        if (s.length >= width) s else ("0" * (width - s.length)) + s
+      case _ => v.toString
     }
+
+    /** Partition binding: `padding=true` → `%010d`. */
+    def paddedPartition(v: Long): VarBinding = padded(v, 10)
 
     /** Timestamp binding honoring `unit=yyyy|MM|dd|HH` (reference
       * `OldFullKeyFormatters.java:35-50`). Wallclock or record time is the

@@ -120,6 +120,16 @@ class SinkWriteSpec extends SparkSuite {
     }
   }
 
+  test("partition padding renders 10 digits in file names (README.md:73)") {
+    val dir = tmpDir("ppad")
+    val cfg = config(
+      "file.name.template" ->
+        "{{topic}}-{{partition:padding=true}}-{{start_offset}}",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f1Records(1), cfg, dir, Now)
+    assert(ls(dir) == Set("test-topic-0000000000-0"))
+  }
+
   test("default fields = value only; default compression = gzip") {
     val dir = tmpDir("csv-defaults")
     S3SinkPipeline.writeBatch(f1Records(2), config(), dir, Now)

@@ -26,9 +26,19 @@ class TemplateSpec extends AnyFunSuite {
     // -> mytopic-1-00000000000000000001.gz
     val t = render("{{topic}}-{{partition}}-{{start_offset:padding=true}}.gz",
       Map("topic" -> Template.VarBinding.const("mytopic"),
-        "partition" -> Template.VarBinding.padded(1),
+        "partition" -> Template.VarBinding.paddedPartition(1),
         "start_offset" -> Template.VarBinding.padded(1)))
     assert(t == "mytopic-1-00000000000000000001.gz")
+  }
+
+  test("partition padding is 10 digits, not 20 (README.md:73)") {
+    // {{topic}}-{{partition:padding=true}}-{{start_offset}}.gz
+    // -> mytopic-0000000001-1.gz
+    val t = render("{{topic}}-{{partition:padding=true}}-{{start_offset}}.gz",
+      Map("topic" -> Template.VarBinding.const("mytopic"),
+        "partition" -> Template.VarBinding.paddedPartition(1),
+        "start_offset" -> Template.VarBinding.padded(1)))
+    assert(t == "mytopic-0000000001-1.gz")
   }
 
   test("timestamp units format in the configured zone") {
