@@ -72,10 +72,14 @@ object OutputFields {
       if (schema(name).dataType == BinT) col(name).cast(StringType).as(name)
       else col(name).as(name)
     f.fieldType match {
-      case OutputFieldType.Key       => strOrKeep("key")
-      case OutputFieldType.Value     => strOrKeep("value")
-      case OutputFieldType.Offset    => col("offset").as("offset")
-      case OutputFieldType.Timestamp => unix_millis(col("timestamp")).as("timestamp")
+      case OutputFieldType.Key   => strOrKeep("key")
+      case OutputFieldType.Value => strOrKeep("value")
+      case OutputFieldType.Offset => col("offset").as("offset")
+      case OutputFieldType.Timestamp =>
+        // JSON formats render ISO-8601 instants (README.md:272-303:
+        // "timestamp":"2020-01-01T00:00:01Z"); CSV keeps epoch millis
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("timestamp")
       case OutputFieldType.Headers =>
         map_from_entries(transform(col("headers"),
           h => struct(h.getField("key"), h.getField("value").cast(StringType))))

@@ -83,8 +83,13 @@ object S3SinkPipeline {
           fields.head.fieldType == OutputFieldType.Value
         if (!config.envelopeEnabled && singleValue && valueIsStruct)
           to_json(col("value"))
-        else if (!config.envelopeEnabled && singleValue)
-          col("value").cast(StringType)
+        else if (!config.envelopeEnabled && singleValue) {
+          // scalar unwrap emits a JSON string LITERAL — quoted + escaped
+          // ("v0", README.md:343-347). to_json only takes containers, so
+          // serialize {"v": value} and slice the field out.
+          val j = to_json(struct(col("value").cast(StringType).as("v")))
+          j.substr(lit(6), length(j) - 6) // drop {"v": prefix and } suffix
+        }
         else OutputFields.jsonLine(fields, schema)
       case FormatType.Parquet =>
         throw new IllegalStateException("parquet has no line encoding")

@@ -165,6 +165,31 @@ class SinkWriteSpec extends SparkSuite {
       List("""{"value":{"name":"name0"},"key":"key0"}"""))
   }
 
+  test("JSONL timestamp field renders ISO-8601 (README.md:272)") {
+    val dir = tmpDir("jsonl-ts")
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "key,value,offset,timestamp",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f2Records(), cfg, dir, Now)
+    val line = readLines(s"$dir/topic0-0-10", CompressionType.None).head
+    assert(line ==
+      """{"key":"key0","value":"value0","offset":10,"timestamp":"1970-01-01T00:00:01Z"}""")
+  }
+
+  test("envelope=false with a SCALAR value emits a quoted JSON literal " +
+    "(README.md:343-347)") {
+    val dir = tmpDir("jsonl-scalar-unwrap")
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "value",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none")
+    S3SinkPipeline.writeBatch(f2Records(), cfg, dir, Now)
+    assert(readLines(s"$dir/topic0-0-10", CompressionType.None) ==
+      List("\"value0\""))
+  }
+
   test("envelope=false unwraps single struct value field " +
     "(S3SinkTaskTest.supportUnwrappedJsonEnvelopeForStructAndJsonL)") {
     val dir = tmpDir("jsonl-unwrap")
