@@ -29,14 +29,19 @@ import graft.config.CompressionType
   */
 object ParquetEnvelopeWriter {
 
+  /** The reference's envelope is `{key, offset, timestamp, headers: map,
+    * value}` (`README.md:357-405` — headers an Avro MAP with same-typed
+    * values). Parquet MAP annotation reads back as Spark `MapType`. */
   val EnvelopeSchema: MessageType = MessageTypeParser.parseMessageType(
     """message envelope {
       |  optional binary key (STRING);
       |  required int64 offset;
       |  required int64 timestamp;
-      |  repeated group headers {
-      |    required binary name (STRING);
-      |    optional binary value;
+      |  optional group headers (MAP) {
+      |    repeated group key_value {
+      |      required binary key (STRING);
+      |      optional binary value;
+      |    }
       |  }
       |  optional binary value (STRING);
       |}""".stripMargin)
@@ -97,11 +102,15 @@ object ParquetEnvelopeWriter {
       g.append("offset", row.getLong(2))
       g.append("timestamp", if (row.isNullAt(3)) 0L else row.getLong(3))
       if (!row.isNullAt(4)) {
-        row.getSeq[Row](4).foreach { h =>
-          val hg = g.addGroup("headers")
-          hg.append("name", h.getString(0))
-          if (!h.isNullAt(1))
-            hg.append("value", Binary.fromConstantByteArray(h.getAs[Array[Byte]](1)))
+        val hs = row.getSeq[Row](4)
+        if (hs.nonEmpty) {
+          val mapGroup = g.addGroup("headers")
+          hs.foreach { h =>
+            val kv = mapGroup.addGroup("key_value")
+            kv.append("key", h.getString(0))
+            if (!h.isNullAt(1))
+              kv.append("value", Binary.fromConstantByteArray(h.getAs[Array[Byte]](1)))
+          }
         }
       }
       if (!row.isNullAt(5)) g.append("value", row.getString(5))

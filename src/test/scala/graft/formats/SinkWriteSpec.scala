@@ -324,11 +324,12 @@ class SinkWriteSpec extends SparkSuite {
       assert(rows(0).getAs[String]("key") == "test-key")
       assert(rows(0).getAs[String]("value") == "test-value-0")
       assert(rows(0).getAs[Long]("timestamp") == 1000L)
-      // the repeated-group headers survive with order + names intact
-      val hs = rows(0).getSeq[Row](rows(0).fieldIndex("headers"))
-        .map(h => (h.getString(0),
-          new String(h.getAs[Array[Byte]](1), StandardCharsets.UTF_8)))
-      assert(hs == Seq("test-header-key-1" -> "test-header-value-1",
+      // headers come back as a MAP (README.md:364 envelope shape)
+      assert(back.schema("headers").dataType
+        .isInstanceOf[org.apache.spark.sql.types.MapType], s"codec ${codec.name}")
+      val hs = rows(0).getMap[String, Array[Byte]](rows(0).fieldIndex("headers"))
+        .map { case (k, v) => (k, new String(v, StandardCharsets.UTF_8)) }
+      assert(hs == Map("test-header-key-1" -> "test-header-value-1",
         "test-header-key-2" -> "test-header-value-2"))
     }
   }
