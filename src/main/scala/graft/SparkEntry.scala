@@ -171,13 +171,17 @@ object SparkEntry {
         .orderBy(col("off"))
     }),
 
-    // O11 — JSONL line encode {"value": …, "key": …}.
+    // O11 — JSONL line encode with all four scalar fields; timestamp is
+    // ISO-8601 like the reference (README.md:272).
     "sink_jsonl_line" -> ((s, dir) => {
       rec(s, dir)
         .select(col("offset").as("off"),
           to_json(struct(
             col("value").cast(StringType).as("value"),
-            col("key").cast(StringType).as("key"))).as("line"))
+            col("key").cast(StringType).as("key"),
+            col("offset").as("offset"),
+            date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+              .as("timestamp"))).as("line"))
         .orderBy(col("off"))
     }),
 
@@ -278,7 +282,9 @@ object SparkEntry {
 
     "sink_jsonl_line" -> (R +
       """SELECT off,
-        |       CAST(to_json(struct_pack("value" := rvalue, "key" := rkey)) AS VARCHAR) AS line
+        |       CAST(to_json(struct_pack(
+        |         "value" := rvalue, "key" := rkey, "offset" := off,
+        |         "timestamp" := strftime(rts, '%Y-%m-%dT%H:%M:%SZ'))) AS VARCHAR) AS line
         |FROM records ORDER BY off""".stripMargin),
 
     "sink_envelope_unwrap" -> (R +
