@@ -426,6 +426,18 @@ object SinkConfig {
       ms
     }
 
+    // BOOLEAN parse errors are collected like every other field (the
+    // reference's ConfigDef BOOLEAN type reports a config error rather than
+    // throwing, with this message shape)
+    val envelope = opt("format.output.envelope") match {
+      case Some(s) => s.toBooleanOption.getOrElse {
+        errs += s"Invalid value $s for configuration format.output.envelope: " +
+          "Expected value to be either true or false"
+        true
+      }
+      case scala.None => true
+    }
+
     val topics = opt("topics").map(_.split(",").toList.map(_.trim)).getOrElse(Nil)
     val topicsRegex = opt("topics.regex")
 
@@ -440,7 +452,7 @@ object SinkConfig {
         compression = compression,
         formatType = formatType,
         outputFields = outputFields,
-        envelopeEnabled = opt("format.output.envelope").forall(_.toBoolean),
+        envelopeEnabled = envelope,
         maxRecordsPerFile = maxRecords,
         timestampZone = tz,
         partSizeBytes = partSize,

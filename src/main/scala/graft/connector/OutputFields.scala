@@ -31,8 +31,11 @@ object OutputFields {
   def flattenHeaders(headers: Column): Column =
     concat_ws(";",
       transform(headers, h =>
+        // null header VALUES are legal (Records.scala:28) and must render as
+        // `b64(name):` — without the coalesce the whole concat element goes
+        // null and concat_ws silently drops the header
         concat(base64(h.getField("key").cast(BinaryType)), lit(":"),
-               base64(h.getField("value")))))
+               coalesce(base64(h.getField("value")), lit("")))))
 
   /** O9 — null-handling: null field → empty string (CSV), applied after
     * encoding so a null never reaches base64. */

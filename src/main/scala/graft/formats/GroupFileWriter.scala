@@ -30,6 +30,21 @@ import graft.config.{CompressionType, FormatType}
   */
 object GroupFileWriter {
 
+  /** Resolve a rendered file name under the sink base, refusing resolution
+    * outside it. The reference's S3 object keys are flat strings that cannot
+    * escape the bucket/prefix; on hierarchical FileSystems a record KEY
+    * containing `..` (key-grouping mode feeds raw keys into names) could
+    * otherwise walk out of `baseUri`. `/` inside a name is allowed — it
+    * stays under the base, matching S3's treatment of `/` as a plain key
+    * character. */
+  private[formats] def resolveUnder(baseUri: String, name: String): Path = {
+    val base = new Path(baseUri).toUri.normalize()
+    val resolved = new Path(baseUri, name).toUri.normalize()
+    require(resolved.getPath.startsWith(base.getPath.stripSuffix("/") + "/"),
+      s"rendered file name '$name' escapes the sink base '$baseUri'")
+    new Path(resolved)
+  }
+
   /** Write `df` — which must contain `_filename` (string) and `_line`
     * (string) columns plus an `offset` ordering column — one compressed
     * object per distinct `_filename` under `baseUri`. Returns nothing; the
@@ -73,7 +88,7 @@ object GroupFileWriter {
     }
 
     def open(name: String): Unit = {
-      val path = new Path(baseUri, name)
+      val path = resolveUnder(baseUri, name)
       val fs = FileSystem.get(path.toUri, conf)
       fs.mkdirs(path.getParent)
       // overwrite=true: deterministic names make retries idempotent

@@ -1,23 +1,35 @@
 package graft.formats
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetFileWriter
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{MessageType, MessageTypeParser}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, MessageTypeParser, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.Type.Repetition
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.config.CompressionType
+import graft.config.{CompressionType, OutputFieldType, SinkConfig}
 
-/** Parquet format writer (SURVEY.md §2 O13): one exact-named parquet object
-  * per group, rows in the reference's envelope shape
-  * `{key, offset, timestamp, headers, value}` (`README.md:355-405`; nested
-  * read-back asserted `ParquetIntegrationTest.java:153-214`).
+/** Parquet format writer (SURVEY.md §2 O13/O14): one exact-named parquet
+  * object per group, with the schema built from the CONFIGURED output fields
+  * (`format.output.fields`, default `value` → schema `{value}` only) exactly
+  * like the reference (`README.md:355-436`). Record-typed (struct) values
+  * keep their nested schema as parquet nested groups (nested read-back
+  * asserted `AvroParquetIntegrationTest.java:207-270`), and
+  * `format.output.envelope=false` with a single record-typed `value` field
+  * lifts the value's fields to the top level
+  * (`ParquetIntegrationTest.java:278-344`; ignored for non-record values,
+  * `README.md:434-436`).
   *
   * The reference compresses parquet *internally* via the parquet codec when
   * the outer compression is configured; we do the idiomatic equivalent —
@@ -29,9 +41,11 @@ import graft.config.CompressionType
   */
 object ParquetEnvelopeWriter {
 
-  /** The reference's envelope is `{key, offset, timestamp, headers: map,
+  /** The reference's full envelope `{key, offset, timestamp, headers: map,
     * value}` (`README.md:357-405` — headers an Avro MAP with same-typed
-    * values). Parquet MAP annotation reads back as Spark `MapType`. */
+    * values) — what [[schemaFor]] yields for
+    * `format.output.fields=key,offset,timestamp,headers,value` with a
+    * scalar value. Parquet MAP annotation reads back as Spark `MapType`. */
   val EnvelopeSchema: MessageType = MessageTypeParser.parseMessageType(
     """message envelope {
       |  optional binary key (STRING);
@@ -53,42 +67,238 @@ object ParquetEnvelopeWriter {
     case CompressionType.Zstd   => CompressionCodecName.ZSTD
   }
 
-  /** Write records (must have `_filename`, `key`, `offset`, `timestamp`,
-    * `headers`, `value` columns in the canonical record schema) as one
-    * parquet object per distinct `_filename` under `baseUri`. */
-  def write(records: DataFrame, baseUri: String,
-            compression: CompressionType,
+  /** Spark type → parquet type, mirroring Spark's own parquet write mapping
+    * so the objects read back with identical schemas. */
+  private def parquetType(name: String, dt: DataType, nullable: Boolean): Type = {
+    val rep = if (nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+    dt match {
+      case StringType  => Types.primitive(BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType  => Types.primitive(BINARY, rep).named(name)
+      case IntegerType => Types.primitive(INT32, rep).named(name)
+      case LongType    => Types.primitive(INT64, rep).named(name)
+      case ShortType   => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.intType(16, true)).named(name)
+      case ByteType    => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.intType(8, true)).named(name)
+      case FloatType   => Types.primitive(FLOAT, rep).named(name)
+      case DoubleType  => Types.primitive(DOUBLE, rep).named(name)
+      case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case TimestampType => Types.primitive(INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MILLIS)).named(name)
+      case DateType    => Types.primitive(INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case st: StructType =>
+        st.fields.foldLeft(Types.buildGroup(rep)) { (b, f) =>
+          b.addField(parquetType(f.name, f.dataType, f.nullable))
+        }.named(name)
+      case ArrayType(et, containsNull) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType("element", et, containsNull)).named("list"))
+          .named(name)
+      case MapType(kt, vt, valueContainsNull) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType("key", kt, nullable = false))
+            .addField(parquetType("value", vt, valueContainsNull))
+            .named("key_value"))
+          .named(name)
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet output type for field $name: $other")
+    }
+  }
+
+  /** Recursive Row → SimpleGroup value writer (executor side). */
+  private def appendValue(g: Group, name: String, dt: DataType, v: Any): Unit =
+    dt match {
+      case StringType  => g.append(name, v.toString)
+      case BinaryType  =>
+        g.append(name, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+      case IntegerType => g.append(name, v.asInstanceOf[Int])
+      case LongType    => g.append(name, v.asInstanceOf[Long])
+      case ShortType   => g.append(name, v.asInstanceOf[Short].toInt)
+      case ByteType    => g.append(name, v.asInstanceOf[Byte].toInt)
+      case FloatType   => g.append(name, v.asInstanceOf[Float])
+      case DoubleType  => g.append(name, v.asInstanceOf[Double])
+      case BooleanType => g.append(name, v.asInstanceOf[Boolean])
+      case TimestampType =>
+        g.append(name, v.asInstanceOf[java.sql.Timestamp].getTime)
+      case DateType =>
+        g.append(name, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case st: StructType =>
+        writeStructFields(g.addGroup(name), st, v.asInstanceOf[Row])
+      case ArrayType(et, _) =>
+        val list = g.addGroup(name)
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+          val elem = list.addGroup("list")
+          if (e != null) appendValue(elem, "element", et, e)
+        }
+      case MapType(kt, vt, _) =>
+        val m = g.addGroup(name)
+        v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, mv) =>
+          val kv = m.addGroup("key_value")
+          appendValue(kv, "key", kt, k)
+          if (mv != null) appendValue(kv, "value", vt, mv)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet output type for field $name: $other")
+    }
+
+  private def writeStructFields(g: Group, st: StructType, row: Row): Unit =
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) appendValue(g, f.name, f.dataType, row.get(i))
+    }
+
+  /** One top-level output column: how to project it and how to write it.
+    * `idx` is the column's position in the projected row (0 = `_filename`,
+    * 1 = the hidden `_offset` sort key, data columns from 2). */
+  private sealed trait FieldWriter extends Serializable {
+    def idx: Int
+    def write(g: Group, row: Row): Unit
+  }
+  private final case class GenericField(name: String, dt: DataType, idx: Int)
+      extends FieldWriter {
+    def write(g: Group, row: Row): Unit =
+      if (!row.isNullAt(idx)) appendValue(g, name, dt, row.get(idx))
+  }
+  /** Required int64 with the reference's null → 0 rendering (timestamp). */
+  private final case class RequiredLongField(name: String, idx: Int)
+      extends FieldWriter {
+    def write(g: Group, row: Row): Unit =
+      g.append(name, if (row.isNullAt(idx)) 0L else row.getLong(idx))
+  }
+  /** Headers: canonical `array<struct<key,value>>` written as a parquet MAP
+    * group — duplicate keys and order survive as repeated key_value entries
+    * (the reference's ConnectHeaders is an ordered multimap). */
+  private final case class HeadersField(idx: Int) extends FieldWriter {
+    def write(g: Group, row: Row): Unit =
+      if (!row.isNullAt(idx)) {
+        val hs = row.getSeq[Row](idx)
+        if (hs.nonEmpty) {
+          val m = g.addGroup("headers")
+          hs.foreach { h =>
+            val kv = m.addGroup("key_value")
+            kv.append("key", h.getString(0))
+            if (!h.isNullAt(1))
+              kv.append("value",
+                Binary.fromConstantByteArray(h.getAs[Array[Byte]](1)))
+          }
+        }
+      }
+  }
+  /** O14 envelope unwrap: the record-typed value's fields at top level. */
+  private final case class UnwrapField(st: StructType, idx: Int)
+      extends FieldWriter {
+    def write(g: Group, row: Row): Unit =
+      if (!row.isNullAt(idx)) writeStructFields(g, st, row.getStruct(idx))
+  }
+
+  /** The parquet MessageType [[write]] will produce for this config +
+    * record value type (exposed for tests/docs). */
+  def schemaFor(config: SinkConfig, valueDt: DataType): MessageType =
+    plan(config, valueDt)._3
+
+  /** Whether O14 unwrap applies: envelope disabled, single `value` output
+    * field, record-typed value (`README.md:434-436` — ignored otherwise). */
+  private def unwraps(config: SinkConfig, valueDt: DataType): Boolean =
+    !config.envelopeEnabled &&
+      config.outputFields.map(_.fieldType) == List(OutputFieldType.Value) &&
+      valueDt.isInstanceOf[StructType]
+
+  /** (projected data columns, field writers, message schema) for a config. */
+  private def plan(config: SinkConfig, valueDt: DataType)
+      : (Seq[Column], Seq[FieldWriter], MessageType) = {
+    if (unwraps(config, valueDt)) {
+      val st = valueDt.asInstanceOf[StructType]
+      val fields = st.fields.map(f => parquetType(f.name, f.dataType, f.nullable))
+      (Seq(col("value")), Seq(UnwrapField(st, 2)),
+        new MessageType("envelope", fields.toList.asJava))
+    } else {
+      val planned = config.outputFields.zipWithIndex.map { case (f, i) =>
+        val idx = i + 2
+        f.fieldType match {
+          case OutputFieldType.Key =>
+            (col("key").cast("string").as("key"),
+              GenericField("key", StringType, idx): FieldWriter,
+              parquetType("key", StringType, nullable = true))
+          case OutputFieldType.Offset =>
+            (col("offset").as("offset"),
+              RequiredLongField("offset", idx): FieldWriter,
+              Types.primitive(INT64, Repetition.REQUIRED).named("offset"))
+          case OutputFieldType.Timestamp =>
+            (unix_millis(col("timestamp")).as("timestamp"),
+              RequiredLongField("timestamp", idx): FieldWriter,
+              Types.primitive(INT64, Repetition.REQUIRED).named("timestamp"))
+          case OutputFieldType.Headers =>
+            (col("headers").as("headers"),
+              HeadersField(idx): FieldWriter,
+              MessageTypeParser.parseMessageType(
+                """message m { optional group headers (MAP) {
+                  |  repeated group key_value {
+                  |    required binary key (STRING);
+                  |    optional binary value;
+                  |  }
+                  |} }""".stripMargin).getFields.get(0))
+          case OutputFieldType.Value => valueDt match {
+            case st: StructType =>
+              (col("value"), GenericField("value", st, idx): FieldWriter,
+                parquetType("value", st, nullable = true))
+            case mt: MapType =>
+              (col("value"), GenericField("value", mt, idx): FieldWriter,
+                parquetType("value", mt, nullable = true))
+            case _ =>
+              (col("value").cast("string").as("value"),
+                GenericField("value", StringType, idx): FieldWriter,
+                parquetType("value", StringType, nullable = true))
+          }
+        }
+      }
+      (planned.map(_._1), planned.map(_._2),
+        new MessageType("envelope", planned.map(_._3).asJava))
+    }
+  }
+
+  /** Write records (must have `_filename`, `offset` plus whatever columns
+    * the configured output fields need) as one parquet object per distinct
+    * `_filename` under `baseUri`, with the schema determined by
+    * `config.outputFields` / `config.envelopeEnabled`. */
+  def write(records: DataFrame, baseUri: String, config: SinkConfig,
             groupCols: Seq[String] = Seq("_filename")): Unit = {
     val serConf = new SerializableConfiguration(
       records.sparkSession.sparkContext.hadoopConfiguration)
-    val codecName = codec(compression)
+    val codecName = codec(config.compression)
+    val valueDt = records.schema("value").dataType
+    val (dataCols, writers, messageType) = plan(config, valueDt)
+    val schemaStr = messageType.toString
     records
-      .select((Seq(col("_filename"), col("key").cast("string").as("key"),
-        col("offset"), unix_millis(col("timestamp")).as("ts_ms"),
-        col("headers"), col("value").cast("string").as("value")) ++
+      .select((Seq(col("_filename"), col("offset").as("_offset")) ++ dataCols ++
         groupCols.filterNot(_ == "_filename").map(col)): _*)
       .repartition(groupCols.map(col): _*)
-      .sortWithinPartitions(col("_filename"), col("offset"))
+      .sortWithinPartitions(col("_filename"), col("_offset"))
       .foreachPartition { (it: Iterator[Row]) =>
-        writePartition(it, baseUri, serConf.value, codecName)
+        writePartition(it, baseUri, serConf.value, codecName, schemaStr, writers)
       }
   }
 
   private def writePartition(it: Iterator[Row], baseUri: String,
                              conf: Configuration,
-                             codecName: CompressionCodecName): Unit = {
-    val factory = new SimpleGroupFactory(EnvelopeSchema)
+                             codecName: CompressionCodecName,
+                             schemaStr: String,
+                             writers: Seq[FieldWriter]): Unit = {
+    val messageType = MessageTypeParser.parseMessageType(schemaStr)
+    val factory = new SimpleGroupFactory(messageType)
     var current: String = null
-    var writer: org.apache.parquet.hadoop.ParquetWriter[
-      org.apache.parquet.example.data.Group] = null
+    var writer: org.apache.parquet.hadoop.ParquetWriter[Group] = null
 
     def close(): Unit = if (writer != null) { writer.close(); writer = null }
 
     def open(name: String): Unit = {
-      val path = new Path(baseUri, name)
+      val path = GroupFileWriter.resolveUnder(baseUri, name)
       writer = ExampleParquetWriter.builder(path)
         .withConf(conf)
-        .withType(EnvelopeSchema)
+        .withType(messageType)
         .withCompressionCodec(codecName)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
         .build()
@@ -98,22 +308,7 @@ object ParquetEnvelopeWriter {
       val name = row.getString(0)
       if (name != current) { close(); open(name); current = name }
       val g = factory.newGroup()
-      if (!row.isNullAt(1)) g.append("key", row.getString(1))
-      g.append("offset", row.getLong(2))
-      g.append("timestamp", if (row.isNullAt(3)) 0L else row.getLong(3))
-      if (!row.isNullAt(4)) {
-        val hs = row.getSeq[Row](4)
-        if (hs.nonEmpty) {
-          val mapGroup = g.addGroup("headers")
-          hs.foreach { h =>
-            val kv = mapGroup.addGroup("key_value")
-            kv.append("key", h.getString(0))
-            if (!h.isNullAt(1))
-              kv.append("value", Binary.fromConstantByteArray(h.getAs[Array[Byte]](1)))
-          }
-        }
-      }
-      if (!row.isNullAt(5)) g.append("value", row.getString(5))
+      writers.foreach(_.write(g, row))
       writer.write(g)
     }
     close()

@@ -21,7 +21,13 @@ object CollapseRedundantRound extends Rule[LogicalPlan] {
           if innerScale.foldable && outerScale.foldable &&
             innerScale.eval() != null && outerScale.eval() != null &&
             outerScale.eval().asInstanceOf[Int] >=
-              innerScale.eval().asInstanceOf[Int] =>
+              innerScale.eval().asInstanceOf[Int] &&
+            // optimizer rules must preserve output types: for DecimalType
+            // the outer Round determines the result SCALE, so swapping it
+            // out would change decimal(p,m) to decimal(p,n). Fire only when
+            // the replacement has the identical dataType (always true for
+            // float/double, true for decimal only when n == m).
+            outer.dataType == inner.dataType =>
         inner
     }
 }

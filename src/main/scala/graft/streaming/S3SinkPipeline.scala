@@ -127,8 +127,7 @@ object S3SinkPipeline {
           case GroupingMode.KeyRecord            => Seq("_k")
           case GroupingMode.TopicPartitionRecord => Seq("topic", "partition")
         }
-        ParquetEnvelopeWriter.write(prefixed, baseUri, config.compression,
-          pqGroupCols)
+        ParquetEnvelopeWriter.write(prefixed, baseUri, config, pqGroupCols)
       case _ =>
         val withLine = prefixed.withColumn("_line",
           lineColumn(config, batch.schema))

@@ -28,6 +28,15 @@ class SinkConfigSpec extends AnyFunSuite {
     assert(c.envelopeEnabled)
   }
 
+  test("non-boolean format.output.envelope is a collected config error, " +
+    "not an exception (ConfigDef BOOLEAN semantics)") {
+    val errs = errsOf(minimal + ("format.output.envelope" -> "yes"))
+    assert(errs.contains("Invalid value yes for configuration " +
+      "format.output.envelope: Expected value to be either true or false"))
+    assert(ok(minimal + ("format.output.envelope" -> "false")).envelopeEnabled == false)
+    assert(ok(minimal + ("format.output.envelope" -> "TRUE")).envelopeEnabled)
+  }
+
   test("missing bucket is mandatory (ConfigDef-style message)") {
     assert(SinkConfig.parse(Map.empty).left.exists(_.contains(
       "Missing required configuration \"aws.s3.bucket.name\" which has no default value.")))

@@ -120,6 +120,40 @@ class SinkWriteSpec extends SparkSuite {
     }
   }
 
+  test("null-valued header renders as 'b64(name):' in CSV — not dropped " +
+    "(null header values are legal, Records.scala:28)") {
+    val dir = tmpDir("csv-null-header")
+    val cfg = config(
+      "format.output.fields" -> "value,headers",
+      "file.compression.type" -> "none")
+    val rows = Seq(Row("test-topic", 0, 0L, new java.sql.Timestamp(1000L),
+      "k".getBytes, "v".getBytes,
+      Seq(Row("h1", null), Row("h2", "x".getBytes))))
+    val df = spark.createDataFrame(rows.asJava, graft.connector.Records.schema)
+    S3SinkPipeline.writeBatch(df, cfg, dir, Now)
+    val lines = readLines(s"$dir/test-topic-0-0", CompressionType.None)
+    assert(lines == List(s"${b64("v")},${b64("h1")}:;${b64("h2")}:${b64("x")}"))
+  }
+
+  test("record key containing '..' cannot escape the sink base " +
+    "(S3 keys are flat; hierarchical FS must not walk out of baseUri)") {
+    val dir = tmpDir("key-escape")
+    val cfg = config(
+      "file.name.template" -> "{{key}}",
+      "file.compression.type" -> "none")
+    val rows = Seq(Row("t", 0, 0L, new java.sql.Timestamp(1000L),
+      "../../escape".getBytes, "v".getBytes, null))
+    val df = spark.createDataFrame(rows.asJava, graft.connector.Records.schema)
+    val e = intercept[Exception] {
+      S3SinkPipeline.writeBatch(df, cfg, dir, Now)
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("escapes the sink base")), e.toString)
+    assert(ls(dir).isEmpty)
+  }
+
   test("partition padding renders 10 digits in file names (README.md:73)") {
     val dir = tmpDir("ppad")
     val cfg = config(
@@ -311,6 +345,7 @@ class SinkWriteSpec extends SparkSuite {
       val dir = tmpDir(s"parquet-${codec.name}")
       val cfg = config(
         "format.output.type" -> "parquet",
+        "format.output.fields" -> "key,offset,timestamp,headers,value",
         "file.compression.type" -> codec.name,
         "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
       S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
@@ -332,6 +367,65 @@ class SinkWriteSpec extends SparkSuite {
       assert(hs == Map("test-header-key-1" -> "test-header-value-1",
         "test-header-key-2" -> "test-header-value-2"))
     }
+  }
+
+  test("parquet default fields=value writes a {value}-only schema " +
+    "(README.md:227,355-436)") {
+    val dir = tmpDir("parquet-default-fields")
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/test-topic-0-0")
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      Seq("test-value-0", "test-value-1"))
+  }
+
+  test("parquet preserves record-typed values as nested groups " +
+    "(AvroParquetIntegrationTest.java:207-270)") {
+    val dir = tmpDir("parquet-nested")
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.fields" -> "key,value",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(f3Records(), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/topic0-0-10")
+    assert(back.columns.toSeq == Seq("key", "value"))
+    assert(back.schema("value").dataType.isInstanceOf[StructType])
+    val r = back.collect().head
+    assert(r.getString(0) == "key0")
+    assert(r.getStruct(1).getString(0) == "name0")
+  }
+
+  test("parquet envelope=false + single value field unwraps a record value " +
+    "to top-level fields (ParquetIntegrationTest.java:278-344)") {
+    val dir = tmpDir("parquet-unwrap")
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(f3Records(), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/topic0-0-10")
+    assert(back.columns.toSeq == Seq("name"))
+    assert(back.collect().head.getString(0) == "name0")
+  }
+
+  test("parquet envelope=false is ignored for non-record values " +
+    "(README.md:434-436)") {
+    val dir = tmpDir("parquet-unwrap-scalar")
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(f1Records(1), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/test-topic-0-0")
+    assert(back.columns.toSeq == Seq("value")) // still wrapped in {value}
+    assert(back.collect().head.getString(0) == "test-value-0")
   }
 
   test("schema-change rotation: contiguous fingerprint runs split files at " +

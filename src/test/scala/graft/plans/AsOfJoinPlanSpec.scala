@@ -64,4 +64,21 @@ class AsOfJoinPlanSpec extends SparkSuite {
       .select(round(round($"x", 6), 4).as("y"))
     assert(df2.collect()(0).getDouble(0) == 1.2346)
   }
+
+  test("CollapseRedundantRound preserves DecimalType output scale " +
+    "(rule must not change expression dataType)") {
+    val sess = spark.newSession()
+    sess.experimental.extraOptimizations =
+      sess.experimental.extraOptimizations :+ CollapseRedundantRound
+    import sess.implicits._
+    val df = Seq(BigDecimal("1.23456789")).toDF("x")
+      .select(round(round($"x", 2), 4).as("y"))
+    // for decimals the outer round DEFINES the result scale: collapsing it
+    // would change decimal(p,4) to decimal(p,2) — the rule must not fire
+    val scale = df.schema("y").dataType
+      .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+    assert(scale == 4, s"schema: ${df.schema}")
+    assert(df.collect()(0).getDecimal(0) ==
+      new java.math.BigDecimal("1.2300"))
+  }
 }
