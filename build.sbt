@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `sbt runMain graft.Bench` output machine-parseable: the bench
+// driver tails the log and parses the final JSON line, so suppress sbt's
+// trailing "[success] Total time: ..." banner.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

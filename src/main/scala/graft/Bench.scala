@@ -33,10 +33,18 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of the sbt output and parses the
+    // JSON line out of it: keep the line compact (ms resolution — the
+    // timings are ~0.1-4 s, three decimals lose nothing) and print it LAST,
+    // after spark.stop(), so it survives the tail window intact.
+    // (build.sbt sets `Global / showSuccess := false` for the same reason —
+    // otherwise sbt's "[success] Total time" line lands after ours.)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

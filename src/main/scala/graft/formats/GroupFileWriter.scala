@@ -40,6 +40,14 @@ object GroupFileWriter {
   private[formats] def resolveUnder(baseUri: String, name: String): Path = {
     val base = new Path(baseUri).toUri.normalize()
     val resolved = new Path(baseUri, name).toUri.normalize()
+    // A name that itself parses as an absolute URI (e.g. a record key like
+    // "s3a://other-bucket/...") wins Path resolution outright, so a
+    // path-prefix check alone is not enough: the resolved URI must stay on
+    // the base's scheme AND authority (bucket), not just under its path.
+    require(resolved.getScheme == base.getScheme &&
+        resolved.getAuthority == base.getAuthority,
+      s"rendered file name '$name' escapes the sink base '$baseUri' " +
+        "(foreign scheme or authority)")
     require(resolved.getPath.startsWith(base.getPath.stripSuffix("/") + "/"),
       s"rendered file name '$name' escapes the sink base '$baseUri'")
     new Path(resolved)

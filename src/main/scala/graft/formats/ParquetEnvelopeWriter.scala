@@ -60,6 +60,14 @@ object ParquetEnvelopeWriter {
       |  optional binary value (STRING);
       |}""".stripMargin)
 
+  /** Fewest bytes whose two's-complement range covers `precision` decimal
+    * digits (mirrors Spark's `Decimal.minBytesForPrecision`). */
+  private def minBytesForPrecision(precision: Int): Int = {
+    var n = 1
+    while (math.floor(math.log10(2) * (8 * n - 1)) < precision) n += 1
+    n
+  }
+
   private def codec(t: CompressionType): CompressionCodecName = t match {
     case CompressionType.None   => CompressionCodecName.UNCOMPRESSED
     case CompressionType.Gzip   => CompressionCodecName.GZIP
@@ -89,6 +97,19 @@ object ParquetEnvelopeWriter {
           LogicalTypeAnnotation.TimeUnit.MILLIS)).named(name)
       case DateType    => Types.primitive(INT32, rep)
         .as(LogicalTypeAnnotation.dateType()).named(name)
+      case d: DecimalType =>
+        // Spark's own parquet mapping (ParquetWriteSupport): INT32 for
+        // precision <= 9, INT64 for <= 18, FIXED_LEN_BYTE_ARRAY above —
+        // needed for Avro decimal logical types flowing through the
+        // reference's Avro->parquet path.
+        val ann = LogicalTypeAnnotation.decimalType(d.scale, d.precision)
+        if (d.precision <= 9)
+          Types.primitive(INT32, rep).as(ann).named(name)
+        else if (d.precision <= 18)
+          Types.primitive(INT64, rep).as(ann).named(name)
+        else
+          Types.primitive(FIXED_LEN_BYTE_ARRAY, rep)
+            .length(minBytesForPrecision(d.precision)).as(ann).named(name)
       case st: StructType =>
         st.fields.foldLeft(Types.buildGroup(rep)) { (b, f) =>
           b.addField(parquetType(f.name, f.dataType, f.nullable))
@@ -127,6 +148,24 @@ object ParquetEnvelopeWriter {
         g.append(name, v.asInstanceOf[java.sql.Timestamp].getTime)
       case DateType =>
         g.append(name, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case d: DecimalType =>
+        val unscaled = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue()
+        if (d.precision <= 9) g.append(name, unscaled.intValueExact())
+        else if (d.precision <= 18) g.append(name, unscaled.longValueExact())
+        else {
+          // sign-extended big-endian two's complement, left-padded to the
+          // fixed width (same bytes Spark's parquet writer emits)
+          val numBytes = minBytesForPrecision(d.precision)
+          val raw = unscaled.toByteArray
+          val padded = if (raw.length == numBytes) raw else {
+            val out = Array.fill[Byte](numBytes)(
+              if (unscaled.signum < 0) -1 else 0)
+            System.arraycopy(raw, 0, out, numBytes - raw.length, raw.length)
+            out
+          }
+          g.append(name, Binary.fromConstantByteArray(padded))
+        }
       case st: StructType =>
         writeStructFields(g.addGroup(name), st, v.asInstanceOf[Row])
       case ArrayType(et, _) =>
@@ -157,6 +196,8 @@ object ParquetEnvelopeWriter {
   private sealed trait FieldWriter extends Serializable {
     def idx: Int
     def write(g: Group, row: Row): Unit
+    /** True if this record must not be written at all (see [[UnwrapField]]). */
+    def skipsRecord(row: Row): Boolean = false
   }
   private final case class GenericField(name: String, dt: DataType, idx: Int)
       extends FieldWriter {
@@ -188,11 +229,17 @@ object ParquetEnvelopeWriter {
         }
       }
   }
-  /** O14 envelope unwrap: the record-typed value's fields at top level. */
+  /** O14 envelope unwrap: the record-typed value's fields at top level.
+    *
+    * Null-value policy: with no envelope there is nothing representable for
+    * a null (tombstone) record — emitting an empty group would violate any
+    * REQUIRED unwrapped field and corrupt the file mid-write — so null-valued
+    * records are skipped entirely (see [[FieldWriter.skipsRecord]]). */
   private final case class UnwrapField(st: StructType, idx: Int)
       extends FieldWriter {
     def write(g: Group, row: Row): Unit =
-      if (!row.isNullAt(idx)) writeStructFields(g, st, row.getStruct(idx))
+      writeStructFields(g, st, row.getStruct(idx))
+    override def skipsRecord(row: Row): Boolean = row.isNullAt(idx)
   }
 
   /** The parquet MessageType [[write]] will produce for this config +
@@ -201,7 +248,14 @@ object ParquetEnvelopeWriter {
     plan(config, valueDt)._3
 
   /** Whether O14 unwrap applies: envelope disabled, single `value` output
-    * field, record-typed value (`README.md:434-436` — ignored otherwise). */
+    * field, record-typed value (`README.md:434-436` — ignored otherwise).
+    *
+    * Intentional divergence from `README.md:436` (which lists Avro MAP as
+    * also unwrappable): a map's keys are data, not schema, so they cannot
+    * form a static parquet message — and parquet-avro itself
+    * (`AvroSchemaConverter.convert`) only accepts a RECORD at the message
+    * root, so the reference path could not produce a bare-map parquet file
+    * either. MAP-typed values therefore stay wrapped in `{value}` here. */
   private def unwraps(config: SinkConfig, valueDt: DataType): Boolean =
     !config.envelopeEnabled &&
       config.outputFields.map(_.fieldType) == List(OutputFieldType.Value) &&
@@ -307,9 +361,11 @@ object ParquetEnvelopeWriter {
     it.foreach { row =>
       val name = row.getString(0)
       if (name != current) { close(); open(name); current = name }
-      val g = factory.newGroup()
-      writers.foreach(_.write(g, row))
-      writer.write(g)
+      if (!writers.exists(_.skipsRecord(row))) {
+        val g = factory.newGroup()
+        writers.foreach(_.write(g, row))
+        writer.write(g)
+      }
     }
     close()
   }

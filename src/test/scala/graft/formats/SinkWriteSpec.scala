@@ -466,4 +466,111 @@ class SinkWriteSpec extends SparkSuite {
     S3SinkPipeline.writeBatch(f1Records(0), config(), dir, Now)
     assert(ls(dir).isEmpty)
   }
+
+  test("rendered name parsing as an absolute URI cannot escape the sink " +
+    "base even when its path prefix matches (scheme/authority pinned)") {
+    val base = tmpDir("uri-escape")
+    // path component starts with the base path, so a path-prefix-only check
+    // would pass — the scheme/authority check must reject it
+    for (evil <- Seq(s"s3a://other-bucket$base/x", s"file://evil-host$base/x"))
+      intercept[IllegalArgumentException] {
+        GroupFileWriter.resolveUnder(base, evil)
+      }
+    // and a benign nested name still resolves under the base
+    val ok = GroupFileWriter.resolveUnder(base, "sub/dir/obj")
+    assert(ok.toUri.getPath == s"$base/sub/dir/obj")
+  }
+
+  test("parquet unwrap skips null-valued (tombstone) records instead of " +
+    "emitting an invalid empty group") {
+    val dir = tmpDir("parquet-unwrap-null")
+    val valueType = StructType(Seq(StructField("name", StringType, nullable = false)))
+    val schema = StructType(Seq(
+      StructField("topic", StringType, false),
+      StructField("partition", IntegerType, false),
+      StructField("offset", LongType, false),
+      StructField("timestamp", TimestampType, true),
+      StructField("key", StringType, true),
+      StructField("value", valueType, true),
+      StructField("headers", graft.connector.Records.schema("headers").dataType, true)))
+    val rows = Seq(
+      Row("t", 0, 0L, new java.sql.Timestamp(1000L), "k0", Row("name0"), null),
+      Row("t", 0, 1L, new java.sql.Timestamp(1001L), "k1", null, null), // tombstone
+      Row("t", 0, 2L, new java.sql.Timestamp(1002L), "k2", Row("name2"), null))
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(spark.createDataFrame(rows.asJava, schema), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/t-0-0")
+    assert(back.columns.toSeq == Seq("name"))
+    assert(back.orderBy("name").collect().map(_.getString(0)).toSeq ==
+      Seq("name0", "name2"))
+  }
+
+  test("parquet envelope=false stays wrapped for MAP values (documented " +
+    "divergence from README.md:436 — map keys are data, not schema)") {
+    val dir = tmpDir("parquet-unwrap-map")
+    val valueType = MapType(StringType, LongType)
+    val schema = StructType(Seq(
+      StructField("topic", StringType, false),
+      StructField("partition", IntegerType, false),
+      StructField("offset", LongType, false),
+      StructField("timestamp", TimestampType, true),
+      StructField("key", StringType, true),
+      StructField("value", valueType, true),
+      StructField("headers", graft.connector.Records.schema("headers").dataType, true)))
+    val rows = Seq(
+      Row("t", 0, 0L, new java.sql.Timestamp(1000L), "k0", Map("a" -> 1L), null))
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.envelope" -> "false",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(spark.createDataFrame(rows.asJava, schema), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/t-0-0")
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.schema("value").dataType.isInstanceOf[MapType])
+    assert(back.collect().head.getMap[String, Long](0) == Map("a" -> 1L))
+  }
+
+  test("parquet decimal fields round-trip at INT32/INT64/FIXED widths " +
+    "(Avro decimal logical type through the Avro->parquet path)") {
+    val dir = tmpDir("parquet-decimal")
+    val valueType = StructType(Seq(
+      StructField("d9", DecimalType(9, 2)),    // -> INT32
+      StructField("d18", DecimalType(18, 4)),  // -> INT64
+      StructField("d38", DecimalType(38, 10)))) // -> FIXED_LEN_BYTE_ARRAY
+    val schema = StructType(Seq(
+      StructField("topic", StringType, false),
+      StructField("partition", IntegerType, false),
+      StructField("offset", LongType, false),
+      StructField("timestamp", TimestampType, true),
+      StructField("key", StringType, true),
+      StructField("value", valueType, true),
+      StructField("headers", graft.connector.Records.schema("headers").dataType, true)))
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Row("t", 0, 0L, new java.sql.Timestamp(1000L), "k0",
+        Row(dec("1234567.89"), dec("12345678901234.5678"),
+          dec("1234567890123456789012345678.0123456789")), null),
+      Row("t", 0, 1L, new java.sql.Timestamp(1001L), "k1",
+        Row(dec("-0.01"), dec("-1.0001"), dec("-42.0000000001")), null))
+    val cfg = config(
+      "format.output.type" -> "parquet",
+      "format.output.fields" -> "offset,value",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(spark.createDataFrame(rows.asJava, schema), cfg, dir, Now)
+    val back = spark.read.parquet(s"$dir/t-0-0").orderBy("offset").collect()
+    val v0 = back(0).getStruct(back(0).fieldIndex("value"))
+    val v1 = back(1).getStruct(back(1).fieldIndex("value"))
+    assert(v0.getDecimal(0) == dec("1234567.89"))
+    assert(v0.getDecimal(1) == dec("12345678901234.5678"))
+    assert(v0.getDecimal(2) == dec("1234567890123456789012345678.0123456789"))
+    assert(v1.getDecimal(0) == dec("-0.01"))
+    assert(v1.getDecimal(1) == dec("-1.0001"))
+    assert(v1.getDecimal(2) == dec("-42.0000000001"))
+  }
 }
