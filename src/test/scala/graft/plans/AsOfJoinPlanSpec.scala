@@ -65,20 +65,25 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(df2.collect()(0).getDouble(0) == 1.2346)
   }
 
-  test("CollapseRedundantRound preserves DecimalType output scale " +
-    "(rule must not change expression dataType)") {
-    val sess = spark.newSession()
-    sess.experimental.extraOptimizations =
-      sess.experimental.extraOptimizations :+ CollapseRedundantRound
-    import sess.implicits._
-    val df = Seq(BigDecimal("1.23456789")).toDF("x")
-      .select(round(round($"x", 2), 4).as("y"))
-    // for decimals the outer round DEFINES the result scale: collapsing it
-    // would change decimal(p,4) to decimal(p,2) — the rule must not fire
-    val scale = df.schema("y").dataType
-      .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
-    assert(scale == 4, s"schema: ${df.schema}")
-    assert(df.collect()(0).getDecimal(0) ==
-      new java.math.BigDecimal("1.2300"))
+  test("CollapseRedundantRound preserves DecimalType output type and value " +
+    "(optimized result identical to an extensions-free session)") {
+    // Spark's Round on decimal(p,s) yields scale min(s, targetScale), so
+    // round(round(x, 2), 4) is decimal(·,2) = 1.23 with or without the rule.
+    // The contract under test: the rule never changes dataType or result.
+    def run(withRule: Boolean) = {
+      val sess = spark.newSession()
+      if (withRule) sess.experimental.extraOptimizations =
+        sess.experimental.extraOptimizations :+ CollapseRedundantRound
+      import sess.implicits._
+      Seq(BigDecimal("1.23456789")).toDF("x")
+        .select(round(round($"x", 2), 4).as("y"))
+    }
+    val vanilla = run(withRule = false)
+    val ruled = run(withRule = true)
+    assert(ruled.schema == vanilla.schema,
+      s"rule changed schema: ${ruled.schema} vs ${vanilla.schema}")
+    val v = ruled.collect()(0).getDecimal(0)
+    assert(v == vanilla.collect()(0).getDecimal(0))
+    assert(v.compareTo(new java.math.BigDecimal("1.23")) == 0, s"value: $v")
   }
 }
