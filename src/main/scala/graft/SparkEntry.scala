@@ -1035,17 +1035,44 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy("topic")
     }),
-    // approx_count_distinct (HyperLogLog++): sketch differs from DuckDB's
-    // implementation -> rows-only; the exact twin above is the oracle.
+    // approx_count_distinct (HyperLogLog++) + approx_percentile sketches.
+    // No other engine reproduces a sketch bit-for-bit, so the oracle
+    // contract is a BOUNDS assertion computed inside the query: each
+    // approximate answer must land within its published error envelope of
+    // the exact answer computed alongside it (HLL: |approx-exact| <=
+    // 3*rsd*exact; percentile: the approx value's true rank within 0.02 of
+    // the target quantile). The flags ship as columns the oracle asserts
+    // are literally 1 — a sketch drifting out of bounds turns the row red.
     "q_sketch_distinct" -> ((s, dir) => {
-      Records.fromEvents(s, dir)
-        .groupBy("topic")
+      val ev = Records.fromEvents(s, dir)
+        .select(col("topic"), col("key"), col("offset"))
+      val agg = ev.groupBy("topic")
         .agg(approx_count_distinct(col("key"), 0.02).as("approx_users"),
-          expr("approx_percentile(offset, array(0.5D, 0.95D))")
-            .as("off_quantiles"))
-        .withColumn("off_p50", element_at(col("off_quantiles"), 1))
-        .withColumn("off_p95", element_at(col("off_quantiles"), 2))
-        .drop("off_quantiles")
+          countDistinct(col("key")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          expr("approx_percentile(offset, array(0.5D, 0.95D), 10000)")
+            .as("oq"))
+        .select(col("topic"), col("n_users"), col("n_events"),
+          col("approx_users"),
+          element_at(col("oq"), 1).as("ap50"),
+          element_at(col("oq"), 2).as("ap95"))
+      // true rank of each approx percentile value (one broadcast join —
+      // the per-topic aggregate is tiny)
+      val ranks = ev
+        .join(broadcast(agg.select(col("topic"), col("ap50"), col("ap95"))),
+          Seq("topic"))
+        .groupBy("topic")
+        .agg(
+          (sum(when(col("offset") <= col("ap50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("f50"),
+          (sum(when(col("offset") <= col("ap95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("f95"))
+      agg.join(ranks, Seq("topic"))
+        .select(col("topic"), col("n_users"), col("n_events"),
+          when(abs(col("approx_users") - col("n_users")) <=
+            lit(3 * 0.02) * col("n_users"), 1L).otherwise(0L).as("hll_ok"),
+          when(abs(col("f50") - 0.5) <= 0.02, 1L).otherwise(0L).as("p50_ok"),
+          when(abs(col("f95") - 0.95) <= 0.02, 1L).otherwise(0L).as("p95_ok"))
         .orderBy("topic")
     }),
 
@@ -1285,6 +1312,16 @@ object SparkEntry {
 
     "q_count_distinct" -> (R +
       """SELECT topic, count(DISTINCT rkey) AS n_users, count(*) AS n_events
+        |FROM records GROUP BY topic ORDER BY topic""".stripMargin),
+
+    // The sketch twin: exact columns are recomputed by the oracle; the
+    // in-query bounds flags must come out 1 (sketches inside their error
+    // envelopes) — asserted as literals here, so an out-of-bounds sketch
+    // hash-mismatches.
+    "q_sketch_distinct" -> (R +
+      """SELECT topic, count(DISTINCT rkey) AS n_users, count(*) AS n_events,
+        |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p95_ok
         |FROM records GROUP BY topic ORDER BY topic""".stripMargin),
 
     "q_running_total" ->

@@ -137,18 +137,23 @@ object Dedup {
     * with bit_count(xor).
     *
     * The pair join runs at the DISTINCT-SIGNATURE level, not the doc level:
-    * docs sharing a signature are grouped once, signature values chunk-join
-    * among themselves (a set orders of magnitude smaller than docs when
-    * signatures repeat), and doc pairs are re-expanded only for signature
-    * pairs that pass the hamming filter — plus the intra-group pairs
-    * (hamming 0). Same output as the doc-level join, minus millions of
-    * per-doc-pair hamming evaluations. (collect_list bounds: group size =
-    * duplicate-cluster size, the quantity dedup assumes is manageable.) */
+    * signature values chunk-join among themselves (a set orders of
+    * magnitude smaller than docs when signatures repeat), and doc pairs are
+    * re-expanded only for signature pairs that pass the hamming filter —
+    * plus the intra-signature pairs (hamming 0). Same output as the
+    * doc-level join, minus millions of per-doc-pair hamming evaluations.
+    *
+    * Re-expansion is a pair of shuffled joins on the signature — NOT a
+    * `collect_list` of doc-ids per signature — so a degenerate corpus
+    * (millions of identical docs collapsing to one signature) streams
+    * through sort-merge joins with O(1) executor memory per group instead
+    * of materializing one giant array on a single task. The quadratic pair
+    * OUTPUT for such a cluster is inherent to "emit all pairs" semantics;
+    * the guard is that no single buffer ever holds a whole cluster. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-    val groups = sig.groupBy("simhash")
-      .agg(collect_list("doc_id").as("ids")).cache()
-    val chunks = groups.select(col("simhash"),
+    val sig = simhash(docs).cache()
+    val sigs = sig.select("simhash").distinct()
+    val chunks = sigs.select(col("simhash"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 4) & 15"))
     val sigPairs = chunks.as("a")
@@ -161,17 +166,15 @@ object Dedup {
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
       .where(col("hamming") <= maxDist)
     val cross = sigPairs
-      .join(groups.select(col("simhash").as("s1"), col("ids").as("ids1")), "s1")
-      .join(groups.select(col("simhash").as("s2"), col("ids").as("ids2")), "s2")
-      .select(col("hamming"), explode(col("ids1")).as("da"), col("ids2"))
-      .select(col("hamming"), col("da"), explode(col("ids2")).as("db"))
+      .join(sig.select(col("simhash").as("s1"), col("doc_id").as("da")), "s1")
+      .join(sig.select(col("simhash").as("s2"), col("doc_id").as("db")), "s2")
       .select(least(col("da"), col("db")).as("d1"),
         greatest(col("da"), col("db")).as("d2"), col("hamming"))
-    val intra = groups.where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("d1"), col("ids"))
-      .select(col("d1"), explode(col("ids")).as("d2"))
-      .where(col("d1") < col("d2"))
-      .withColumn("hamming", lit(0L))
+    val intra = sig.as("a")
+      .join(sig.as("b"), col("a.simhash") === col("b.simhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
     cross.unionByName(intra).orderBy("d1", "d2")
   }
 

@@ -166,16 +166,19 @@ object Similarity {
     * LSH: partition the corpus into `nLists` cells around centroids, search
     * only the `nProbe` cells nearest each query.
     *
-    * Centroids are k-means-refined (one Lloyd iteration over deterministic
-    * seeds — see [[refineCentroids]]). The
+    * Centroids are k-means-refined (`lloydIters` Lloyd iterations over
+    * deterministic seeds — see [[refineCentroids]]). The
     * corpus is assigned once (map + broadcast argmax over centroids — the
     * cell id becomes a partition key); queries explode to their nProbe
     * cells and join co-partitioned on cell id. Probe cost is
     * O(corpus × nProbe / nLists) per query instead of O(corpus).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = refineCentroids(corpus, seedCentroids(corpus, nLists))
+              nLists: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 1): DataFrame = {
+    val cent = (1 to lloydIters).foldLeft(seedCentroids(corpus, nLists)) {
+      (c, _) => refineCentroids(corpus, c)
+    }
     // nearest cell per corpus vector: small cross join, max_by on cosine
     def cellOf(df: DataFrame, idCol: String): DataFrame =
       df.withColumn("_n", norm(col("embedding")))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** The full custom-operator ladder (SURVEY.md brief, preference (c)):
   * a whole-operator Catalyst extension for the as-of join —
@@ -53,6 +54,13 @@ final case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
 
+  // report like the built-in joins: row count + match count in the SQL UI
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of rows with an as-of match"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -77,6 +85,8 @@ final case class AsOfJoinExec(
       .asInstanceOf[Ordering[Any]]
     val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
       .asInstanceOf[Ordering[Any]]
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOutput)
@@ -122,6 +132,8 @@ final case class AsOfJoinExec(
           advanceRightUntil(lKey, lTs)
           val matched = curPayload != null && curKey != null &&
             keyOrd.compare(curKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           joined(l, if (matched) curPayload else nullRight)
           resultProj(joined)
         }

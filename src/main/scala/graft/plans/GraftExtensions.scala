@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Round}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Round}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -22,13 +23,21 @@ object CollapseRedundantRound extends Rule[LogicalPlan] {
             innerScale.eval() != null && outerScale.eval() != null &&
             outerScale.eval().asInstanceOf[Int] >=
               innerScale.eval().asInstanceOf[Int] &&
-            // optimizer rules must preserve output types: for DecimalType
-            // the outer Round determines the result SCALE, so swapping it
-            // out would change decimal(p,m) to decimal(p,n). Fire only when
-            // the replacement has the identical dataType (always true for
-            // float/double, true for decimal only when n == m).
-            outer.dataType == inner.dataType =>
-        inner
+            // optimizer rules must preserve output types. float/double: the
+            // inner round already has the outer's type — drop the outer.
+            // DecimalType: Round widens precision by 1 for the carry digit
+            // (decimal(p,s) -> round n>=s -> decimal(p+1,s)), so the inner
+            // can't replace the outer verbatim; a widening CAST to the
+            // outer's exact type is value-identical (same scale, more head
+            // room) and far cheaper than a BigDecimal re-round per row.
+            (outer.dataType == inner.dataType ||
+              ((outer.dataType, inner.dataType) match {
+                case (o: DecimalType, i: DecimalType) =>
+                  o.scale == i.scale && o.precision >= i.precision
+                case _ => false
+              })) =>
+        if (outer.dataType == inner.dataType) inner
+        else Cast(inner, outer.dataType)
     }
 }
 

@@ -49,6 +49,21 @@ class OpsSpec extends SparkSuite {
     assert(ham(sig(0L), sig(3L)) > 4)
   }
 
+  test("simhash pairs survive a degenerate corpus (10k identical docs) " +
+    "without driver/executor OOM — re-expansion is join-streamed, " +
+    "not collect_list-buffered") {
+    // Every doc collapses to ONE signature. The 10k*9999/2 output pairs
+    // are inherent to pair semantics; the guard under test is that no
+    // single buffer ever holds the whole cluster (sort-merge join spills).
+    val n = 10000
+    val df = spark.range(n)
+      .select(col("id").as("doc_id"), lit(base).as("text"), lit("en").as("lang"),
+        lit("s").as("source"), lit(base.length.toLong).as("n_chars"))
+    val pairs = Dedup.simhashPairs(df)
+    assert(pairs.agg(count(lit(1)), max("hamming")).collect()(0)
+      .toSeq == Seq(n.toLong * (n - 1) / 2, 0L))
+  }
+
   test("containment detects a quoted subset where jaccard stays small") {
     val long = base + " " + unrelated // B's shingles are a strict subset of A's
     val subset = base
@@ -170,6 +185,13 @@ class OpsSpec extends SparkSuite {
     // approximate paths must return a meaningful fraction of true neighbors
     assert(lshRecall > 0.1, s"LSH recall $lshRecall")
     assert(ivfRecall > 0.3, s"IVF recall $ivfRecall")
+    // recall@5 with refined centroids (2 Lloyd iterations) — the quality
+    // gate that makes centroid-refinement changes measurable
+    val brute5 = topkSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf5 = topkSet(Similarity.ivfTopK(emb, queries, 5, lloydIters = 2))
+    val recall5 = (ivf5 & brute5).size.toDouble / brute5.size
+    info(f"IVF recall@5 (lloydIters=2): $recall5%.2f")
+    assert(recall5 >= 0.6, s"IVF recall@5 $recall5")
   }
 
   test("range join boundaries are inclusive and bucketing loses nothing") {

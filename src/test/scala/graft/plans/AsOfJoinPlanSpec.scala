@@ -41,6 +41,30 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(plan.contains("Sort"), "children must be sorted for the merge scan")
   }
 
+  test("AsOfJoinExec reports numOutputRows/numMatchedRows SQLMetrics " +
+    "like the built-in joins") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 50L), (3L, "z", 10L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("k", 99L, 5L)).toDF("k", "ts", "rid")
+    val df = AsOfJoin.asOfJoinNative(left, right, "k", "ts", Seq("rid"))
+    df.collect()
+    // unwrap AQE: AdaptiveSparkPlanExec AND its QueryStageExec wrappers
+    // hide children from collect — recurse through both
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findExec(p: SparkPlan): Option[AsOfJoinExec] = p match {
+      case e: AsOfJoinExec => Some(e)
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case q: QueryStageExec => findExec(q.plan)
+      case other => other.children.view.flatMap(findExec).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+      .getOrElse(fail("no AsOfJoinExec in executed plan"))
+    assert(exec.metrics.contains("numOutputRows"))
+    assert(exec.metrics("numOutputRows").value == 3L)
+    assert(exec.metrics("numMatchedRows").value == 1L) // only id=1 matches
+  }
+
   test("strict semantics: same-timestamp right rows are not matched") {
     val left = Seq((1L, "k", 100L)).toDF("id", "k", "ts")
     val right = Seq(("k", 100L, 7L), ("k", 99L, 5L)).toDF("k", "ts", "rid")
@@ -80,6 +104,14 @@ class AsOfJoinPlanSpec extends SparkSuite {
     }
     val vanilla = run(withRule = false)
     val ruled = run(withRule = true)
+    // pin that the rule actually FIRES on decimals (both rounds resolve to
+    // the same decimal scale so the type guard passes) — applied directly
+    // to the analyzed plan so no other optimizer rule can mask it
+    val analyzed = vanilla.queryExecution.analyzed
+    assert(analyzed.toString.contains("round(round("), "fixture lost nesting")
+    val collapsed = CollapseRedundantRound(analyzed).toString
+    assert(!collapsed.contains("round(round("),
+      s"rule did not collapse decimal rounds; plan:\n$collapsed")
     assert(ruled.schema == vanilla.schema,
       s"rule changed schema: ${ruled.schema} vs ${vanilla.schema}")
     val v = ruled.collect()(0).getDecimal(0)
