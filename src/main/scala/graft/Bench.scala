@@ -23,15 +23,17 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best-of-2 per query: one re-run cancels GC/scheduler noise without
-    // hiding real cost (both runs do full scans — nothing is cached)
+    // median-of-3 per query: the variance protocol. Single runs produced
+    // phantom cross-round swings (worst observed: 4.3x on the same code);
+    // the median rejects one GC/scheduler outlier in either direction
+    // without hiding real cost (all runs do full scans — nothing cached).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.sorted.apply(1)
     }.toMap
     // The driver captures only the tail of the sbt output and parses the
     // JSON line out of it: keep the line compact (ms resolution — the

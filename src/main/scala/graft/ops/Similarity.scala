@@ -83,11 +83,13 @@ object Similarity {
 
   /** Sign-bit of one vector under hyperplane `p`, shifted to bit `bitPos`.
     * Projection runs through the codegen'd [[graft.functions.VectorDot]]
-    * kernel (float vector × double plane literal). */
+    * kernel (float vector × double plane literal). The kernel folds over
+    * the SHORTER of the two arrays, so the 512-wide plane literal needs no
+    * per-row `slice` to the vector's dim — same value, minus 32 array
+    * allocations per row. */
   private def signBit(vec: Column, p: Int, bitPos: Int): Column = {
     val w = typedLit(planes(p).toSeq)
-    val proj = graft.functions.VectorExpressions.vecDot(
-      vec, slice(w, lit(1), size(vec)))
+    val proj = graft.functions.VectorExpressions.vecDot(vec, w)
     when(proj >= 0, lit(1L << bitPos)).otherwise(lit(0L))
   }
 
