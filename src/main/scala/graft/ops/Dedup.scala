@@ -199,6 +199,13 @@ object Dedup {
     var labels = edgeNodes.select(col("doc_id"),
       col("doc_id").as("cluster")).cache()
     labels.count() // materialize edges + init labels once, before the loop
+    // NOTE (measured, round 5): folding TWO propagation steps into one
+    // materialized round to halve the driver-loop's job count is a trap —
+    // the unmaterialized intermediate labels feed two consumers (the edge
+    // join AND the left join of the second step), so their lineage
+    // re-executes and the round costs ~3 steps, not 2 (bench: 1.5 s → 4.8 s
+    // on dedup_cluster_keep, 1.7 s → 10.8 s on the composed pipeline).
+    // One cached step per round is the fast shape.
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
