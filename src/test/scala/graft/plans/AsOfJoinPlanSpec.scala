@@ -65,6 +65,40 @@ class AsOfJoinPlanSpec extends SparkSuite {
     assert(exec.metrics("numMatchedRows").value == 1L) // only id=1 matches
   }
 
+  test("property: native exec == composed operator == reference model on " +
+    "randomized datasets (unmatched keys, ties, strict-< boundaries)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 6) {
+      // small key/ts domains force collisions: duplicate left (k, ts),
+      // left-only and right-only keys, rts == lts strict-boundary hits.
+      // right (k, ts) is deduped so "latest prior" is uniquely defined —
+      // the one case where both engines may legitimately differ is a tie
+      // among right rows, which the operator does not promise to break.
+      val left = (0 until 200).map(i =>
+        (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(25).toLong))
+      val right = (0 until 100)
+        .map(i => (s"k${rnd.nextInt(8)}", rnd.nextInt(25).toLong, i.toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = left.map { case (id, k, ts) =>
+        val m = right.filter(r => r._1 == k && r._2 < ts)
+        id -> (if (m.isEmpty) -1L else m.maxBy(_._2)._3)
+      }.toMap
+      val lDf = left.toDF("id", "k", "ts")
+      val rDf = right.toDF("k", "ts", "rid")
+      def run(native: Boolean) = {
+        val joined =
+          if (native) AsOfJoin.asOfJoinNative(lDf, rDf, "k", "ts", Seq("rid"))
+          else AsOfJoin.asOfJoin(lDf, rDf, "k", "ts", Seq("rid"))
+        joined.select("id", "asof_rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      }
+      assert(run(native = true) == expected, s"native, round $round")
+      assert(run(native = false) == expected, s"composed, round $round")
+    }
+  }
+
   test("strict semantics: same-timestamp right rows are not matched") {
     val left = Seq((1L, "k", 100L)).toDF("id", "k", "ts")
     val right = Seq(("k", 100L, 7L), ("k", 99L, 5L)).toDF("k", "ts", "rid")
