@@ -205,6 +205,34 @@ class OpsSpec extends SparkSuite {
     assert(r == List(1L, 2L, 3L)) // 100 and 200 inclusive, 99/201 out
   }
 
+  test("property: bucketized range join == naive filter join on randomized " +
+    "points/intervals across bucket widths") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    for (bucketMs <- Seq(1L, 7L, 64L, 1000L)) {
+      // ts domain 0..199; intervals may be empty-ish (s==e), overlapping,
+      // or wider than the whole domain; width 1000 puts everything in one
+      // bucket (degenerates to the naive join but must stay exact)
+      val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      val wins = (0 until 40).map { i =>
+        val s = rnd.nextInt(220).toLong - 10
+        (i.toLong, s, s + rnd.nextInt(30))
+      }
+      val expected = (for {
+        (id, ts) <- pts
+        (wid, s, e) <- wins
+        if ts >= s && ts <= e
+      } yield (id, wid)).toSet
+      val ptsDf = pts.toDF("id", "ts")
+      val winsDf = wins.toDF("wid", "s", "e")
+      val got = RangeJoin
+        .bucketed(ptsDf, "ts", winsDf, "s", "e", Seq("wid"), bucketMs)
+        .select("id", "range_wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"bucketMs=$bucketMs")
+    }
+  }
+
   test("k-means centroid refinement is deterministic across runs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def centroids() = Similarity.refineCentroids(
