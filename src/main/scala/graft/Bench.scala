@@ -23,15 +23,24 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
     // median-of-3 per query: the variance protocol. Single runs produced
     // phantom cross-round swings (worst observed: 4.3x on the same code);
     // the median rejects one GC/scheduler outlier in either direction
-    // without hiding real cost (all runs do full scans — nothing cached).
+    // without hiding real cost. Caches are CLEARED after every timed rep:
+    // a few operators (simhashPairs, connectedComponents) cache interior
+    // tables for within-query reuse, and without clearing those entries
+    // accumulate across the warm pass + 61 queries x 3 reps in one JVM —
+    // measured +56% on the whole-suite total from storage/GC pressure —
+    // while making later reps of the SAME query read leftover cached data
+    // instead of doing the full scan the protocol promises.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
       name -> times.sorted.apply(1)
     }.toMap

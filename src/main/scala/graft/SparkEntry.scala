@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1066,13 +1066,29 @@ object SparkEntry {
           (sum(when(col("offset") <= col("ap50"), 1L).otherwise(0L)) /
             count(lit(1))).as("f50"),
           (sum(when(col("offset") <= col("ap95"), 1L).otherwise(0L)) /
-            count(lit(1))).as("f95"))
+            count(lit(1))).as("f95"),
+          // tie mass AT each returned value: F jumps by this much at ap,
+          // so the rank gate must absorb it
+          (sum(when(col("offset") === col("ap50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("t50"),
+          (sum(when(col("offset") === col("ap95"), 1L).otherwise(0L)) /
+            count(lit(1))).as("t95"))
+      // Gate tolerance is data-aware, not a bare 0.02: F's granularity on a
+      // topic with n events is 1/n (n=10 makes F(p95-element) land on 1.0),
+      // and a tie block at the returned value shifts F(ap) by the whole
+      // block's mass while the sketch is still within its rank-error spec.
+      // tol = max(0.02, 1/n + tie_mass) keeps the flag meaning "sketch
+      // within published bounds" at every scale factor.
+      def tol(tie: Column) =
+        greatest(lit(0.02), lit(1.0) / col("n_events") + tie)
       agg.join(ranks, Seq("topic"))
         .select(col("topic"), col("n_users"), col("n_events"),
           when(abs(col("approx_users") - col("n_users")) <=
             lit(3 * 0.02) * col("n_users"), 1L).otherwise(0L).as("hll_ok"),
-          when(abs(col("f50") - 0.5) <= 0.02, 1L).otherwise(0L).as("p50_ok"),
-          when(abs(col("f95") - 0.95) <= 0.02, 1L).otherwise(0L).as("p95_ok"))
+          when(abs(col("f50") - 0.5) <= tol(col("t50")), 1L)
+            .otherwise(0L).as("p50_ok"),
+          when(abs(col("f95") - 0.95) <= tol(col("t95")), 1L)
+            .otherwise(0L).as("p95_ok"))
         .orderBy("topic")
     }),
 

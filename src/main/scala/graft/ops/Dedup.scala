@@ -149,7 +149,16 @@ object Dedup {
     * through sort-merge joins with O(1) executor memory per group instead
     * of materializing one giant array on a single task. The quadratic pair
     * OUTPUT for such a cluster is inherent to "emit all pairs" semantics;
-    * the guard is that no single buffer ever holds a whole cluster. */
+    * the guard is that no single buffer ever holds a whole cluster.
+    *
+    * Cache lifecycle: the doc-level signature table is `.cache()`d because
+    * five downstream scans (distinct, two re-expansion joins, two intra
+    * joins) would otherwise each recompute the tokenize+groupBy. The entry
+    * lives in the session CacheManager until the session ends; a harness
+    * invoking many such operators in one long-lived session should call
+    * `spark.catalog.clearCache()` after materializing each result (as
+    * [[graft.Bench]] / [[graft.Verify]] do) — leftover entries both skew
+    * re-run timings and accumulate storage pressure. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
     val sigs = sig.select("simhash").distinct()

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Regenerate the BASELINE.md variance-table artifacts: N fresh-JVM
+# graft.Bench runs at sf0.1, each saved verbatim to bench_runs/run{i}.json
+# so the table's medians/spreads are auditable from the repo.
+#
+# Usage: tools/bench_reps.sh [N]   (default 3; env overrides below)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N=${1:-3}
+mkdir -p bench_runs
+for i in $(seq 1 "$N"); do
+  echo "[bench_reps] run $i/$N ..." >&2
+  SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
+    tools/spark-run.sh graft.Bench 2>/dev/null \
+    | grep '"metric":"total"' | tail -1 > "bench_runs/run$i.json"
+done
+python3 - <<'EOF'
+import json, glob, statistics
+runs = [json.load(open(f)) for f in sorted(glob.glob("bench_runs/run*.json"))]
+totals = sorted(r["value"] for r in runs)
+print(f"totals: {totals}  median: {statistics.median(totals):.2f}")
+qs = sorted(runs[0]["queries"], key=lambda q: -statistics.median(
+    [r["queries"][q] for r in runs]))
+print(f"{'query':32s} median    min    max  spread")
+for q in qs[:15]:
+    v = sorted(r["queries"][q] for r in runs)
+    print(f"{q:32s} {statistics.median(v):6.2f} {v[0]:6.2f} {v[-1]:6.2f}"
+          f" {v[-1]-v[0]:7.2f}")
+rest = sum(statistics.median([r["queries"][q] for r in runs]) for q in qs[15:])
+print(f"(remaining {len(qs)-15} queries, medians summed) {rest:.2f}")
+EOF
