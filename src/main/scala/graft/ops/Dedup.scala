@@ -265,7 +265,19 @@ object Dedup {
     * per-pair set intersection does O(|A|+|B|) work for every one of the
     * O(block²) pairs; the posting join only touches pairs that actually
     * share a shingle and is a plain shuffled equi-join at any scale. Pairs
-    * sharing nothing get jaccard 0 via the size-only pair join. */
+    * sharing nothing get jaccard 0 via the size-only pair join.
+    *
+    * NOTE (measured, round 6): leave this plan's projection boundaries and
+    * join strategy alone. Two "obvious" refactors each regressed ~10-20× at
+    * sf0.1 (1.6 s → 19-36 s median, QBench): (a) hoisting the shingle array
+    * into a shared projection so `sizes` becomes a map-only `size(shs)` —
+    * the moved boundary lets CollapseProject inline the tokenizer into the
+    * shingle lambda and re-tokenize per element (the Dedup.scala:52 trap in
+    * a new costume); (b) an explicit `repartition` of the posting table on
+    * the join keys to force one reused Exchange — the full-posting-list
+    * sort plus hot-shingle sort-merge groups dwarf the duplicated
+    * tokenize+shingle pass it saves, and at real scale Catalyst already
+    * picks the shuffled join on its own once size estimates grow. */
   def blockedNgramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sh = docs
       .select(col("doc_id"), col("lang"), col("source"),
