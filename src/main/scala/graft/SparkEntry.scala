@@ -54,13 +54,14 @@ object SparkEntry {
     * pipeline operators (dedup / similarity / text / multimodal) and the
     * beyond-parity relational set. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    connectorQueries ++ textQueries ++ dedupQueries ++ simQueries ++
-      mmQueries ++ relationalQueries ++ streamingQueries ++ pipelineQueries ++
-      pipelineReportQuery
+    connectorQueries ++ textQueries ++ samplingQueries ++ dedupQueries ++
+      simQueries ++ mmQueries ++ relationalQueries ++ streamingQueries ++
+      pipelineQueries ++ pipelineReportQuery
 
   def oracleSql: Map[String, String] =
-    connectorOracles ++ textOracles ++ dedupOracles ++ simOracles ++
-      mmOracles ++ relationalOracles ++ streamingOracles ++ pipelineOracles
+    connectorOracles ++ textOracles ++ samplingOracles ++ dedupOracles ++
+      simOracles ++ mmOracles ++ relationalOracles ++ streamingOracles ++
+      pipelineOracles
 
   private def connectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -310,7 +311,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ text family
 
-  import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+  import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> ((s, dir) => {
@@ -399,6 +400,76 @@ object SparkEntry {
         |      list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM toks ORDER BY doc_id""".stripMargin)
+  )
+
+  // -------------------------------------------------------- sampling family
+  // Deterministic dataset curation: hash-based splits and packing — the
+  // operators between "corpus" and "dataloader" in a pretraining pipeline.
+
+  private def samplingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Train/val/test assignment as a pure function of doc_id: stable under
+    // corpus growth (no resample leakage across dataset refreshes).
+    "sample_split" -> ((s, dir) => Sampling.assignSplit(docs(s, dir))),
+    // Per-language quota downsampling with an independent hash salt.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir),
+        Map("en" -> 50, "zh" -> 30), defaultPct = 20)),
+    // Token-budget sequence packing via prefix-sum bucketing.
+    "pack_token_budget" -> ((s, dir) =>
+      Sampling.packByTokenBudget(docs(s, dir), budget = 2000L)),
+    // Numeric-run redaction over the events payload column (documents are
+    // digit-free by construction, so the scrub targets props): a single
+    // codegen'd regexp_replace pass plus an audit count.
+    "text_redact_numbers" -> ((s, dir) => {
+      Records.readEvents(s, dir)
+        .select(col("event_id"),
+          TextAnalysis.redactNumbers(col("props")).as("props_red"),
+          TextAnalysis.numberRunCount(col("props")).as("n_nums"))
+        .orderBy("event_id")
+    })
+  )
+
+  private def samplingOracles: Map[String, String] = Map(
+    "sample_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100
+        |      AS bucket,
+        |    CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 20 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM h WHERE bucket < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS pre
+        |  FROM toks)
+        |SELECT lang, pre // 2000 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    "text_redact_numbers" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_red,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   // ----------------------------------------------------------- dedup family

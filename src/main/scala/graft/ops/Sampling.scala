@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling / split-assignment operators for a training-data
+  * pipeline: train/val/test splits, per-stratum downsampling, and
+  * token-budget sequence packing.
+  *
+  * Everything keys off a salted content hash, never `rand()`: the split a
+  * document lands in is a pure function of its id, so re-running the
+  * pipeline on a grown corpus keeps every previously-assigned document in
+  * the same split (the property that protects train/test hygiene across
+  * dataset refreshes — a resample would leak yesterday's train docs into
+  * today's test set). All map-only per-row expressions — no shuffle at any
+  * scale, and the DuckDB oracle mirrors the md5 arithmetic bit-exactly.
+  */
+object Sampling {
+
+  /** 48-bit salted hash of a document id in [0, 2^48): the md5-prefix
+    * pattern from [[Dedup.shingleHash]], salted so independent sampling
+    * decisions (split assignment vs stratified keep) don't correlate. */
+  def saltedHash48(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 12),
+      16, 10).cast(LongType)
+
+  /** Percentile bucket 0-99 derived from the salted hash. A mod of a
+    * 48-bit uniform hash is uniform to ~2^-41 — far below any sampling
+    * tolerance that matters. */
+  def hashBucket(salt: String, id: Column): Column =
+    saltedHash48(salt, id) % 100
+
+  /** Deterministic train/val/test assignment: bucket < trainPct → train,
+    * < trainPct+valPct → val, else test. */
+  def assignSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        hashBucket("split", col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Per-stratum deterministic downsampling: keep a document iff its
+    * salted bucket falls under the stratum's percentage. Rates arrive as a
+    * driver-side map (tiny config, folded into the plan as a CASE — at
+    * scale this is exactly how a per-language quota table ships with the
+    * job; a genuinely large rate table would become a broadcast join). */
+  def stratifiedSample(docs: DataFrame, ratesPct: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col("lang") === k, v).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"),
+        hashBucket("strat", col("doc_id")).as("bucket"), rate.as("rate_pct"))
+      .where(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sequence packing by prefix-sum bucketing: within each
+    * lang, documents in doc_id order land in
+    * `pack_id = prefix_tokens div budget`, so consecutive documents fill a
+    * pack and a pack overflows by AT MOST its last document (which the
+    * dataloader then truncates or spills — the usual contract). Strict
+    * close-when-full greedy packing is a sequential recurrence that no
+    * window function expresses; this one-window-sum approximation is the
+    * standard distributed form of it.
+    *
+    * Scale: one shuffle on lang for the window, one partial-aggregated
+    * groupBy. At 100 TB the window partition key becomes (lang, shard)
+    * where shard = hash div N — packing is order-sensitive only WITHIN a
+    * pack, so sharding the window keeps partitions bounded without
+    * changing semantics. */
+  def packByTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("pre", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", expr(s"pre div ${budget}L"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+}

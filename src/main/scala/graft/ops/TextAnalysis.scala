@@ -114,6 +114,19 @@ object TextAnalysis {
   def md5Fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII-style redaction of numeric runs: every maximal digit run becomes
+    * `<NUM>`. The pattern is RE2-safe (no backreferences/lookaround) so the
+    * DuckDB oracle applies the identical regex; a production scrubber adds
+    * email/phone/ssn alternations to the same single-pass replace. Pure
+    * codegen'd expression — redaction is a map over the scan, which is the
+    * property that matters at 100 TB (no shuffle, no UDF serialization). */
+  def redactNumbers(text: Column): Column =
+    regexp_replace(text, "[0-9]+", "<NUM>")
+
+  /** Count of maximal digit runs (the redaction audit column). */
+  def numberRunCount(text: Column): Column =
+    regexp_count(text, lit("[0-9]+")).cast(LongType)
+
   /** Full language-ID query: marker counts per language + argmax prediction
     * ('en' wins ties / all-zero). */
   def langIdQuery(docs: DataFrame): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantics and invariants of the deterministic sampling / packing
+  * operators: hash-split stability under corpus growth, stratified quota
+  * rates, prefix-sum packing bounds, and redaction. */
+class SamplingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    val lang = Seq("en", "zh", "de")(i % 3)
+    (i.toLong, s"word$i text sample number item $i content piece", lang,
+      s"src${i % 4}", 40L)
+  }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("assignSplit is deterministic and stable under corpus growth") {
+    val small = Sampling.assignSplit(corpus(200)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val big = Sampling.assignSplit(corpus(400)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    // every doc of the smaller corpus keeps its split in the bigger one —
+    // the anti-leakage property rand()-based splitting cannot give
+    assert(small.forall { case (id, s) => big(id) == s })
+    // fractions roughly match 80/10/10 (48-bit hash, 400 docs: ±10pp slack)
+    val frac = big.values.groupBy(identity).view.mapValues(_.size / 400.0)
+    assert(frac("train") > 0.70 && frac("train") < 0.90, frac)
+    assert(frac("val") > 0.03 && frac("test") > 0.03)
+  }
+
+  test("split and stratified buckets are independent (different salts)") {
+    val s = Sampling.assignSplit(corpus(300))
+      .select(col("doc_id"), col("bucket").as("b1"))
+    val t = Sampling.stratifiedSample(corpus(300),
+      Map.empty, defaultPct = 100) // keep all: rate 100 never filters
+      .select(col("doc_id"), col("bucket").as("b2"))
+    val joined = s.join(t, "doc_id").where(col("b1") === col("b2")).count()
+    // equal buckets should be ~1% coincidence, not systematic correlation
+    assert(joined < 15, s"buckets collide on $joined of 300 docs")
+  }
+
+  test("stratifiedSample keeps ~rate% per stratum and only sampled rows") {
+    val kept = Sampling.stratifiedSample(corpus(600),
+      Map("en" -> 50, "zh" -> 30), defaultPct = 20).collect()
+    val byLang = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    // 200 docs per lang; binomial 3σ ≈ ±0.10-ish slack per stratum
+    assert(byLang("en") > 70 && byLang("en") < 130, byLang)
+    assert(byLang("zh") > 35 && byLang("zh") < 85, byLang)
+    assert(byLang("de") > 15 && byLang("de") < 65, byLang)
+    // the kept set is reproducible: same call, same rows
+    val again = Sampling.stratifiedSample(corpus(600),
+      Map("en" -> 50, "zh" -> 30), defaultPct = 20).collect()
+    assert(kept.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("packByTokenBudget: packs are contiguous and overflow by at most " +
+    "one document") {
+    val docsDf = (0 until 50).map { i =>
+      // token counts 8, 16, 24, ... so packs fill at varying rates
+      val nTok = 8 * (i % 5 + 1)
+      (i.toLong, (1 to nTok).map(j => s"t$j").mkString(" "), "en", "src0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budget = 100L
+    val packs = Sampling.packByTokenBudget(docsDf, budget)
+      .orderBy("lang", "pack_id").collect()
+    val ids = packs.map(_.getAs[Long]("pack_id")).toSeq
+    // contiguous pack ids from 0 (prefix-sum bucketing can't skip a bucket
+    // unless one doc alone overshoots a whole budget — none here)
+    assert(ids == (0L until ids.length).toSeq, ids)
+    // every pack's token total stays under budget + one max-sized doc
+    assert(packs.forall(_.getAs[Long]("pack_tokens") <= budget + 40), packs.toSeq)
+    // all docs land somewhere
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == 50)
+  }
+
+  test("redactNumbers replaces every digit run and counts them") {
+    val df = Seq(
+      (1L, """{"k": 69, "id": 12345}"""),
+      (2L, "no digits here"),
+      (3L, "a1b22c333")).toDF("id", "s")
+    val r = df.select(col("id"),
+        TextAnalysis.redactNumbers(col("s")).as("red"),
+        TextAnalysis.numberRunCount(col("s")).as("n"))
+      .orderBy("id").collect()
+    assert(r(0).getString(1) == """{"k": <NUM>, "id": <NUM>}""" && r(0).getLong(2) == 2)
+    assert(r(1).getString(1) == "no digits here" && r(1).getLong(2) == 0)
+    assert(r(2).getString(1) == "a<NUM>b<NUM>c<NUM>" && r(2).getLong(2) == 3)
+  }
+}
