@@ -517,8 +517,9 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val bucketed = emb
         .withColumn("_n", graft.ops.Similarity.norm(col("embedding")))
+        .withColumn("_mask", graft.ops.Similarity.hyperplaneMask(col("embedding")))
         .withColumn("bb",
-          explode(graft.ops.Similarity.hyperplaneBuckets(col("embedding"))))
+          explode(graft.ops.Similarity.bucketsFromMask(col("_mask"))))
         .select(col("vec_id"), col("embedding"), col("_n"),
           col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
       bucketed.as("a")

@@ -199,8 +199,14 @@ object Dedup {
     * thing with more machinery. */
   def connectedComponents(pairs: DataFrame, allIds: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    // cache the symmetric edge list pre-partitioned on `b` — the key every
+    // round's propagation join probes. The cached InMemoryRelation keeps
+    // reporting hashpartitioning(b), so each round's join shuffles only the
+    // node-sized label table; without this the (larger) edge table
+    // re-shuffles out of the cache every single round.
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(col("b"))
       .cache()
     // only nodes that appear in an edge can ever change label — iterate on
     // that (much smaller) set and union the isolated rest back at the end

@@ -70,7 +70,7 @@ object Similarity {
     * (component j of plane p = md5("hp|p|j") first 6 hex nibbles mapped into
     * [-0.5, 0.5)) and shipped as array literals — zero per-row hashing on
     * executors, reruns identical everywhere. */
-  private lazy val planes: Array[Array[Double]] = {
+  private[graft] lazy val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(NumHyperplanes) { p =>
       Array.tabulate(MaxDim) { j =>
@@ -81,31 +81,40 @@ object Similarity {
     }
   }
 
-  /** Sign-bit of one vector under hyperplane `p`, shifted to bit `bitPos`.
-    * Projection runs through the codegen'd [[graft.functions.VectorDot]]
-    * kernel (float vector × double plane literal). The kernel folds over
-    * the SHORTER of the two arrays, so the 512-wide plane literal needs no
-    * per-row `slice` to the vector's dim — same value, minus 32 array
-    * allocations per row. */
-  private def signBit(vec: Column, p: Int, bitPos: Int): Column = {
-    val w = typedLit(planes(p).toSeq)
-    val proj = graft.functions.VectorExpressions.vecDot(vec, w)
-    when(proj >= 0, lit(1L << bitPos)).otherwise(lit(0L))
-  }
+  /** All 32 hyperplane sign bits of a vector as one long bitmask, via the
+    * batched codegen kernel [[graft.functions.HyperplaneSignBits]] (one
+    * expression, primitive `double[][]` planes — replaces 32 per-plane
+    * [[graft.functions.VectorDot]] evaluations whose `typedLit` planes
+    * cost one unbox per element per row). Per-plane accumulation order is
+    * unchanged, so every downstream bucket value is bit-identical. */
+  def hyperplaneMask(vec: Column): Column =
+    graft.functions.VectorExpressions.hyperplaneSignBits(vec, planes)
 
-  /** Banded multi-table LSH buckets: NumTables entries of
-    * (table_id, PlanesPerTable sign bits). AND within a table, OR across
-    * tables — the standard recall/precision dial (all-16-bits-AND would
-    * give ~zero recall on weakly-similar vectors). */
-  def hyperplaneBuckets(vec: Column): Column = {
+  /** Banded multi-table LSH buckets from a precomputed sign-bit mask:
+    * NumTables entries of (table_id, PlanesPerTable sign bits). AND within
+    * a table, OR across tables — the standard recall/precision dial
+    * (all-16-bits-AND would give ~zero recall on weakly-similar vectors).
+    *
+    * Callers MUST materialize the mask in its own projection (a `_mask`
+    * withColumn) rather than passing `hyperplaneMask(vec)` directly: the 8
+    * table structs each reference the mask, and handing the kernel
+    * expression itself here would rely on codegen subexpression
+    * elimination to avoid 8 re-evaluations. */
+  def bucketsFromMask(mask: Column): Column = {
     val tables = (0 until NumTables).map { t =>
-      val bits = (0 until PlanesPerTable)
-        .map(j => signBit(vec, t * PlanesPerTable + j, j))
-        .reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bits"))
+      struct(lit(t).as("tbl"),
+        shiftright(mask, t * PlanesPerTable)
+          .bitwiseAND(lit((1L << PlanesPerTable) - 1)).as("bits"))
     }
     array(tables: _*)
   }
+
+  /** One-shot convenience for tests / small inputs: mask + buckets in a
+    * single column expression (the mask is re-evaluated per table — use
+    * the two-step [[hyperplaneMask]] → [[bucketsFromMask]] form on hot
+    * paths). */
+  def hyperplaneBuckets(vec: Column): Column =
+    bucketsFromMask(hyperplaneMask(vec))
 
   /** Approximate top-k: candidates are vectors sharing ANY table bucket
     * with the query, exact cosine rerank, distinct pairs. The bucket join
@@ -114,7 +123,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def bucketed(df: DataFrame) = df
       .withColumn("_n", norm(col("embedding")))
-      .withColumn("bb", explode(hyperplaneBuckets(col("embedding"))))
+      .withColumn("_mask", hyperplaneMask(col("embedding")))
+      .withColumn("bb", explode(bucketsFromMask(col("_mask"))))
       .select(col("vec_id"), col("embedding"), col("_n"),
         col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
     val cb = bucketed(corpus)

@@ -277,6 +277,38 @@ class OpsSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("HyperplaneSignBits mask matches a per-plane driver-side dot fold") {
+    val vecs = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (math.sin(i * 131 + j * 7) * 2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        Similarity.hyperplaneMask($"embedding").as("mask"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same in-order double fold per plane, on the driver
+    for ((id, v) <- vecs) {
+      var mask = 0L
+      for (p <- Similarity.planes.indices) {
+        val w = Similarity.planes(p)
+        var acc = 0.0
+        for (i <- 0 until math.min(v.length, w.length))
+          acc += v(i).toDouble * w(i)
+        if (acc >= 0) mask |= 1L << p
+      }
+      assert(got(id) == mask, s"vec $id")
+    }
+    // and bucketsFromMask slices the mask into 8 tables of 4 bits
+    val bb = df.where($"vec_id" === 0L)
+      .select(explode(Similarity.bucketsFromMask(
+        Similarity.hyperplaneMask($"embedding"))).as("bb"))
+      .select($"bb.tbl", $"bb.bits").collect()
+    assert(bb.length == Similarity.NumTables)
+    for (r <- bb)
+      assert(r.getAs[Long]("bits") ==
+        ((got(0L) >> (r.getAs[Int]("tbl") * Similarity.PlanesPerTable)) & 15L))
+  }
+
   test("BPE-ish token count segments punctuation and digits separately") {
     val df = Seq((0L, "hello world"), (1L, "a1b2!"), (2L, "price: $4.99"))
       .toDF("doc_id", "text")
