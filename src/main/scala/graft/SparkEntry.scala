@@ -1325,6 +1325,24 @@ object SparkEntry {
         .select(col("c_custkey")).orderBy("c_custkey")
     }),
 
+    // Bloom-prefiltered semi-join: lineitems of high-value orders. The
+    // broadcast Bloom drops non-matching fact rows BEFORE the join's
+    // shuffle (at 100 TB: shuffle volume ~ selectivity, not table size);
+    // false positives are removed by the exact semi-join, so the result --
+    // and the oracle -- is the plain semi-join's.
+    "q_bloom_semi_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val highVal = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000.0)
+      graft.operators.BloomSemiJoin
+        .semiJoin(li, highVal, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("l_returnflag")
+    }),
+
     // Skew-mitigated join: events (5 heavily-skewed topics) x per-topic dim,
     // salted 16 ways. Result identical to the plain join -- oracled as one.
     "q_salted_join" -> ((s, dir) => {
@@ -1523,7 +1541,15 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 
   // ------------------------------------------------- streaming-op analogs

@@ -259,6 +259,24 @@ class OpsSpec extends SparkSuite {
     assert(salted == plain && salted.size == 4)
   }
 
+  test("BloomSemiJoin equals the plain semi-join, even with a saturated " +
+    "filter (false positives removed by the exact join)") {
+    import graft.operators.BloomSemiJoin
+    val big = (0L until 500L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = Seq(3L, 77L, 205L, 444L, 444L).toDF("sk")
+    val expected = big.join(small.distinct(), $"k" === $"sk", "left_semi")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    // well-sized filter
+    val sized = BloomSemiJoin.semiJoin(big, small, "k", "sk", 4L)
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(sized == expected)
+    // pathologically tiny filter: 64 bits for 4 keys -> heavy false-positive
+    // rate at might_contain, yet the exact semi-join must still win
+    val tiny = BloomSemiJoin.semiJoin(big, small, "k", "sk", 4L, numBits = 64L)
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(tiny == expected)
+  }
+
   test("vec_dot is SQL-callable once registered (GraftExtensions wiring)") {
     // GraftExtensions installs into a SparkSessionExtensions without error
     new graft.plans.GraftExtensions().apply(
