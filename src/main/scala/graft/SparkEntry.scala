@@ -1164,6 +1164,52 @@ object SparkEntry {
         .orderBy("topic")
     }),
 
+    // Mergeable-sketch re-aggregation (DataSketches HLL): per-group
+    // sketches union into a global estimate WITHOUT rescanning raw data —
+    // the 100 TB pattern where KB-sized sketches re-aggregate at any
+    // rollup level while raw ids never leave their shard. Sketches can't
+    // hash-match another engine, so the oracle gets exact twins plus
+    // in-query bounds flags (the q_sketch_distinct pattern).
+    "q_hll_merge" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(col("event_type").as("grp"), col("user_id"))
+      val sk = ev.groupBy("grp")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val per = sk.select(col("grp"), col("exact_users"),
+        when(abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+          lit(0.05) * col("exact_users"), 1L).otherwise(0L).as("est_ok"))
+      // the "(all)" row re-aggregates the per-group SKETCHES, not the data
+      val allRow = sk
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("(all)").as("grp"), col("exact_users"),
+          when(abs(col("est") - col("exact_users")) <=
+            lit(0.05) * col("exact_users"), 1L).otherwise(0L).as("est_ok"))
+      per.unionByName(allRow).orderBy("grp")
+    }),
+
+    // Sketch set-algebra (DataSketches Theta): distinct clickers who never
+    // errored, via theta_difference over two sketches — set EXCEPT without
+    // joining raw ids. Same bounds-flag oracle pattern.
+    "q_theta_diff" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(col("event_type"), col("user_id"))
+      val clicks = ev.where(col("event_type") === "click")
+      val errors = ev.where(col("event_type") === "error")
+      val exact = clicks.select("user_id").distinct()
+        .join(errors.select("user_id").distinct(), Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_users"))
+      val est = clicks.agg(expr("theta_sketch_agg(user_id)").as("cs"))
+        .crossJoin(errors.agg(expr("theta_sketch_agg(user_id)").as("es")))
+        .select(expr("theta_sketch_estimate(theta_difference(cs, es))")
+          .as("est"))
+      exact.crossJoin(est).select(col("exact_users"),
+        when(abs(col("est") - col("exact_users")) <=
+          greatest(lit(0.05) * col("exact_users"), lit(2.0)), 1L)
+          .otherwise(0L).as("est_ok"))
+    }),
+
     // Window frame: running revenue total per customer over order dates.
     "q_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1429,6 +1475,26 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok,
         |  CAST(1 AS BIGINT) AS p95_ok
         |FROM records GROUP BY topic ORDER BY topic""".stripMargin),
+
+    "q_hll_merge" ->
+      """SELECT grp, exact_users, est_ok FROM (
+        |  SELECT event_type AS grp,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |    CAST(1 AS BIGINT) AS est_ok
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT '(all)', CAST(count(DISTINCT user_id) AS BIGINT),
+        |    CAST(1 AS BIGINT)
+        |  FROM events) t
+        |ORDER BY grp""".stripMargin,
+
+    "q_theta_diff" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND user_id NOT IN (SELECT user_id FROM events
+        |                      WHERE event_type = 'error')""".stripMargin,
 
     "q_running_total" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
