@@ -153,13 +153,22 @@ object Dedup {
     *
     * Cache lifecycle: the doc-level signature table is `.cache()`d because
     * five downstream scans (distinct, two re-expansion joins, two intra
-    * joins) would otherwise each recompute the tokenize+groupBy. The entry
-    * lives in the session CacheManager until the session ends; a harness
-    * invoking many such operators in one long-lived session should call
-    * `spark.catalog.clearCache()` after materializing each result (as
-    * [[graft.Bench]] / [[graft.Verify]] do) — leftover entries both skew
-    * re-run timings and accumulate storage pressure. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * joins) would otherwise each recompute the tokenize+groupBy. The cache
+    * is interior to a lazily-returned plan, so this facade cannot unpersist
+    * it itself; long-lived sessions should use [[simhashPairsManaged]] and
+    * invoke the cleanup thunk once the result is materialized (or call
+    * `spark.catalog.clearCache()` wholesale, as [[graft.Bench]] /
+    * [[graft.Verify]] do) — leftover entries both skew re-run timings and
+    * accumulate storage pressure. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsManaged(docs, maxDist)._1
+
+  /** As [[simhashPairs]], plus a cleanup thunk that unpersists the interior
+    * doc-signature cache. Call it after materializing the pairs result
+    * (count/write/collect); calling it earlier just makes the five
+    * downstream scans recompute the signatures. Idempotent. */
+  def simhashPairsManaged(
+      docs: DataFrame, maxDist: Int = 3): (DataFrame, () => Unit) = {
     val sig = simhash(docs).cache()
     val sigs = sig.select("simhash").distinct()
     val chunks = sigs.select(col("simhash"),
@@ -184,7 +193,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         lit(0L).as("hamming"))
-    cross.unionByName(intra).orderBy("d1", "d2")
+    val pairs = cross.unionByName(intra).orderBy("d1", "d2")
+    (pairs, () => { sig.unpersist(); () })
   }
 
   /** Connected components over a near-dup pair graph — the final step of a

@@ -64,6 +64,18 @@ class OpsSpec extends SparkSuite {
       .toSeq == Seq(n.toLong * (n - 1) / 2, 0L))
   }
 
+  test("simhashPairsManaged cleanup unpersists the interior signature " +
+    "cache and the result stays recomputable afterwards") {
+    spark.catalog.clearCache()
+    val (pairs, cleanup) = Dedup.simhashPairsManaged(docsDf)
+    val before = pairs.count()
+    assert(!spark.sharedState.cacheManager.isEmpty) // sig cache is live
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    cleanup() // idempotent
+    assert(pairs.count() == before) // plan recomputes without the cache
+  }
+
   test("containment detects a quoted subset where jaccard stays small") {
     val long = base + " " + unrelated // B's shingles are a strict subset of A's
     val subset = base
