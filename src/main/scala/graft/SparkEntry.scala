@@ -1210,6 +1210,32 @@ object SparkEntry {
           .otherwise(0L).as("est_ok"))
     }),
 
+    // Frequent-items sketch (approx_top_k family): per-shard sketches
+    // accumulate independently, then a single combine+estimate produces the
+    // global top-k — the mergeable "most common values" pattern at 100 TB
+    // (one KB-sized sketch per partition/day; only states cross the wire).
+    // The ~50-item key space sits far below maxItemsTracked, so the sketch
+    // tracks every item exactly and the estimate must EQUAL the exact
+    // count — a hard equality flag, stronger than the HLL bounds flag.
+    "q_approx_topk" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(concat_ws("_", col("event_type"),
+            (col("user_id") % 10).cast("string")).as("item"),
+          (col("user_id") % 4).as("shard"))
+      val acc = ev.groupBy("shard")
+        .agg(expr("approx_top_k_accumulate(item, 1000)").as("sk"))
+      val est = acc
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1000), 100)")
+          .as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est_cnt"))
+      val exact = ev.groupBy("item").agg(count(lit(1)).as("cnt"))
+      exact.join(est, Seq("item"), "left")
+        .select(col("item"), col("cnt"),
+          when(col("est_cnt") === col("cnt"), 1L).otherwise(0L).as("est_ok"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
     // Window frame: running revenue total per customer over order dates.
     "q_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1495,6 +1521,11 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND user_id NOT IN (SELECT user_id FROM events
         |                      WHERE event_type = 'error')""".stripMargin,
+
+    "q_approx_topk" ->
+      """SELECT event_type || '_' || CAST(user_id % 10 AS VARCHAR) AS item,
+        |  CAST(count(*) AS BIGINT) AS cnt, CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin,
 
     "q_running_total" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
