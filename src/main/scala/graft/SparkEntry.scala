@@ -461,7 +461,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, n_tok,
         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS pre
         |  FROM toks)
-        |SELECT lang, pre // 2000 AS pack_id, count(*) AS n_docs,
+        |SELECT lang, CAST(pre // 2000 AS BIGINT) AS pack_id, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 

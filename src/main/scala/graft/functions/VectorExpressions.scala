@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path (SURVEY.md §7.3's
   * "custom `Expression` … if it shows up in profiles" — it does: the
@@ -26,10 +27,12 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatVectors("vector_dot", left, right)
+
   // element accessor per side: float or double arrays both accepted
   private def isDouble(e: Expression): Boolean = e.dataType match {
-    case org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType, _) => true
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
@@ -95,9 +98,11 @@ case class HyperplaneSignBits(child: Expression,
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatVectors("hyperplane_sign_bits", child)
+
   private def isDouble: Boolean = child.dataType match {
-    case org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.DoubleType, _) => true
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
@@ -154,6 +159,24 @@ case class HyperplaneSignBits(child: Expression,
 }
 
 object VectorExpressions {
+  /** Analysis-time gate shared by the vector kernels: every input must be
+    * `array<float>` or `array<double>`. The element accessors hard-branch
+    * on double-vs-float (`getDouble`/`getFloat`), so any other type —
+    * including `array<int>` — would otherwise surface as an obscure
+    * ClassCastException at eval time or a codegen compile error. */
+  private[functions] def requireFloatVectors(
+      fn: String, inputs: Expression*): TypeCheckResult = {
+    val bad = inputs.map(_.dataType).find {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    }
+    bad match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<float> or array<double> inputs, got ${t.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   /** Column-API entry point: dot product of two `array<float>` columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(

@@ -50,14 +50,30 @@ object BloomSemiJoin {
         GraftBridge.analyzedPlan(bloom)),
       GraftBridge.expression(key)))
 
+  private def isIntegral(df: DataFrame, key: String): Boolean =
+    df.schema(key).dataType match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                smallKey: String, expectedItems: Long,
                numBits: Long = 0L): DataFrame = {
-    val bits = if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
-    val bloom = small
-      .agg(bloomAgg(col(smallKey).cast("long"), expectedItems, bits).as("_bf"))
-    val prefiltered = big
-      .where(mightContain(bloom, col(bigKey).cast("long")))
+    // Bloom hashes longs: a non-integral key would cast('long') to null,
+    // might_contain(null) is null, and the prefilter would silently DROP
+    // rows the exact semi-join matches. Preserve the "result is EXACTLY
+    // the plain semi-join's" contract by skipping the prefilter instead.
+    val prefiltered =
+      if (isIntegral(big, bigKey) && isIntegral(small, smallKey)) {
+        val bits =
+          if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
+        val bloom = small.agg(
+          bloomAgg(col(smallKey).cast("long"), expectedItems, bits).as("_bf"))
+        big.where(mightContain(bloom, col(bigKey).cast("long")))
+      } else big
     val keys = small.select(col(smallKey).as("_k")).distinct()
     prefiltered.join(keys, prefiltered(bigKey) === keys("_k"), "left_semi")
   }

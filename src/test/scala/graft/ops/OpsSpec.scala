@@ -289,6 +289,42 @@ class OpsSpec extends SparkSuite {
     assert(tiny == expected)
   }
 
+  test("BloomSemiJoin with non-integral keys still equals the plain " +
+    "semi-join (prefilter skipped, not silently wrong)") {
+    import graft.operators.BloomSemiJoin
+    // string keys: cast('long') would yield null -> might_contain(null) is
+    // null -> the old prefilter dropped every matching row
+    val big = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), ("delta", 4))
+      .toDF("k", "v")
+    val small = Seq("beta", "delta", "delta").toDF("sk")
+    val expected = big.join(small.distinct(), $"k" === $"sk", "left_semi")
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty) // the regression would have made this empty
+    val got = BloomSemiJoin.semiJoin(big, small, "k", "sk", 2L)
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("vector kernels reject non-float-array inputs at analysis time") {
+    import graft.functions.VectorExpressions
+    val df = Seq((Array(1, 2, 3), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("ints", "floats")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.vecDot($"ints", $"floats")).collect()
+    }
+    assert(e1.getMessage.contains("vector_dot"))
+    val planes = Array(Array(1.0, 0.0, 0.0))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.hyperplaneSignBits($"ints", planes))
+        .collect()
+    }
+    assert(e2.getMessage.contains("hyperplane_sign_bits"))
+    // the valid float column still evaluates
+    val ok = df.select(
+      VectorExpressions.vecDot($"floats", $"floats").as("d")).head.getDouble(0)
+    assert(ok == 14.0)
+  }
+
   test("vec_dot is SQL-callable once registered (GraftExtensions wiring)") {
     // GraftExtensions installs into a SparkSessionExtensions without error
     new graft.plans.GraftExtensions().apply(

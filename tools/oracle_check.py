@@ -19,6 +19,30 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def canon_type(t):
+    """Canonicalize a DuckDB type name to the classes the driver's typed
+    hash distinguishes. HUGEINT (DuckDB's sum/window-int default) is NOT
+    folded into BIGINT — that leak is exactly what this check exists to
+    catch (see ADVICE round 6: pack_token_budget)."""
+    t = str(t).upper()
+    for a, b in [("INTEGER", "INT32"), ("INT", "INT32"), ("BIGINT", "INT64"),
+                 ("INT64", "INT64"), ("HUGEINT", "INT128"),
+                 ("SMALLINT", "INT16"), ("TINYINT", "INT8"),
+                 ("DOUBLE", "FLOAT64"), ("FLOAT", "FLOAT32"),
+                 ("VARCHAR", "STRING"), ("BLOB", "BINARY"),
+                 ("BOOLEAN", "BOOL")]:
+        if t == a:
+            return b
+    return t  # DECIMAL(p,s), DATE, TIMESTAMP*, LIST<...> compared verbatim
+
+
+def type_mismatches(s_rel_types, s_cols, o_rel_types, o_cols):
+    s_map = {c: canon_type(t) for c, t in zip(s_cols, s_rel_types)}
+    o_map = {c: canon_type(t) for c, t in zip(o_cols, o_rel_types)}
+    return [(c, s_map[c], o_map[c]) for c in sorted(s_map)
+            if c in o_map and s_map[c] != o_map[c]]
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -55,10 +79,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no Spark output")
             n_fail += 1
             continue
-        sq = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        s_cols = [d[0] for d in sq.description]
-        s_rows = sq.fetchall()
+        s_rel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        s_cols, s_types = list(s_rel.columns), list(s_rel.types)
+        s_rows = s_rel.fetchall()
         if name not in oracles:
             print(f"rows-only {name}: {len(s_rows)} rows "
                   f"({'OK' if len(s_rows) > 0 else 'EMPTY!'})")
@@ -68,9 +91,9 @@ def main(sf_dir, out_dir):
                 n_pass += 1
             continue
         try:
-            oq = con.execute(oracles[name])
-            o_cols = [d[0] for d in oq.description]
-            o_rows = oq.fetchall()
+            o_rel = con.sql(oracles[name])
+            o_cols, o_types = list(o_rel.columns), list(o_rel.types)
+            o_rows = o_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -79,6 +102,12 @@ def main(sf_dir, out_dir):
         o_cols_n, o_norm = normalize(o_rows, o_cols)
         if s_cols_n != o_cols_n:
             print(f"FAIL {name}: schema {s_cols_n} != {o_cols_n}")
+            n_fail += 1
+            continue
+        tmis = type_mismatches(s_types, s_cols, o_types, o_cols)
+        if tmis:
+            print(f"FAIL {name}: column type mismatch (spark vs oracle): "
+                  + ", ".join(f"{c}: {a} != {b}" for c, a, b in tmis))
             n_fail += 1
             continue
         if len(s_norm) != len(o_norm):
