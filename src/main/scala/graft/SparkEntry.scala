@@ -311,7 +311,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ text family
 
-  import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+  import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> ((s, dir) => {
@@ -342,7 +342,16 @@ object SparkEntry {
           TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
           TextAnalysis.rollingFingerprint(toks).as("fp_roll"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Benchmark decontamination: corpus docs sharing a 3-token shingle with
+    // the eval split (doc_id % 17 == 0 stands in for a benchmark table).
+    // The eval gram set is broadcast — map-side probe against the corpus.
+    "text_decontaminate" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
+
+    // Gopher-style repetition filters: top-2-gram coverage and duplicate-
+    // 3-gram fraction per document.
+    "text_repetition" -> ((s, dir) => Curation.repetitionStats(docs(s, dir)))
   )
 
   /** Shared DuckDB tokenization CTE over `documents`. */
@@ -399,7 +408,51 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
-        |FROM toks ORDER BY doc_id""".stripMargin)
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    "text_decontaminate" -> ("WITH " + ShChain +
+      """, dsh AS (
+        |  SELECT DISTINCT doc_id, sh FROM sh
+        |), ev AS (
+        |  SELECT DISTINCT sh FROM dsh WHERE doc_id % 17 = 0
+        |), hits AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overlap
+        |  FROM dsh d LEFT JOIN ev e ON d.sh = e.sh
+        |  WHERE d.doc_id % 17 <> 0
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  floor((n_overlap * 1.0 / n_grams) * 1000000 + 0.5) / 1000000
+        |    AS contam_frac
+        |FROM hits WHERE n_overlap > 0 ORDER BY doc_id""".stripMargin),
+
+    "text_repetition" -> (T +
+      """, g2 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) x
+        |), a2 AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top2_cnt,
+        |         CAST(sum(cnt) AS BIGINT) AS n2
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |), r AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      AS BIGINT) AS n3,
+        |    CAST(len(list_distinct(
+        |        list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        |      AS BIGINT) AS n3d
+        |  FROM toks)
+        |SELECT r.doc_id, r.n_tok, a2.top2_cnt,
+        |  floor((a2.top2_cnt * 1.0 / a2.n2) * 1000000 + 0.5) / 1000000
+        |    AS top2_frac,
+        |  floor(((r.n3 - r.n3d) * 1.0 / r.n3) * 1000000 + 0.5) / 1000000
+        |    AS dup3_frac
+        |FROM r JOIN a2 ON r.doc_id = a2.doc_id
+        |ORDER BY r.doc_id""".stripMargin)
   )
 
   // -------------------------------------------------------- sampling family
@@ -500,6 +553,12 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    // Incremental dedup: new batch (odd doc_ids) vs existing corpus (even).
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusPairs(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0))
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedNgramJaccard(docs(s, dir), 0.0)),
@@ -604,6 +663,23 @@ object SparkEntry {
         |        * 1000000 + 0.5) / 1000000 AS jaccard
         |FROM cand JOIN shs s1 ON cand.d1 = s1.doc_id JOIN shs s2 ON cand.d2 = s2.doc_id
         |ORDER BY d1, d2""".stripMargin),
+
+    "dedup_incremental" -> ("WITH " + MinhashCandChain +
+      """, icand AS (
+        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+        |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |), shs AS (
+        |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+        |)
+        |SELECT new_id, old_id,
+        |  floor((len(list_intersect(s1.shs, s2.shs)) * 1.0 /
+        |         (len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs))))
+        |        * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM icand JOIN shs s1 ON icand.new_id = s1.doc_id
+        |           JOIN shs s2 ON icand.old_id = s2.doc_id
+        |ORDER BY new_id, old_id""".stripMargin),
 
     "dedup_simhash" ->
       """WITH tok AS (
@@ -1248,6 +1324,25 @@ object SparkEntry {
         .orderBy("custkey", "orderkey")
     }),
 
+    // lag/lead inter-order gap statistics: one window pass (co-partitioned
+    // with the following per-customer agg — Catalyst reuses the hash
+    // partitioning on o_custkey, so the groupBy adds no second shuffle).
+    // Integer day-gaps only: sums/maxes stay BIGINT, no fp rounding needed.
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gap = datediff(col("o_orderdate"), col("prev_ts"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w).as("prev_ts"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("prev_ts")).as("n_gaps"),
+          coalesce(sum(gap), lit(0)).cast(LongType).as("sum_gap_days"),
+          coalesce(max(gap), lit(0)).cast(LongType).as("max_gap_days"))
+        .orderBy("o_custkey")
+    }),
+
     // Time-series rollup on the orders stream.
     "q_monthly_orders" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
@@ -1534,6 +1629,22 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 2) AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY custkey, orderkey""".stripMargin,
+
+    "q_lag_lead" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    lag(o_orderdate) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ts
+        |  FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(prev_ts) AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(sum(date_diff('day', CAST(prev_ts AS DATE),
+        |                              CAST(o_orderdate AS DATE))), 0) AS BIGINT)
+        |    AS sum_gap_days,
+        |  CAST(coalesce(max(date_diff('day', CAST(prev_ts AS DATE),
+        |                              CAST(o_orderdate AS DATE))), 0) AS BIGINT)
+        |    AS max_gap_days
+        |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_monthly_orders" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,

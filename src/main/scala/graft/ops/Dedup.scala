@@ -64,17 +64,23 @@ object Dedup {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (doc_id, band, h1, h2) band-bucket rows from a signature table — the
+    * LSH join key shared by same-corpus and cross-corpus candidate
+    * generation. */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
+        col(s"mh${2 * b + 1}").as("h2")))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.h1").as("h1"), col("bb.h2").as("h2"))
+  }
+
   /** LSH candidate pairs only (no verification): docs sharing any band
     * (band b joins on the raw minhash pair (mh_{2b}, mh_{2b+1})), distinct,
     * d1 < d2. The cheap first stage shared by pair-scoring and clustering. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sig = minhashSignature(docs)
-    val bands = (0 until NumBands).map(b =>
-      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
-        col(s"mh${2 * b + 1}").as("h2")))
-    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.h1").as("h1"), col("bb.h2").as("h2"))
+    val buckets = bandBuckets(minhashSignature(docs))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
@@ -97,6 +103,35 @@ object Dedup {
       .select(col("d1"), col("d2"),
         jaccard(col("s1.shs"), col("s2.shs")).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Incremental (cross-corpus) near-dup detection: MinHash-LSH candidates
+    * between a new batch and an existing corpus, verified with exact
+    * Jaccard. Returns (new_id, old_id, jaccard), ordered — the "dedupe
+    * this crawl snapshot against everything already ingested" operator.
+    *
+    * MinHash signatures are a pure per-doc map, so the old corpus's
+    * signatures/buckets are computed once and stored in practice; each new
+    * batch only maps its own signatures and joins co-partitioned on the
+    * (band, h1, h2) bucket key. Candidates are bucket collisions only —
+    * never new × old. */
+  def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
+    val cand = bandBuckets(minhashSignature(newDocs)).as("a")
+      .join(bandBuckets(minhashSignature(oldDocs)).as("b"),
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    def shingleSets(d: DataFrame) = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
+    cand
+      .join(shingleSets(newDocs).as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(shingleSets(oldDocs).as("s2"), col("old_id") === col("s2.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        jaccard(col("s1.shs"), col("s2.shs")).as("jaccard"))
+      .orderBy("new_id", "old_id")
   }
 
   /** Jaccard similarity of two distinct-element arrays, rounded to 6 with

@@ -56,6 +56,15 @@ object TextAnalysis {
           element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Sliding 2-gram array over the token sequence; empty when the document
+    * has fewer than 2 tokens. Same 1-based indexing contract as
+    * [[shingles3]] (`t[i] || ' ' || t[i+1]` in the DuckDB mirror). */
+  def shingles2(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** English-ish stopword list used by quality scoring. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")

@@ -76,6 +76,44 @@ class OpsSpec extends SparkSuite {
     assert(pairs.count() == before) // plan recomputes without the cache
   }
 
+  test("cross-corpus incremental dedup finds new-vs-old duplicates only") {
+    // new batch = odd doc_ids (1=exact dup of 0, 3=unrelated); old = even
+    val pairs = Dedup.crossCorpusPairs(
+      docsDf.where(col("doc_id") % 2 === 1),
+      docsDf.where(col("doc_id") % 2 === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toList
+    assert(pairs.exists { case (n, o, j) => n == 1 && o == 0 && j == 1.0 })
+    assert(pairs.forall { case (n, o, _) => n % 2 == 1 && o % 2 == 0 })
+    assert(!pairs.exists { case (n, _, _) => n == 3 }) // unrelated new doc clean
+  }
+
+  test("decontamination flags corpus docs overlapping the eval split") {
+    // evalMod=17 makes doc 0 the eval set; 1 is its exact dup (fully
+    // contaminated), 2 a near dup (partially), 3 unrelated (clean).
+    val r = Curation.decontaminate(docsDf).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_overlap"), x.getAs[Double]("contam_frac"))).toMap
+    assert(r.contains(1L) && r(1L)._2 == 1.0)
+    assert(r.contains(2L) && r(2L)._1 > 0 && r(2L)._2 < 1.0)
+    assert(!r.contains(3L))
+    assert(!r.contains(0L)) // eval doc itself is not a corpus row
+  }
+
+  test("repetition stats match hand-computed Gopher fractions") {
+    val df = Seq(
+      (0L, "a b a b a b", "en", "s", 11L),       // (a b)x3 of 5 2-grams
+      (1L, "one two three four", "en", "s", 18L)) // no repetition
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.repetitionStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tok") == 6L)
+    assert(r(0L).getAs[Long]("top2_cnt") == 3L)
+    assert(r(0L).getAs[Double]("top2_frac") == 0.6)  // 3 / 5
+    assert(r(0L).getAs[Double]("dup3_frac") == 0.5)  // 4 3-grams, 2 distinct
+    assert(r(1L).getAs[Long]("top2_cnt") == 1L)
+    assert(r(1L).getAs[Double]("dup3_frac") == 0.0)
+  }
+
   test("containment detects a quoted subset where jaccard stays small") {
     val long = base + " " + unrelated // B's shingles are a strict subset of A's
     val subset = base
