@@ -1343,6 +1343,45 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ntile quartiles of account balance within each nation, then one
+    // per-(nation, quartile) agg — same single hash partitioning on
+    // c_nationkey reused by the window sort and the groupBy.
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("c_nationkey").cast(LongType).as("nationkey"),
+          col("quartile").cast(LongType).as("quartile"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("nationkey", "quartile")
+    }),
+
+    // Z-order layout audit: Morton-code the (orderkey, partkey) pairs and
+    // check every bucket of the z-sorted order has tight min/max ranges in
+    // BOTH dimensions — the file-skipping property. ntile over the global z
+    // order stands in for `repartitionByRange(n, z)` + per-file stats (the
+    // actual writer path at scale); the global window is the audit's
+    // deliberate single-partition step, not a scale path.
+    "q_zorder_cluster" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .withColumn("z", ZOrder.zorderKey(col("l_orderkey"), col("l_partkey")))
+      val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
+      pairs.select(col("l_orderkey"), col("l_partkey"), col("z"),
+          ntile(32).over(w).as("bucket"))
+        .groupBy(col("bucket").cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("bucket")
+    }),
+
     // Time-series rollup on the orders stream.
     "q_monthly_orders" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
@@ -1645,6 +1684,40 @@ object SparkEntry {
         |                              CAST(o_orderdate AS DATE))), 0) AS BIGINT)
         |    AS max_gap_days
         |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_ntile" ->
+      """WITH q AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    ntile(4) OVER (
+        |      PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(quartile AS BIGINT) AS quartile,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+        |FROM q GROUP BY nationkey, quartile
+        |ORDER BY nationkey, quartile""".stripMargin,
+
+    "q_zorder_cluster" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS a, l_partkey AS b FROM lineitem),
+        |s0 AS (SELECT a, b, a & 2147483647 AS xa, b & 2147483647 AS xb FROM p),
+        |s1 AS (SELECT a, b, (xa | (xa << 16)) & 281470681808895 AS xa,
+        |                    (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+        |s2 AS (SELECT a, b, (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |                    (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+        |s3 AS (SELECT a, b, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |                    (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+        |s4 AS (SELECT a, b, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |                    (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+        |s5 AS (SELECT a, b, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |                    (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4),
+        |zz AS (SELECT a, b, xa | (xb << 1) AS z FROM s5),
+        |t AS (SELECT a, b, z, ntile(32) OVER (ORDER BY z, a, b) AS bucket FROM zz)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(a) AS min_ok, max(a) AS max_ok,
+        |  min(b) AS min_pk, max(b) AS max_pk,
+        |  min(z) AS min_z, max(z) AS max_z
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_monthly_orders" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,

@@ -114,6 +114,29 @@ class OpsSpec extends SparkSuite {
     assert(r(1L).getAs[Double]("dup3_frac") == 0.0)
   }
 
+  test("zorder key matches a bit-by-bit reference interleave") {
+    import graft.functions.ZOrder
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (3L, 1L), (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL),
+      (0x7FFFFFFFL, 0x7FFFFFFFL)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+    val rows = cases.toDF("a", "b")
+      .withColumn("z", ZOrder.zorderKey(col("a"), col("b"))).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("z") == ref(r.getLong(0), r.getLong(1)))
+    }
+    assert(ref(3L, 1L) == 7L) // sanity: a bits->even, b bits->odd
+  }
+
   test("containment detects a quoted subset where jaccard stays small") {
     val long = base + " " + unrelated // B's shingles are a strict subset of A's
     val subset = base
