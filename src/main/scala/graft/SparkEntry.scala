@@ -351,7 +351,16 @@ object SparkEntry {
 
     // Gopher-style repetition filters: top-2-gram coverage and duplicate-
     // 3-gram fraction per document.
-    "text_repetition" -> ((s, dir) => Curation.repetitionStats(docs(s, dir)))
+    "text_repetition" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
+
+    // TF-IDF keyword extraction: top-3 terms per document (linear idf so
+    // the score is bit-identical across engines; see Scaladoc).
+    "text_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfidfTopQuery(docs(s, dir), k = 3)),
+
+    // Robust per-language length-outlier detection (median + MAD).
+    "text_length_outliers" -> ((s, dir) =>
+      Curation.lengthOutliers(docs(s, dir)))
   )
 
   /** Shared DuckDB tokenization CTE over `documents`. */
@@ -452,7 +461,47 @@ object SparkEntry {
         |  floor(((r.n3 - r.n3d) * 1.0 / r.n3) * 1000000 + 0.5) / 1000000
         |    AS dup3_frac
         |FROM r JOIN a2 ON r.doc_id = a2.doc_id
-        |ORDER BY r.doc_id""".stripMargin)
+        |ORDER BY r.doc_id""".stripMargin),
+
+    "text_tfidf_top" -> (T +
+      """, tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * n.n_docs / dfc.df AS score
+        |  FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk,
+        |    term, tf, score
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf,
+        |  floor(score * 1000000 + 0.5) / 1000000 AS score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    "text_length_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.lang, d.n_chars, m.med_chars,
+        |         abs(d.n_chars - m.med_chars) AS adev
+        |  FROM documents d JOIN med m ON d.lang = m.lang),
+        |mad AS (
+        |  SELECT lang, quantile_cont(adev, 0.5) AS mad_chars
+        |  FROM dev GROUP BY lang)
+        |SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(any_value(dev.med_chars) * 1000000 + 0.5) / 1000000 AS med_chars,
+        |  floor(any_value(mad.mad_chars) * 1000000 + 0.5) / 1000000 AS mad_chars,
+        |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad_chars THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.lang = mad.lang
+        |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin
   )
 
   // -------------------------------------------------------- sampling family
@@ -470,6 +519,9 @@ object SparkEntry {
     // Token-budget sequence packing via prefix-sum bucketing.
     "pack_token_budget" -> ((s, dir) =>
       Sampling.packByTokenBudget(docs(s, dir), budget = 2000L)),
+    // Per-source quota cap: keep the 40 longest docs per source (rank
+    // pre-pruned map-side via InferWindowGroupLimit before the shuffle).
+    "sample_quota" -> ((s, dir) => Sampling.quotaCap(docs(s, dir), 40)),
     // Numeric-run redaction over the events payload column (documents are
     // digit-free by construction, so the scrub targets props): a single
     // codegen'd regexp_replace pass plus an audit count.
@@ -522,7 +574,15 @@ object SparkEntry {
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_red,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sample_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents) r
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin
   )
 
   // ----------------------------------------------------------- dedup family
@@ -591,7 +651,11 @@ object SparkEntry {
         .where(col("cos") >= 0.3)
         .distinct()
         .orderBy("d1", "d2")
-    })
+    }),
+
+    // CCNet/RefinedWeb-style sub-document dedup: 10-token chunks shared
+    // across documents are stripped everywhere but their first occurrence.
+    "dedup_chunks" -> ((s, dir) => Curation.chunkDedup(docs(s, dir), 10))
   )
 
   /** Shingle CTE chain (no leading WITH) shared by the minhash oracles. */
@@ -764,7 +828,35 @@ object SparkEntry {
         |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
         |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    "dedup_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(generate_series(0, (len(t) - 1) // 10)) AS i) g
+        |), own AS (
+        |  SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk
+        |), f1 AS (
+        |  SELECT chunk, min(doc_id) AS fdoc FROM ch GROUP BY chunk
+        |), f2 AS (
+        |  SELECT c.chunk, f1.fdoc, min(c.chunk_id) AS fcid
+        |  FROM ch c JOIN f1 ON c.chunk = f1.chunk AND c.doc_id = f1.fdoc
+        |  GROUP BY c.chunk, f1.fdoc
+        |), m AS (
+        |  SELECT c.doc_id, c.chunk_id, c.chunk,
+        |    (o.df = 1 OR (c.doc_id = f2.fdoc AND c.chunk_id = f2.fcid)) AS keep
+        |  FROM ch c JOIN own o ON c.chunk = o.chunk JOIN f2 ON c.chunk = f2.chunk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_id),
+        |    '')) AS clean_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   // ------------------------------------------------- composed pipeline demo
@@ -1324,6 +1416,27 @@ object SparkEntry {
         .orderBy("custkey", "orderkey")
     }),
 
+    // 30-day trailing revenue per customer: a time-based RANGE frame (vs
+    // q_running_total's ROWS frame) over pre-aggregated per-day revenue.
+    // Pre-aggregating to (custkey, day) first bounds the frame's row count
+    // by 30 regardless of order volume — the step that keeps the window
+    // memory constant at 100 TB; both the groupBy and the window hash on
+    // o_custkey, so the window adds no second shuffle.
+    "q_range_frame" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast(LongType).as("day"))
+        .agg(sum(col("o_totalprice")).as("day_rev"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      daily
+        .select(col("o_custkey").as("custkey"), col("day"),
+          round(col("day_rev"), 2).as("day_rev"),
+          round(sum(col("day_rev")).over(w), 2).as("rev_30d"))
+        .orderBy("custkey", "day")
+    }),
+
     // lag/lead inter-order gap statistics: one window pass (co-partitioned
     // with the following per-customer agg — Catalyst reuses the hash
     // partitioning on o_custkey, so the groupBy adds no second shuffle).
@@ -1668,6 +1781,18 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING), 2) AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY custkey, orderkey""".stripMargin,
+
+    "q_range_frame" ->
+      """WITH daily AS (
+        |  SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    sum(o_totalprice) AS day_rev
+        |  FROM orders GROUP BY o_custkey, day)
+        |SELECT o_custkey AS custkey, day, round(day_rev, 2) AS day_rev,
+        |  round(sum(day_rev) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        |FROM daily ORDER BY custkey, day""".stripMargin,
 
     "q_lag_lead" ->
       """WITH w AS (

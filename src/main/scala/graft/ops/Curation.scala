@@ -85,4 +85,98 @@ object Curation {
           .as("dup3_frac"))
       .orderBy("doc_id")
   }
+
+  /** CCNet-style sub-document deduplication: split every document into
+    * fixed-width token chunks (the stand-in for paragraphs/lines — the
+    * synthetic corpus has no newlines), drop every chunk that also appears
+    * in another document EXCEPT its first occurrence (ordered by
+    * (doc_id, chunk_id)), and reassemble what is left. One row per doc:
+    * (doc_id, n_chunks, n_kept, clean_md5) where clean_md5 fingerprints
+    * the reassembled text ('' when nothing survives).
+    *
+    * This is the paragraph-dedup pass of CCNet (Wenzek et al. 2020) /
+    * the line-dedup pass of RefinedWeb: exact-duplicate SPANS are removed
+    * corpus-wide while each span's canonical copy survives, so boilerplate
+    * shared across near-duplicate pages is stripped without deleting the
+    * information itself.
+    *
+    * Scale design (100 TB):
+    *   - chunking is a pure per-row array expression (`sequence` +
+    *     `slice` + `array_join`) — zero shuffle to build chunks, and the
+    *     posexplode feeds the aggregation's map-side partials directly;
+    *   - canonical-occurrence election is ONE groupBy(chunk) with
+    *     `min(struct(doc_id, chunk_id))` + min/max(doc_id) — "shared
+    *     across documents" is tested as `min(doc_id) != max(doc_id)`
+    *     rather than `countDistinct(doc_id) > 1`, which would expand into
+    *     a second exchange (distinct aggregates repartition on
+    *     (chunk, doc_id) first). All three are partial-aggregable, so the
+    *     single shuffle carries one row per distinct chunk, not one per
+    *     occurrence;
+    *   - the occurrence⋈ownership join is chunk-keyed on both sides, so
+    *     AQE reuses the aggregation's exchange; a pathological boilerplate
+    *     chunk (df in the millions) fans out only its own occurrences —
+    *     the same skew the semantics require us to touch;
+    *   - reassembly is one groupBy(doc_id); per-group state is bounded by
+    *     document length, never by corpus size.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val nChunksExpr = // ceil(len/chunkTokens) as the 0-based last chunk id
+      s"sequence(0, (size(_t) - 1) div $chunkTokens)"
+    val chunked = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform($nChunksExpr, i -> array_join(slice(_t, i * $chunkTokens + 1, $chunkTokens), ' '))")))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk")
+    val own = chunked.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first_occ"),
+        min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+    chunked.join(own, Seq("chunk"))
+      .withColumn("keep",
+        col("dmin") === col("dmax") ||
+          (col("doc_id") === col("first_occ.doc_id") &&
+            col("chunk_id") === col("first_occ.chunk_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("chunk_id"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Robust length-outlier detection per language: median and MAD (median
+    * absolute deviation) of `n_chars`, plus how many documents sit more
+    * than `k` MADs from the median — the standard robust filter for
+    * truncated/concatenated crawl pages (mean/stddev would let a few
+    * mega-documents drag the threshold). One row per lang:
+    * (lang, n_docs, med_chars, mad_chars, n_outliers).
+    *
+    * Scale: two exact-percentile aggregations over (lang) — at 100 TB the
+    * med/MAD pass swaps `percentile` for `approx_percentile` (same plan
+    * shape, sketch-mergeable); the per-lang aggregate rows are tiny and
+    * explicitly broadcast back for the deviation/flag passes, so the corpus
+    * is scanned exactly twice and shuffled only into per-lang partials.
+    */
+  def lengthOutliers(docs: DataFrame, k: Double = 3.0): DataFrame = {
+    val base = docs.select(col("lang"), col("n_chars"))
+    val med = base.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5D)").as("med_chars"))
+    val dev = base.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs(col("n_chars") - col("med_chars")))
+    val mad = dev.groupBy("lang")
+      .agg(expr("percentile(adev, 0.5D)").as("mad_chars"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        TextAnalysis.round6(first(col("med_chars"))).as("med_chars"),
+        TextAnalysis.round6(first(col("mad_chars"))).as("mad_chars"),
+        sum(when(col("adev") > lit(k) * col("mad_chars"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("lang")
+  }
 }

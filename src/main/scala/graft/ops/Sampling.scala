@@ -87,4 +87,27 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
       .orderBy("lang", "pack_id")
   }
+
+  /** Per-source quota capping: keep at most `perSource` documents from each
+    * source, preferring longer documents (tie-broken by doc_id so the keep
+    * set is deterministic). The anti-over-representation pass of corpus
+    * mixing — no single crawl domain may dominate the training mix.
+    * Returns the kept documents with their per-source rank.
+    *
+    * Scale: expressed as rank-over-window + filter so Catalyst's
+    * InferWindowGroupLimit kicks in — each map task pre-prunes its
+    * partition to the per-source top-`perSource` BEFORE the shuffle
+    * (verified in the physical plan: a partial WindowGroupLimit under the
+    * exchange), so the shuffle carries O(sources × perSource × tasks)
+    * rows, not the corpus. A source with billions of rows therefore never
+    * concentrates on one reducer beyond that bound. */
+  def quotaCap(docs: DataFrame, perSource: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .where(col("rk") <= perSource)
+      .orderBy("doc_id")
+  }
 }

@@ -158,4 +158,37 @@ object TextAnalysis {
         .otherwise("en").as("lang_pred"))
       .orderBy("doc_id")
   }
+
+  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
+    * topic-tagging primitive of corpus analysis. Uses a linear idf
+    * (`n_docs / df` instead of `ln(n_docs / df)`) so the score is one
+    * integer product + one IEEE division, bit-identical across engines —
+    * `ln` could differ in the last ulp between libm and the JVM and flip a
+    * near-tie ranking. Ties break on term asc. One row per (doc, rank):
+    * (doc_id, rk, term, tf, score).
+    *
+    * Scale: tf is a (doc,term)-keyed partial-aggregated groupBy; df
+    * re-aggregates tf's output BY TERM (one more shuffle over rows that
+    * are already one-per-(doc,term), not one-per-token); the tf⋈df join
+    * shuffles on term — df is vocabulary-sized, so broadcast is wrong at
+    * corpus scale and the plan does NOT assume it. The final top-k is
+    * rank-over-window + filter, pre-pruned map-side by
+    * InferWindowGroupLimit exactly like [[Sampling.quotaCap]]. */
+  def tfidfTopQuery(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * col("n_docs") / col("df"))
+      .select(col("doc_id"),
+        row_number().over(w).cast(LongType).as("rk"),
+        col("term"), col("tf"), round6(col("score")).as("score"))
+      .where(col("rk") <= k)
+      .orderBy("doc_id", "rk")
+  }
 }

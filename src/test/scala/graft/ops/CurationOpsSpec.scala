@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** Semantics tests for the round-7 curation operators: sub-document chunk
+  * dedup, robust length outliers, per-source quota capping and TF-IDF
+  * keyword extraction — all with planted fixtures whose expected outputs
+  * are computed by hand. */
+class CurationOpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 10-token "paragraphs": chunkDedup(chunkTokens = 10) sees each letter
+  // block as exactly one chunk.
+  private val A = (1 to 10).map(i => s"a$i").mkString(" ")
+  private val B = (1 to 10).map(i => s"b$i").mkString(" ")
+  private val C = (1 to 10).map(i => s"c$i").mkString(" ")
+  private val D = (1 to 10).map(i => s"d$i").mkString(" ")
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chunkDedup keeps a shared chunk only at its first occurrence and " +
+    "empties a fully-duplicated document") {
+    val docs = mkDocs(
+      0L -> s"$A $B", // owns both of its chunks
+      1L -> s"$A $C", // A is owned by doc 0 -> dropped here
+      2L -> D,        // untouched singleton
+      3L -> s"$A $B") // full copy of doc 0 -> nothing survives
+    val r = Curation.chunkDedup(docs, 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_chunks"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("clean_md5")))).toMap
+    assert(r(0L)._1 == 2 && r(0L)._2 == 2)
+    assert(r(1L)._1 == 2 && r(1L)._2 == 1)
+    assert(r(2L) == ((1L, 1L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(D))))
+    // every chunk of doc 3 has its first occurrence in doc 0
+    assert(r(3L)._1 == 2 && r(3L)._2 == 0)
+    assert(r(3L)._3 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+    // doc 1's surviving text is exactly its unshared chunk
+    assert(r(1L)._3 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(C))
+  }
+
+  test("chunkDedup keeps within-document repeats when no other doc shares " +
+    "the chunk") {
+    val docs = mkDocs(0L -> s"$A $A") // same chunk twice, single doc
+    val r = Curation.chunkDedup(docs, 10).collect().head
+    assert(r.getAs[Long]("n_chunks") == 2 && r.getAs[Long]("n_kept") == 2)
+  }
+
+  test("lengthOutliers flags documents beyond 3 MADs from the per-lang " +
+    "median") {
+    val docs = (
+      // en: 4 docs of 10 chars, one 1000-char page -> med 10, MAD 0, 1 hit
+      (1 to 4).map(i => (i.toLong, "x" * 10, "en", "s", 10L)) :+
+        (5L, "x" * 1000, "en", "s", 1000L)) ++ (
+      // de: uniform lengths -> MAD 0 but zero deviates -> 0 hits
+      (6 to 8).map(i => (i.toLong, "y" * 20, "de", "s", 20L)))
+    val r = Curation.lengthOutliers(docs.toDF(
+        "doc_id", "text", "lang", "source", "n_chars")).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Double]("med_chars"), x.getAs[Double]("mad_chars"),
+          x.getAs[Long]("n_outliers")))).toMap
+    assert(r("en") == ((10.0, 0.0, 1L)))
+    assert(r("de") == ((20.0, 0.0, 0L)))
+  }
+
+  test("quotaCap keeps the perSource longest docs, ties broken by doc_id") {
+    val docs = mkDocs(
+      0L -> "aa bb", 1L -> "cc dd", 2L -> "longest text here ok",
+      3L -> "mid text ok", 4L -> "ee ff")
+      .union(Seq((9L, "other", "en", "src1", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val kept = Sampling.quotaCap(docs, perSource = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
+    // src0 lengths: doc2=20 > doc3=11 > {doc0,doc1,doc4}=5 (tie -> doc0)
+    assert(kept.toSet == Set((2L, 1L), (3L, 2L), (0L, 3L), (9L, 1L)))
+  }
+
+  test("tfidfTopQuery ranks by tf * n_docs / df with term-asc tie-break") {
+    val docs = mkDocs(
+      0L -> "apple apple banana",
+      1L -> "banana cherry",
+      2L -> "cherry cherry cherry")
+    val r = TextAnalysis.tfidfTopQuery(docs, k = 3).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("rk"),
+        x.getAs[String]("term"), x.getAs[Double]("score")))
+    // doc 0: apple tf=2 df=1 -> 6.0 beats banana tf=1 df=2 -> 1.5
+    assert(r.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)).toList ==
+      List((1L, "apple", 6.0), (2L, "banana", 1.5)))
+    // doc 1: equal scores 1.5 -> banana before cherry (term asc)
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toList ==
+      List((1L, "banana", 1.5), (2L, "cherry", 1.5)))
+    // doc 2: cherry tf=3 df=2 -> 4.5
+    assert(r.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toList ==
+      List((1L, "cherry", 4.5)))
+  }
+}
