@@ -360,7 +360,12 @@ object SparkEntry {
 
     // Robust per-language length-outlier detection (median + MAD).
     "text_length_outliers" -> ((s, dir) =>
-      Curation.lengthOutliers(docs(s, dir)))
+      Curation.lengthOutliers(docs(s, dir))),
+
+    // Unigram-LM commonness score (log-free CCNet-perplexity cousin —
+    // integer sums only, so bit-reproducible across partition orders).
+    "text_commonness" -> ((s, dir) =>
+      TextAnalysis.commonnessQuery(docs(s, dir)))
   )
 
   /** Shared DuckDB tokenization CTE over `documents`. */
@@ -501,7 +506,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad_chars THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.lang = mad.lang
-        |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin
+        |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin,
+
+    "text_commonness" -> (T +
+      """, tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(cnt.cnt) AS BIGINT) AS sum_cnt,
+        |  floor((CAST(sum(cnt.cnt) AS BIGINT) /
+        |         (count(*) * any_value(tot.total))) * 1000000 + 0.5) / 1000000
+        |    AS commonness
+        |FROM tok JOIN cnt ON tok.term = cnt.term CROSS JOIN tot
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)
   )
 
   // -------------------------------------------------------- sampling family
@@ -1152,7 +1170,12 @@ object SparkEntry {
         Multimodal.mediaFromEvents(s, dir), frameBytes = 4, stride = 2).toDF()
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
-    })
+    }),
+
+    // Asset-level exact dedup BEFORE decode: only md5 digests shuffle,
+    // never the media bytes.
+    "mm_dedup_binary" -> ((s, dir) =>
+      Multimodal.dedupBinary(Multimodal.mediaFromEvents(s, dir)))
   )
 
   private def mmOracles: Map[String, String] = Map(
@@ -1183,7 +1206,13 @@ object SparkEntry {
         |  CASE WHEN substr(props, 1, 1) = '{' THEN 'json' ELSE 'raw' END AS format,
         |  CAST(length(props) AS BIGINT) AS byte_len,
         |  md5(props) AS payload_md5
-        |FROM events ORDER BY media_id""".stripMargin
+        |FROM events ORDER BY media_id""".stripMargin,
+
+    "mm_dedup_binary" ->
+      """SELECT md5(props) AS asset_md5, min(event_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(sum(length(props)) AS BIGINT) AS bytes_total
+        |FROM events GROUP BY asset_md5 ORDER BY keep_id""".stripMargin
   )
 
   // ------------------------------------------------------ relational family

@@ -133,4 +133,22 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("format"), col("byte_len"),
         md5(col("payload")).as("payload_md5"))
       .orderBy("media_id")
+
+  /** Asset-level exact dedup: one row per distinct payload, with the
+    * canonical (lowest-id) copy and the copy count — the "same image
+    * uploaded a million times" pass that runs BEFORE any decode in a media
+    * pipeline, because dropping byte-identical assets is free and decoding
+    * them is not.
+    *
+    * Scale: the md5 digest is computed map-side, so the shuffle carries
+    * (16-byte digest, id) pairs and partial min/count aggregates — the
+    * media bytes themselves never leave their scan partition. Same
+    * one-shuffle shape as [[Dedup.exact]] on text. */
+  def dedupBinary(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .groupBy(md5(col("payload")).as("asset_md5"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("byte_len")).as("bytes_total"))
+      .orderBy("keep_id")
 }

@@ -174,6 +174,39 @@ object TextAnalysis {
     * corpus scale and the plan does NOT assume it. The final top-k is
     * rank-over-window + filter, pre-pruned map-side by
     * InferWindowGroupLimit exactly like [[Sampling.quotaCap]]. */
+  /** Per-document corpus-commonness score: the mean corpus frequency of
+    * the document's tokens — low means rare-token-heavy (gibberish, OCR
+    * noise, wrong-language), high means boilerplate built from the
+    * corpus's most common tokens. The unigram-LM cousin of the CCNet
+    * perplexity filter, kept log-free on purpose: every aggregate here is
+    * an INTEGER sum (token counts), so the score is one long product and
+    * one IEEE division at the end — bit-reproducible across engines and
+    * across partition orders, where a sum of per-token `log(p)` doubles
+    * would depend on reduction order.
+    *
+    * Output per doc: (doc_id, n_tok, sum_cnt, commonness) with
+    * commonness = sum_cnt / (n_tok * total_corpus_tokens) ∈ (0, 1].
+    *
+    * Scale: one (term)-keyed count aggregation, one term-join back (both
+    * partial-aggregated; the count table is vocabulary-sized so it
+    * shuffle-joins, like [[tfidfTopQuery]]'s df), one (doc_id) regroup of
+    * integer partials. */
+  def commonnessQuery(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("cnt")).as("sum_cnt"),
+        first(col("total")).as("_total"))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
+        round6(col("sum_cnt") / (col("n_tok") * col("_total")))
+          .as("commonness"))
+      .orderBy("doc_id")
+  }
+
   def tfidfTopQuery(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

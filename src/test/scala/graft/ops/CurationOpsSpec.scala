@@ -81,6 +81,17 @@ class CurationOpsSpec extends SparkSuite {
     assert(kept.toSet == Set((2L, 1L), (3L, 2L), (0L, 3L), (9L, 1L)))
   }
 
+  test("commonnessQuery scores docs by mean corpus token frequency") {
+    val docs = mkDocs(0L -> "a a b", 1L -> "b c")
+    // corpus: 5 tokens; counts a=2 b=2 c=1
+    val r = TextAnalysis.commonnessQuery(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tok"), x.getAs[Long]("sum_cnt"),
+          x.getAs[Double]("commonness")))).toMap
+    assert(r(0L) == ((3L, 6L, 0.4)))  // (2+2+2) / (3*5)
+    assert(r(1L) == ((2L, 3L, 0.3)))  // (2+1) / (2*5)
+  }
+
   test("tfidfTopQuery ranks by tf * n_docs / df with term-asc tie-break") {
     val docs = mkDocs(
       0L -> "apple apple banana",

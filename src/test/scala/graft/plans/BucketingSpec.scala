@@ -40,4 +40,24 @@ class BucketingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("the same join WITHOUT bucketing pays a shuffle on each side " +
+    "(the control measurement)") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (500L to 1500L).map(i => (i, s"r$i")).toDF("k", "rv")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = left.join(right, "k")
+      joined.collect()
+      // inspect the FINAL adaptive plan via its string form —
+      // AdaptiveSparkPlanExec hides children from plan.collect, which
+      // would make a node-collect assertion pass vacuously
+      val plan = joined.queryExecution.executedPlan.toString
+      val nShuffles = "Exchange hashpartitioning\\(k#".r
+        .findAllMatchIn(plan).length
+      assert(nShuffles >= 2, s"expected both sides shuffled, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
