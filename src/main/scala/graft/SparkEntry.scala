@@ -1445,6 +1445,73 @@ object SparkEntry {
         .orderBy("custkey", "orderkey")
     }),
 
+    // CUBE: all four aggregation levels of (status, year) in one pass —
+    // completes the rollup / grouping-sets / cube triad. Partial-agg
+    // expansion is Catalyst's: one Expand + one shuffle, not four scans.
+    "q_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("yr"), lit(-1L)).as("yr"), col("cnt"), col("total"))
+        .orderBy("status", "yr")
+    }),
+
+    // FULL OUTER join with side attribution: customers without orders and
+    // order-groups outside the customer slice both survive.
+    "q_join_full_outer" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") <= 600).select(col("c_custkey"))
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .where(col("o_custkey") <= 900)
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    // UNPIVOT (melt): wide per-flag measures back to (flag, metric, value)
+    // rows via stack() — the inverse of q_pivot_status_priority. stack is
+    // a Generate (map-side 1->3), not a shuffle.
+    "q_unpivot" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_discount"), 2).as("disc"),
+          round(sum("l_tax"), 2).as("tax"))
+        .select(col("flag"),
+          expr("stack(3, 'qty', qty, 'disc', disc, 'tax', tax)")
+            .as(Seq("metric", "value")))
+        .orderBy("flag", "metric")
+    }),
+
+    // Time-series gap filling: each customer's order-day series becomes
+    // dense over [min_day, max_day] with zero-filled missing days —
+    // sequence() + explode builds the calendar DISTRIBUTED per key (rows =
+    // keys × span), and the fill join is (custkey, day)-keyed; nothing
+    // ever materializes a global calendar on the driver.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 20)
+        .select(col("o_custkey").as("custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast(LongType).as("day"))
+        .groupBy("custkey", "day").agg(count(lit(1)).as("n_orders"))
+      val cal = daily.groupBy("custkey")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("custkey"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("custkey", "day"), "left")
+        .select(col("custkey"), col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey", "day")
+    }),
+
     // 30-day trailing revenue per customer: a time-based RANGE frame (vs
     // q_running_total's ROWS frame) over pre-aggregated per-day revenue.
     // Pre-aggregating to (custkey, day) first bounds the frame's row count
@@ -1811,6 +1878,49 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 100
         |ORDER BY custkey, orderkey""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        |ORDER BY status, yr""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 600),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      GROUP BY o_custkey HAVING o_custkey <= 900)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |       WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side,
+        |  coalesce(o.n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag AS flag, round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_discount), 2) AS disc, round(sum(l_tax), 2) AS tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, 'qty' AS metric, qty AS value FROM w
+        |UNION ALL SELECT flag, 'disc', disc FROM w
+        |UNION ALL SELECT flag, 'tax', tax FROM w
+        |ORDER BY flag, metric""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH d AS (
+        |  SELECT o_custkey AS custkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_custkey < 20 GROUP BY custkey, day),
+        |s AS (SELECT custkey, min(day) AS d0, max(day) AS d1 FROM d
+        |      GROUP BY custkey),
+        |cal AS (SELECT custkey, unnest(generate_series(d0, d1)) AS day FROM s)
+        |SELECT cal.custkey, cal.day, coalesce(d.n_orders, 0) AS n_orders
+        |FROM cal LEFT JOIN d ON cal.custkey = d.custkey AND cal.day = d.day
+        |ORDER BY cal.custkey, cal.day""".stripMargin,
+
     "q_range_frame" ->
       """WITH daily AS (
         |  SELECT o_custkey,
@@ -2005,6 +2115,30 @@ object SparkEntry {
       graft.streaming.EventTimeOps.batchSessions(
         Records.readEvents(s, dir)
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")))
+    }),
+
+    // Ordered-funnel analysis: users who viewed, then clicked AFTER the
+    // first view, then purchased AFTER that click. Each stage is a
+    // partial-aggregated min-ts groupBy plus a user-keyed join — every
+    // hop hashes on user_id, so Catalyst reuses one partitioning down the
+    // whole chain; funnel depth adds joins, never wider shuffles.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Records.readEvents(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ms").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts_ms") >= col("t1"))
+        .groupBy("user_id").agg(min("ts_ms").as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts_ms") >= col("t2"))
+        .groupBy("user_id").agg(min("ts_ms").as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view").union(stage(c, "2_click"))
+        .union(stage(p, "3_purchase")).orderBy("stage")
     })
   )
 
@@ -2030,6 +2164,26 @@ object SparkEntry {
         |)
         |SELECT user_id, session_id, min(ts_ms) AS session_start,
         |       max(ts_ms) AS session_end, count(*) AS n_events
-        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts_ms) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t2
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_ms >= v.t1 GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts_ms) AS t3
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_ms >= c.t2 GROUP BY e.user_id
+        |)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin
   )
 }
