@@ -639,7 +639,7 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.blockedNgramJaccard(docs(s, dir), 0.0)),
+      Dedup.blockedNgramJaccard(docs(s, dir), 0.1)),
     // Asymmetric containment (quote/subset detection) on the same blocks.
     "dedup_containment" -> ((s, dir) =>
       Dedup.blockedContainment(docs(s, dir), 0.01)),
@@ -798,12 +798,14 @@ object SparkEntry {
         |  SELECT d.doc_id, d.lang, d.source, s.shs
         |  FROM documents d JOIN shsagg s ON d.doc_id = s.doc_id
         |)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |  floor((len(list_intersect(a.shs, b.shs)) * 1.0 /
-        |         (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
-        |        * 1000000 + 0.5) / 1000000 AS jaccard
-        |FROM shs a JOIN shs b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    floor((len(list_intersect(a.shs, b.shs)) * 1.0 /
+        |           (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))
+        |          * 1000000 + 0.5) / 1000000 AS jaccard
+        |  FROM shs a JOIN shs b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.1
         |ORDER BY d1, d2""".stripMargin),
 
     "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
@@ -1570,20 +1572,28 @@ object SparkEntry {
     }),
 
     // Z-order layout audit: Morton-code the (orderkey, partkey) pairs and
-    // check every bucket of the z-sorted order has tight min/max ranges in
-    // BOTH dimensions — the file-skipping property. ntile over the global z
-    // order stands in for `repartitionByRange(n, z)` + per-file stats (the
-    // actual writer path at scale); the global window is the audit's
-    // deliberate single-partition step, not a scale path.
+    // check every bucket of the z-range layout has tight min/max ranges in
+    // BOTH dimensions — the file-skipping property. Buckets are 32 fixed
+    // equal-width z ranges derived from a 2-scalar distributed agg
+    // (min/max z, broadcast back) — the deterministic stand-in for the
+    // writer's `repartitionByRange(32, z)` boundaries. Everything is
+    // partial-agg + broadcast-scalar + hash-agg: no global window, no
+    // single-partition exchange anywhere in the plan, so the audit runs at
+    // any scale. (An earlier revision used ntile over a global z sort —
+    // equal row counts per bucket, but every row serialized through one
+    // window task.)
     "q_zorder_cluster" -> ((s, dir) => {
       import graft.functions.ZOrder
       val pairs = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .withColumn("z", ZOrder.zorderKey(col("l_orderkey"), col("l_partkey")))
-      val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
-      pairs.select(col("l_orderkey"), col("l_partkey"), col("z"),
-          ntile(32).over(w).as("bucket"))
-        .groupBy(col("bucket").cast(LongType).as("bucket"))
+      val stats = pairs.agg(min("z").as("zmin"), max("z").as("zmax"))
+      // Integer-only bucket arithmetic: z ≤ 2^62, so (z - zmin) stays in
+      // Long and `div` avoids the double-precision cliff past 2^53.
+      pairs.crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          expr("(z - zmin) div ((zmax - zmin) div 32 + 1) + 1").cast(LongType))
+        .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
           min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
@@ -1976,7 +1986,10 @@ object SparkEntry {
         |s5 AS (SELECT a, b, (xa | (xa << 1)) & 6148914691236517205 AS xa,
         |                    (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4),
         |zz AS (SELECT a, b, xa | (xb << 1) AS z FROM s5),
-        |t AS (SELECT a, b, z, ntile(32) OVER (ORDER BY z, a, b) AS bucket FROM zz)
+        |st AS (SELECT min(z) AS zmin, max(z) AS zmax FROM zz),
+        |t AS (SELECT a, b, z,
+        |        (z - zmin) // ((zmax - zmin) // 32 + 1) + 1 AS bucket
+        |      FROM zz, st)
         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  min(a) AS min_ok, max(a) AS max_ok,
         |  min(b) AS min_pk, max(b) AS max_pk,

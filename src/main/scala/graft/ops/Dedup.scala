@@ -306,7 +306,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Blocked n-gram Jaccard near-dup scoring: all pairs within a
+  /** Blocked n-gram Jaccard near-dup scoring: pairs within a
     * (lang, source) block, scored with exact Jaccard over distinct
     * 3-shingles, keeping pairs above `minJaccard`.
     *
@@ -315,8 +315,15 @@ object Dedup {
     * attach per-doc set sizes — instead of a per-pair `array_intersect`:
     * per-pair set intersection does O(|A|+|B|) work for every one of the
     * O(block²) pairs; the posting join only touches pairs that actually
-    * share a shingle and is a plain shuffled equi-join at any scale. Pairs
-    * sharing nothing get jaccard 0 via the size-only pair join.
+    * share a shingle and is a plain shuffled equi-join at any scale.
+    *
+    * For `minJaccard > 0` (the production setting) the plan is fully
+    * inter-driven: only pairs that share at least one shingle ever exist,
+    * so cost scales with actual overlap, never with block size. Only a
+    * `minJaccard <= 0` request — "score EVERY pair, including disjoint
+    * ones at 0.0" — takes the all-pairs `sizes × sizes` block join, which
+    * is O(block²) by its own semantics; it is kept for completeness but is
+    * not the scale path.
     *
     * NOTE (measured, round 6): leave this plan's projection boundaries and
     * join strategy alone. Two "obvious" refactors each regressed ~10-20× at
@@ -343,17 +350,31 @@ object Dedup {
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    sizes.as("x")
-      .join(sizes.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sz").as("sx"), col("y.sz").as("sy"))
-      .join(inter, Seq("d1", "d2"), "left")
-      .select(col("d1"), col("d2"),
-        TextAnalysis.round6(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sx") + col("sy") - coalesce(col("inter"), lit(0L))))
-          .as("jaccard"))
+    val scored =
+      if (minJaccard > 0) {
+        // Inter-driven inner path (same shape as [[blockedContainment]]):
+        // a pair with zero shared shingles has jaccard 0 < minJaccard, so
+        // enumerating it at all is pure waste.
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy")), "d2")
+          .select(col("d1"), col("d2"),
+            TextAnalysis.round6(col("inter").cast("double") /
+              (col("sx") + col("sy") - col("inter"))).as("jaccard"))
+      } else {
+        sizes.as("x")
+          .join(sizes.as("y"),
+            col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.sz").as("sx"), col("y.sz").as("sy"))
+          .join(inter, Seq("d1", "d2"), "left")
+          .select(col("d1"), col("d2"),
+            TextAnalysis.round6(coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("sx") + col("sy") - coalesce(col("inter"), lit(0L))))
+              .as("jaccard"))
+      }
+    scored
       .where(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
   }

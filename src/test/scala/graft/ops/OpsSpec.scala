@@ -158,6 +158,16 @@ class OpsSpec extends SparkSuite {
     assert(r((0L, 3L)) == 0.0)
   }
 
+  test("positive-threshold jaccard (inter-driven path) = all-pairs path filtered") {
+    val filtered = Dedup.blockedNgramJaccard(docsDf, 0.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getAs[Double]("jaccard")))
+      .filter(_._3 >= 0.5).toSet
+    val inner = Dedup.blockedNgramJaccard(docsDf, 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getAs[Double]("jaccard"))).toSet
+    assert(inner == filtered && inner.nonEmpty)
+    assert(!inner.exists { case (a, b, _) => (a, b) == (0L, 3L) }) // disjoint pair never enumerated
+  }
+
   test("embedding pairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
