@@ -516,7 +516,7 @@ object SparkEntry {
         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |  CAST(sum(cnt.cnt) AS BIGINT) AS sum_cnt,
         |  floor((CAST(sum(cnt.cnt) AS BIGINT) /
-        |         (count(*) * any_value(tot.total))) * 1000000 + 0.5) / 1000000
+        |         count(*) / any_value(tot.total)) * 1000000 + 0.5) / 1000000
         |    AS commonness
         |FROM tok JOIN cnt ON tok.term = cnt.term CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)
@@ -632,10 +632,15 @@ object SparkEntry {
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
     // Incremental dedup: new batch (odd doc_ids) vs existing corpus (even).
+    // The corpus side's band buckets come from the persisted signature
+    // store (built on first run, reloaded after), so repeat batches never
+    // recompute the old corpus's signatures.
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.crossCorpusPairs(
-        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0))
+      val old = d.where(col("doc_id") % 2 === 0)
+      val ob = Dedup.bandBucketStore(s, old, s"$dir/documents.parquet",
+        "incr_even")
+      Dedup.crossCorpusPairs(d.where(col("doc_id") % 2 === 1), old, Some(ob))
     }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -998,6 +1003,27 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+    // Recall gate for the LSH path: micro-averaged recall@5 of lshTopK vs
+    // the exact brute-force top-5 over the same query set, one summary row
+    // with the >= 0.8 flag. The oracle recomputes the whole thing
+    // symbolically, so the flag value is pinned by the hash compare — if a
+    // plane/bucket/probe change drops recall below the bar, recall_ok
+    // flips to false on BOTH sides and the regression is visible in the
+    // committed result, not just in a local measurement.
+    "sim_ann_lsh_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") < 20)
+      val approx = Similarity.lshTopK(emb, q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
     })
   )
 
@@ -1031,12 +1057,16 @@ object SparkEntry {
 
   private def simOracles: Map[String, String] = Map(
     "sim_ann_lsh" -> ("WITH " + LshBucketChain +
-      """, scored AS (
+      """, qprobe AS (
+        |  SELECT vec_id, tbl, CAST(xor(bits, f) AS BIGINT) AS bits
+        |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS f) flips
+        |  WHERE vec_id < 20
+        |), scored AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
         |                           CAST(ce.embedding AS DOUBLE[])) /
         |          (qn.n * cn.n), 6) AS cos
-        |  FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
+        |  FROM qprobe q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
         |    AND q.vec_id <> c.vec_id
         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
         |  JOIN embeddings ce ON ce.vec_id = c.vec_id
@@ -1051,6 +1081,54 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_lsh_recall" -> ("WITH " + LshBucketChain +
+      """, qprobe AS (
+        |  SELECT vec_id, tbl, CAST(xor(bits, f) AS BIGINT) AS bits
+        |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS f) flips
+        |  WHERE vec_id < 20
+        |), lsh_scored AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+        |                           CAST(ce.embedding AS DOUBLE[])) /
+        |          (qn.n * cn.n), 6) AS cos
+        |  FROM qprobe q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
+        |    AND q.vec_id <> c.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |  JOIN nrm qn ON qn.vec_id = q.vec_id
+        |  JOIN nrm cn ON cn.vec_id = c.vec_id
+        |), approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM lsh_scored)
+        |  WHERE rank <= 5
+        |), ex_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) /
+        |          (qn.n * cn.n), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  JOIN nrm qn ON qn.vec_id = q.vec_id
+        |  JOIN nrm cn ON cn.vec_id = c.vec_id
+        |  WHERE q.vec_id < 20
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM ex_scored)
+        |  WHERE rank <= 5
+        |)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(n_hit * 1.0 / n_exact, 6) AS recall,
+        |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
+        |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
+        |             (SELECT count(*) FROM exact e
+        |              JOIN approx a ON e.query_id = a.query_id
+        |                AND e.neighbor_id = a.neighbor_id) AS n_hit)""".stripMargin),
 
     "dedup_embedding_lsh" -> ("WITH " + LshBucketChain +
       """SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
@@ -1450,13 +1528,23 @@ object SparkEntry {
     // CUBE: all four aggregation levels of (status, year) in one pass —
     // completes the rollup / grouping-sets / cube triad. Partial-agg
     // expansion is Catalyst's: one Expand + one shuffle, not four scans.
+    // Rollup rows are detected with grouping(), not a NULL-coalesce
+    // sentinel, so a genuine NULL group value on nullable data could
+    // never be conflated with an aggregate level.
     "q_cube" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
-        .cube(col("o_orderstatus"),
-          year(col("o_orderdate")).cast(LongType).as("yr"))
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
-        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
-          coalesce(col("yr"), lit(-1L)).as("yr"), col("cnt"), col("total"))
+        .select(col("o_orderstatus"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          col("o_totalprice"))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(grouping(col("o_orderstatus")).as("_gs"),
+          grouping(col("yr")).as("_gy"),
+          count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          when(col("_gs") === 1, "(all)").otherwise(col("o_orderstatus"))
+            .as("status"),
+          when(col("_gy") === 1, -1L).otherwise(col("yr")).as("yr"),
+          col("cnt"), col("total"))
         .orderBy("status", "yr")
     }),
 
@@ -1634,8 +1722,10 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("v_orders2")
       s.sql(
-        """SELECT coalesce(o_orderstatus, '(all)') AS status,
-          |       coalesce(o_orderpriority, '(all)') AS priority,
+        """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+          |            ELSE o_orderstatus END AS status,
+          |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+          |            ELSE o_orderpriority END AS priority,
           |       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
           |FROM v_orders2
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -1733,10 +1823,13 @@ object SparkEntry {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
-        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
-          coalesce(col("n_name"), lit("(all)")).as("nation"),
+        .agg(grouping(col("r_name")).as("_gr"),
+          grouping(col("n_name")).as("_gn"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"), count(lit(1)).as("n_items"))
+        .select(
+          when(col("_gr") === 1, "(all)").otherwise(col("r_name")).as("region"),
+          when(col("_gn") === 1, "(all)").otherwise(col("n_name")).as("nation"),
           col("revenue"), col("n_items"))
         .orderBy("region", "nation")
     }),
@@ -1889,8 +1982,11 @@ object SparkEntry {
         |ORDER BY custkey, orderkey""".stripMargin,
 
     "q_cube" ->
-      """SELECT coalesce(o_orderstatus, '(all)') AS status,
-        |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+        |       ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN -1
+        |       ELSE CAST(year(o_orderdate) AS BIGINT) END AS yr,
         |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, year(o_orderdate))
@@ -2016,8 +2112,10 @@ object SparkEntry {
         |ORDER BY o_custkey""".stripMargin,
 
     "q_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus, '(all)') AS status,
-        |       coalesce(o_orderpriority, '(all)') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+        |            ELSE o_orderstatus END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+        |            ELSE o_orderpriority END AS priority,
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -2070,8 +2168,10 @@ object SparkEntry {
         |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q_rollup_revenue" ->
-      """SELECT coalesce(r_name, '(all)') AS region,
-        |       coalesce(n_name, '(all)') AS nation,
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN '(all)' ELSE r_name END
+        |         AS region,
+        |       CASE WHEN GROUPING(n_name) = 1 THEN '(all)' ELSE n_name END
+        |         AS nation,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem

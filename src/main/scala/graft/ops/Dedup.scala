@@ -111,27 +111,57 @@ object Dedup {
     * this crawl snapshot against everything already ingested" operator.
     *
     * MinHash signatures are a pure per-doc map, so the old corpus's
-    * signatures/buckets are computed once and stored in practice; each new
-    * batch only maps its own signatures and joins co-partitioned on the
-    * (band, h1, h2) bucket key. Candidates are bucket collisions only —
-    * never new × old. */
-  def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
+    * band buckets are computed once and persisted ([[bandBucketStore]]);
+    * each new batch only maps its own signatures and joins co-partitioned
+    * on the (band, h1, h2) bucket key against the stored table. Candidates
+    * are bucket collisions only — never new × old. Shingle-set
+    * verification touches ONLY docs that appear in a candidate pair (a
+    * left-semi prune on each side), so the exact-Jaccard pass costs
+    * O(candidates), not O(corpus). */
+  def crossCorpusPairs(newDocs: DataFrame, oldDocs: DataFrame,
+                       oldBuckets: Option[DataFrame] = None): DataFrame = {
+    val ob = oldBuckets.getOrElse(bandBuckets(minhashSignature(oldDocs)))
     val cand = bandBuckets(minhashSignature(newDocs)).as("a")
-      .join(bandBuckets(minhashSignature(oldDocs)).as("b"),
+      .join(ob.as("b"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
-    def shingleSets(d: DataFrame) = d
+    def shingleSets(d: DataFrame, ids: Column) = d
+      .join(cand.select(ids.as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
     cand
-      .join(shingleSets(newDocs).as("s1"), col("new_id") === col("s1.doc_id"))
-      .join(shingleSets(oldDocs).as("s2"), col("old_id") === col("s2.doc_id"))
+      .join(shingleSets(newDocs, col("new_id")).as("s1"),
+        col("new_id") === col("s1.doc_id"))
+      .join(shingleSets(oldDocs, col("old_id")).as("s2"),
+        col("old_id") === col("s2.doc_id"))
       .select(col("new_id"), col("old_id"),
         jaccard(col("s1.shs"), col("s2.shs")).as("jaccard"))
       .orderBy("new_id", "old_id")
+  }
+
+  /** Persistent band-bucket store for the incremental-dedup corpus side:
+    * build the (doc_id, band, h1, h2) table once, write it to parquet, and
+    * serve every later batch from the stored copy — the executable form of
+    * "signatures are computed once and stored". The store directory name
+    * embeds a recursive mtime+size fingerprint of the source data, so a
+    * regenerated corpus can never be served stale buckets; rebuilds are
+    * atomic via Spark's own commit protocol (`_SUCCESS`). */
+  def bandBucketStore(spark: org.apache.spark.sql.SparkSession,
+                      corpus: DataFrame, sourcePath: String,
+                      tag: String): DataFrame = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(fp).sum
+      else f.lastModified() + f.length()
+    val src = new java.io.File(sourcePath)
+    val store = new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft_sigstore_${tag}_${fp(src)}%x")
+    if (!new java.io.File(store, "_SUCCESS").exists())
+      bandBuckets(minhashSignature(corpus))
+        .write.mode("overwrite").parquet(store.getPath)
+    spark.read.parquet(store.getPath)
   }
 
   /** Jaccard similarity of two distinct-element arrays, rounded to 6 with

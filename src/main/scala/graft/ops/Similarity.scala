@@ -116,27 +116,58 @@ object Similarity {
   def hyperplaneBuckets(vec: Column): Column =
     bucketsFromMask(hyperplaneMask(vec))
 
+  /** Multi-probe buckets: for each table, the exact bucket PLUS every
+    * 1-bit flip of its PlanesPerTable sign bits — the standard LSH recall
+    * lift (a near neighbor that lands one hyperplane away is still
+    * probed). Applied to the QUERY side only, so the corpus explode
+    * factor — the side that matters at scale — stays NumTables; probe
+    * cost grows only with the (small) query set. */
+  def probeBucketsFromMask(mask: Column): Column = {
+    val entries = for {
+      t <- 0 until NumTables
+      f <- -1 until PlanesPerTable // -1 = the exact (unflipped) bucket
+    } yield {
+      val bits = shiftright(mask, t * PlanesPerTable)
+        .bitwiseAND(lit((1L << PlanesPerTable) - 1))
+      val probed = if (f < 0) bits else bits.bitwiseXOR(lit(1L << f))
+      struct(lit(t).as("tbl"), probed.as("bits"))
+    }
+    array(entries: _*)
+  }
+
   /** Approximate top-k: candidates are vectors sharing ANY table bucket
-    * with the query, exact cosine rerank, distinct pairs. The bucket join
-    * is co-partitioned on (table, bits) — at 100 TB this replaces the
-    * broadcast with a shuffle proportional to matching buckets only. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def bucketed(df: DataFrame) = df
-      .withColumn("_n", norm(col("embedding")))
+    * with the query (multi-probe: or any 1-bit-flipped query bucket),
+    * exact cosine rerank, distinct pairs. The bucket join is
+    * co-partitioned on (table, bits) — at 100 TB this replaces the
+    * broadcast with a shuffle proportional to matching buckets only.
+    *
+    * The bucket join carries ONLY (vec_id, tbl, bits): embeddings never
+    * ride the ×NumTables explode shuffle, candidate pairs are
+    * id-distinct'd BEFORE the rerank (a pair colliding in several
+    * tables/probes is scored once, not per collision), and the vectors
+    * are joined back just for the one scoring pass. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              multiProbe: Boolean = true): DataFrame = {
+    def bucketed(df: DataFrame, probe: Boolean) = df
       .withColumn("_mask", hyperplaneMask(col("embedding")))
-      .withColumn("bb", explode(bucketsFromMask(col("_mask"))))
-      .select(col("vec_id"), col("embedding"), col("_n"),
-        col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
-    val cb = bucketed(corpus)
-    val qb = bucketed(queries)
-    val scored = cb.as("c")
-      .join(qb.as("q"),
+      .withColumn("bb", explode(
+        if (probe) probeBucketsFromMask(col("_mask"))
+        else bucketsFromMask(col("_mask"))))
+      .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+    val cand = bucketed(corpus, probe = false).as("c")
+      .join(bucketed(queries, probe = multiProbe).as("q"),
         col("q.tbl") === col("c.tbl") && col("q.bits") === col("c.bits") &&
           col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
-          (col("q._n") * col("c._n")), 6).as("cos"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
+    def vecs(df: DataFrame, idCol: String, e: String, n: String) = df
+      .select(col("vec_id").as(idCol), col("embedding").as(e),
+        norm(col("embedding")).as(n))
+    val scored = cand
+      .join(vecs(queries, "query_id", "_qe", "_qn"), "query_id")
+      .join(vecs(corpus, "neighbor_id", "_ce", "_cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -159,21 +159,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
-    * topic-tagging primitive of corpus analysis. Uses a linear idf
-    * (`n_docs / df` instead of `ln(n_docs / df)`) so the score is one
-    * integer product + one IEEE division, bit-identical across engines —
-    * `ln` could differ in the last ulp between libm and the JVM and flip a
-    * near-tie ranking. Ties break on term asc. One row per (doc, rank):
-    * (doc_id, rk, term, tf, score).
-    *
-    * Scale: tf is a (doc,term)-keyed partial-aggregated groupBy; df
-    * re-aggregates tf's output BY TERM (one more shuffle over rows that
-    * are already one-per-(doc,term), not one-per-token); the tf⋈df join
-    * shuffles on term — df is vocabulary-sized, so broadcast is wrong at
-    * corpus scale and the plan does NOT assume it. The final top-k is
-    * rank-over-window + filter, pre-pruned map-side by
-    * InferWindowGroupLimit exactly like [[Sampling.quotaCap]]. */
   /** Per-document corpus-commonness score: the mean corpus frequency of
     * the document's tokens — low means rare-token-heavy (gibberish, OCR
     * noise, wrong-language), high means boilerplate built from the
@@ -185,7 +170,10 @@ object TextAnalysis {
     * would depend on reduction order.
     *
     * Output per doc: (doc_id, n_tok, sum_cnt, commonness) with
-    * commonness = sum_cnt / (n_tok * total_corpus_tokens) ∈ (0, 1].
+    * commonness = sum_cnt / n_tok / total_corpus_tokens ∈ (0, 1] — two
+    * successive IEEE divisions, never the `n_tok * total` long product,
+    * which at real corpus scale (total ≈ 1e13 tokens × 1e5-token docs)
+    * would exceed Long.MAX and wrap silently under non-ANSI mode.
     *
     * Scale: one (term)-keyed count aggregation, one term-join back (both
     * partial-aggregated; the count table is vocabulary-sized so it
@@ -202,11 +190,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("cnt")).as("sum_cnt"),
         first(col("total")).as("_total"))
       .select(col("doc_id"), col("n_tok"), col("sum_cnt"),
-        round6(col("sum_cnt") / (col("n_tok") * col("_total")))
+        round6(col("sum_cnt") / col("n_tok") / col("_total"))
           .as("commonness"))
       .orderBy("doc_id")
   }
 
+  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
+    * topic-tagging primitive of corpus analysis. Uses a linear idf
+    * (`n_docs / df` instead of `ln(n_docs / df)`) so the score is one
+    * integer product + one IEEE division, bit-identical across engines —
+    * `ln` could differ in the last ulp between libm and the JVM and flip a
+    * near-tie ranking. Ties break on term asc. One row per (doc, rank):
+    * (doc_id, rk, term, tf, score).
+    *
+    * Scale: tf is a (doc,term)-keyed partial-aggregated groupBy; df
+    * re-aggregates tf's output BY TERM (one more shuffle over rows that
+    * are already one-per-(doc,term), not one-per-token); the tf⋈df join
+    * shuffles on term — df is vocabulary-sized, so broadcast is wrong at
+    * corpus scale and the plan does NOT assume it. The final top-k is
+    * rank-over-window + filter, pre-pruned map-side by
+    * InferWindowGroupLimit exactly like [[Sampling.quotaCap]]. */
   def tfidfTopQuery(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

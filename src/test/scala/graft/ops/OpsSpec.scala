@@ -87,6 +87,33 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists { case (n, _, _) => n == 3 }) // unrelated new doc clean
   }
 
+  test("persisted band-bucket store round-trips and serves repeat batches") {
+    val src = java.nio.file.Files.createTempDirectory("sigsrc").toFile
+    // a real file to fingerprint (content is irrelevant to the store key)
+    java.nio.file.Files.write(new java.io.File(src, "marker").toPath,
+      "x".getBytes("UTF-8"))
+    val old = docsDf.where(col("doc_id") % 2 === 0)
+    val stored = Dedup.bandBucketStore(spark, old, src.getPath, "spec")
+    val fresh = Dedup.crossCorpusPairs(
+      docsDf.where(col("doc_id") % 2 === 1), old).collect().toSeq
+    val viaStore = Dedup.crossCorpusPairs(
+      docsDf.where(col("doc_id") % 2 === 1), old, Some(stored)).collect().toSeq
+    assert(viaStore == fresh && viaStore.nonEmpty)
+    // second call must reload the same store, not rebuild: the parquet
+    // files on disk are byte-identical before and after
+    def listing(d: java.io.File): Seq[(String, Long, Long)] = {
+      def all(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(all) else Seq(f)
+      all(d).map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val storeDir = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_sigstore_spec_"))
+      .maxBy(_.lastModified())
+    val before = listing(storeDir)
+    Dedup.bandBucketStore(spark, old, src.getPath, "spec").count()
+    assert(listing(storeDir) == before) // untouched → reloaded, not rebuilt
+  }
+
   test("decontamination flags corpus docs overlapping the eval split") {
     // evalMod=17 makes doc 0 the eval set; 1 is its exact dup (fully
     // contaminated), 2 a near dup (partially), 3 unrelated (clean).
