@@ -322,6 +322,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
+    // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
+    // composite keep, verified per-document by the oracle.
+    "text_c4_filters" -> ((s, dir) => TextAnalysis.c4FilterQuery(docs(s, dir))),
     "text_lang_id" -> ((s, dir) => TextAnalysis.langIdQuery(docs(s, dir))),
     // Vocabulary statistics: top document-frequency tokens (corpus-level
     // inverted-index aggregation; at scale this is the df-cut input that
@@ -395,6 +398,23 @@ object SparkEntry {
         |         least(n_chars2 * 1.0 / n_tokens / 10.0, 1.0) * 0.3 +
         |         (1.0 - n_punct * 1.0 / n_chars2) * 0.3) * 1000000 + 0.5)
         |    / 1000000 AS quality
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    "text_c4_filters" -> (T +
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tok,
+        |  len(t) BETWEEN 10 AND 5000 AS len_ok,
+        |  (length(array_to_string(t, '')) * 1.0 / len(t))
+        |    BETWEEN 2.0 AND 12.0 AS wordlen_ok,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |    / length(text) < 0.15 AS symbol_ok,
+        |  len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+        |    / len(t) >= 0.5 AS alpha_ok,
+        |  list_max(list_transform(t, x -> length(x))) <= 25 AS toklen_ok,
+        |  NOT contains(lower(text), 'lorem ipsum') AS lorem_ok,
+        |  len(list_distinct(t)) * 1.0 / len(t) >= 0.2 AS distinct_ok,
+        |  (len_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND toklen_ok
+        |    AND lorem_ok AND distinct_ok) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin),
 
     "text_lang_id" -> (T +

@@ -40,6 +40,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Single source of truth for the suite size — docs cite THIS line
+    // (grep COUNTS) instead of hand-maintaining numbers that drift.
+    val counts = s"COUNTS queries=${SparkEntry.queries.size} " +
+      s"oracles=${SparkEntry.oracleSql.size}"
+    println(counts)
+    Files.writeString(Paths.get(s"$outDir/COUNTS"), counts + "\n")
     spark.stop()
   }
 }

@@ -318,6 +318,18 @@ object Dedup {
         System.err.println(s"[cc] round $iter: $changed changed " +
           s"(${(System.nanoTime() / 1e9)})")
     }
+    // Opt-in convergence guard (GRAFT_CC_ASSERT_ROUNDS env or the
+    // graft.cc.assert.rounds system property): fail loudly if the loop
+    // needed more rounds than the bound — near-dup graphs have tiny
+    // diameters (≤ 4 rounds at sf0.1), so a jump in round count means a
+    // propagation regression (broken edge cache, wrong join key), which
+    // would otherwise surface only as silent slowness.
+    sys.env.get("GRAFT_CC_ASSERT_ROUNDS")
+      .orElse(sys.props.get("graft.cc.assert.rounds"))
+      .map(_.toInt).foreach { bound =>
+        require(iter <= bound,
+          s"connectedComponents took $iter rounds, bound is $bound")
+      }
     edges.unpersist()
     val isolated = allIds.select(col("doc_id"))
       .join(edgeNodes, Seq("doc_id"), "left_anti")

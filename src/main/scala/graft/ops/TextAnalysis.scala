@@ -195,6 +195,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4/Gopher-style rule-bundle filter — the standard pre-training
+    * cleaning pass, emitted as one boolean per rule plus the composite
+    * `keep`, one row per document (flags rather than a filtered subset,
+    * so the oracle verifies every rule on every doc):
+    *
+    *   - `len_ok`       10 ≤ token count ≤ 5000 (Gopher word-count gate)
+    *   - `wordlen_ok`   mean token length in [2, 12] (Gopher)
+    *   - `symbol_ok`    non-alphanumeric char ratio < 0.15 (C4/Gopher
+    *                    symbol-to-word screen)
+    *   - `alpha_ok`     ≥ 50% of tokens purely alphabetic (Gopher)
+    *   - `toklen_ok`    longest token ≤ 25 chars (kills base64/URL blobs)
+    *   - `lorem_ok`     no "lorem ipsum" (C4 placeholder screen)
+    *   - `distinct_ok`  distinct-token ratio ≥ 0.2 (repetition screen —
+    *                    the cheap cousin of [[graft.ops.Curation.repetitionStats]])
+    *
+    * Every rule is a pure per-row column expression over one shared token
+    * array — zero shuffle, whole-stage codegen, embarrassingly parallel
+    * at any scale. All comparisons are on exact integers or a single IEEE
+    * division of exact integers, so the flags are bit-identical across
+    * engines. */
+  def c4FilterQuery(docs: DataFrame): DataFrame = {
+    val withT = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
+    val nTok = size(col("_t")).cast(LongType)
+    val totTokChars = length(array_join(col("_t"), "")).cast(LongType)
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nAlpha = size(filter(col("_t"), x => x.rlike("^[a-z]+$"))).cast(LongType)
+    val maxTokLen = array_max(transform(col("_t"), x => length(x))).cast(LongType)
+    val nDistinct = size(array_distinct(col("_t"))).cast(LongType)
+    withT
+      .select(col("doc_id"), nTok.as("n_tok"),
+        nTok.between(10, 5000).as("len_ok"),
+        (totTokChars.cast("double") / nTok).between(2.0, 12.0).as("wordlen_ok"),
+        (nSym.cast("double") / length(col("text")) < 0.15).as("symbol_ok"),
+        (nAlpha.cast("double") / nTok >= 0.5).as("alpha_ok"),
+        (maxTokLen <= 25).as("toklen_ok"),
+        (!contains(lower(col("text")), lit("lorem ipsum"))).as("lorem_ok"),
+        (nDistinct.cast("double") / nTok >= 0.2).as("distinct_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("wordlen_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("toklen_ok") && col("lorem_ok") &&
+          col("distinct_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Top-`k` TF-IDF terms per document — the keyword-extraction /
     * topic-tagging primitive of corpus analysis. Uses a linear idf
     * (`n_docs / df` instead of `ln(n_docs / df)`) so the score is one

@@ -207,6 +207,28 @@ class OpsSpec extends SparkSuite {
     assert(pairs == List((0L, 1L))) // blocked: (0,3) not compared despite cos=1
   }
 
+  test("C4/Gopher rule bundle flags each pathology and keeps clean text") {
+    val clean = base // 24 alphabetic tokens, normal word lengths
+    val tooShort = "just five small clean words"           // < 10 tokens
+    val symbolHeavy = ("w@rd$ " * 12).trim                 // symbol ratio high
+    val blob = base + " " + "a" * 40                       // 40-char token
+    val lorem = base + " lorem ipsum dolor"                // placeholder text
+    val repeated = ("spam " * 30).trim                     // 1 distinct / 30
+    val df = Seq(
+      (0L, clean), (1L, tooShort), (2L, symbolHeavy),
+      (3L, blob), (4L, lorem), (5L, repeated))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.c4FilterQuery(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"))
+    assert(!r(1L).getAs[Boolean]("len_ok") && !r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("symbol_ok") && !r(2L).getAs[Boolean]("alpha_ok"))
+    assert(!r(3L).getAs[Boolean]("toklen_ok"))
+    assert(!r(4L).getAs[Boolean]("lorem_ok"))
+    assert(!r(5L).getAs[Boolean]("distinct_ok"))
+  }
+
   test("connected components close transitive near-dup clusters") {
     import spark.implicits._
     // edges 1-2, 2-3 (one cluster) and 5-6; 4 isolated
@@ -215,6 +237,23 @@ class OpsSpec extends SparkSuite {
     val r = Dedup.connectedComponents(pairs, ids).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components round-count guard trips on a too-low bound " +
+    "and passes on a sane one") {
+    import spark.implicits._
+    // a 5-node path needs ceil(log2(diameter))-ish rounds — more than 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val ids = (1L to 5L).toDF("doc_id")
+    sys.props("graft.cc.assert.rounds") = "1"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, ids).collect()
+      }
+      assert(e.getMessage.contains("rounds"))
+      sys.props("graft.cc.assert.rounds") = "8"
+      assert(Dedup.connectedComponents(pairs, ids).collect().length == 5)
+    } finally sys.props.remove("graft.cc.assert.rounds")
   }
 
   test("brute-force topk returns exact neighbors in cosine order") {

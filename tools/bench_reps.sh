@@ -10,11 +10,18 @@ N=${1:-3}
 mkdir -p bench_runs
 for i in $(seq 1 "$N"); do
   echo "[bench_reps] run $i/$N ..." >&2
+  # write to a temp file and require a parseable JSON object with a
+  # "queries" map before installing it — a crashed/truncated run must
+  # never overwrite a good run{i}.json with an empty file
+  tmp=$(mktemp)
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
     tools/spark-run.sh graft.Bench 2>/dev/null \
-    | grep '"metric":"total"' | tail -1 > "bench_runs/run$i.json"
+    | grep '"metric":"total"' | tail -1 > "$tmp"
+  python3 -c "import json,sys; d=json.load(open('$tmp')); assert d['queries']" \
+    || { echo "[bench_reps] run $i produced invalid JSON, aborting" >&2; exit 1; }
+  mv "$tmp" "bench_runs/run$i.json"
 done
 python3 - <<'EOF'
 import json, glob, statistics
