@@ -134,7 +134,13 @@ final case class SinkConfig(
     backoffMaxRetries: Int,
     kafkaRetryBackoffMs: Option[Long],
     topics: List[String],
-    topicsRegex: Option[String]) {
+    topicsRegex: Option[String],
+    // graft extension (not a reference key): strict-parity whole-object
+    // compression for parquet — the reference ALWAYS wraps the whole
+    // parquet object in the outer codec (S3SinkTask.java:135-140); the
+    // default here is the Spark-idiomatic parquet-internal codec, and
+    // this flag opts into the reference's exact object layout.
+    parquetWholeObjectCompression: Boolean = false) {
 
   /** Reference semantics (`S3SinkConfig.java:917-919`): a configured prefix
     * (either property style) switches naming to the LEGACY path — rendered
@@ -466,6 +472,8 @@ object SinkConfig {
         backoffMaxRetries = backoffRetries,
         kafkaRetryBackoffMs = kafkaBackoff,
         topics = topics,
-        topicsRegex = topicsRegex))
+        topicsRegex = topicsRegex,
+        parquetWholeObjectCompression =
+          opt("graft.parquet.whole.object.compression").contains("true")))
   }
 }

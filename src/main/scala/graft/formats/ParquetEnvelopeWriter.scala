@@ -31,10 +31,17 @@ import graft.config.{CompressionType, OutputFieldType, SinkConfig}
   * (`ParquetIntegrationTest.java:278-344`; ignored for non-record values,
   * `README.md:434-436`).
   *
-  * The reference compresses parquet *internally* via the parquet codec when
-  * the outer compression is configured; we do the idiomatic equivalent —
-  * parquet-internal gzip/snappy/zstd — and document the deviation from
-  * whole-object wrapping (SURVEY.md §2 O15 note).
+  * Compression parity (SURVEY.md §2 O15): the reference wraps the WHOLE
+  * parquet object in the outer codec stream (`S3SinkTask.java:135-140`).
+  * The default here is the idiomatic parquet-internal codec
+  * (splittable, column-chunk-level, what every Spark reader expects);
+  * `wholeObjectCompression = true` selects the strict-parity mode —
+  * UNCOMPRESSED parquet spooled to a task-local temp file, then streamed
+  * byte-for-byte through [[Compression.wrap]] to the destination, exactly
+  * the reference's object layout. Strict-parity objects are NOT readable
+  * by parquet readers without outer decompression first (true of the
+  * reference's output too — its own test reader decompresses before
+  * `AvroParquetReader`).
   *
   * Same streaming topology as [[GroupFileWriter]]: repartition by filename,
   * sort within partitions, one open writer per task at a time.
@@ -319,10 +326,17 @@ object ParquetEnvelopeWriter {
     * `_filename` under `baseUri`, with the schema determined by
     * `config.outputFields` / `config.envelopeEnabled`. */
   def write(records: DataFrame, baseUri: String, config: SinkConfig,
-            groupCols: Seq[String] = Seq("_filename")): Unit = {
+            groupCols: Seq[String] = Seq("_filename"),
+            wholeObjectCompression: Boolean = false): Unit = {
     val serConf = new SerializableConfiguration(
       records.sparkSession.sparkContext.hadoopConfiguration)
-    val codecName = codec(config.compression)
+    // strict-parity mode writes UNCOMPRESSED parquet and compresses the
+    // whole object on the way out, like the reference's wrapped stream
+    val codecName =
+      if (wholeObjectCompression) CompressionCodecName.UNCOMPRESSED
+      else codec(config.compression)
+    val outerCodec =
+      if (wholeObjectCompression) config.compression else CompressionType.None
     val valueDt = records.schema("value").dataType
     val (dataCols, writers, messageType) = plan(config, valueDt)
     val schemaStr = messageType.toString
@@ -332,24 +346,47 @@ object ParquetEnvelopeWriter {
       .repartition(groupCols.map(col): _*)
       .sortWithinPartitions(col("_filename"), col("_offset"))
       .foreachPartition { (it: Iterator[Row]) =>
-        writePartition(it, baseUri, serConf.value, codecName, schemaStr, writers)
+        writePartition(it, baseUri, serConf.value, codecName, outerCodec,
+          schemaStr, writers)
       }
   }
 
   private def writePartition(it: Iterator[Row], baseUri: String,
                              conf: Configuration,
                              codecName: CompressionCodecName,
+                             outerCodec: CompressionType,
                              schemaStr: String,
                              writers: Seq[FieldWriter]): Unit = {
     val messageType = MessageTypeParser.parseMessageType(schemaStr)
     val factory = new SimpleGroupFactory(messageType)
+    val wholeObject = outerCodec != CompressionType.None
     var current: String = null
     var writer: org.apache.parquet.hadoop.ParquetWriter[Group] = null
+    var spool: java.io.File = null
+    var dest: Path = null
 
-    def close(): Unit = if (writer != null) { writer.close(); writer = null }
+    def close(): Unit = if (writer != null) {
+      writer.close(); writer = null
+      if (wholeObject) {
+        // stream the finished parquet file through the outer codec to the
+        // destination — the reference's exact object layout (parquet
+        // bytes inside one codec stream, S3SinkTask.java:135-140)
+        val fs = dest.getFileSystem(conf)
+        val out = Compression.wrap(fs.create(dest, true), outerCodec)
+        try java.nio.file.Files.copy(spool.toPath, out)
+        finally out.close()
+        spool.delete(); spool = null; dest = null
+      }
+    }
 
     def open(name: String): Unit = {
-      val path = GroupFileWriter.resolveUnder(baseUri, name)
+      val target = GroupFileWriter.resolveUnder(baseUri, name)
+      val path = if (wholeObject) {
+        dest = target
+        spool = java.io.File.createTempFile("graft-parquet-spool", ".parquet")
+        spool.delete() // ParquetWriter refuses to overwrite via raw-local fs
+        new Path(spool.toURI)
+      } else target
       writer = ExampleParquetWriter.builder(path)
         .withConf(conf)
         .withType(messageType)

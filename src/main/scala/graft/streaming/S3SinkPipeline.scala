@@ -127,7 +127,8 @@ object S3SinkPipeline {
           case GroupingMode.KeyRecord            => Seq("_k")
           case GroupingMode.TopicPartitionRecord => Seq("topic", "partition")
         }
-        ParquetEnvelopeWriter.write(prefixed, baseUri, config, pqGroupCols)
+        ParquetEnvelopeWriter.write(prefixed, baseUri, config, pqGroupCols,
+          wholeObjectCompression = config.parquetWholeObjectCompression)
       case _ =>
         val withLine = prefixed.withColumn("_line",
           lineColumn(config, batch.schema))

@@ -369,6 +369,42 @@ class SinkWriteSpec extends SparkSuite {
     }
   }
 
+  test("strict-parity whole-object parquet compression: object bytes are " +
+    "codec(parquet), not parquet(codec) — S3SinkTask.java:135-140 layout") {
+    for (codec <- CompressionType.all if codec != CompressionType.None) {
+      val dir = tmpDir(s"parquet-whole-${codec.name}")
+      val cfg = config(
+        "format.output.type" -> "parquet",
+        "format.output.fields" -> "key,offset,timestamp,headers,value",
+        "file.compression.type" -> codec.name,
+        "graft.parquet.whole.object.compression" -> "true",
+        "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+      assert(cfg.parquetWholeObjectCompression)
+      S3SinkPipeline.writeBatch(f1Records(2), cfg, dir, Now)
+      val f = s"$dir/test-topic-0-0${codec.extension}"
+      val bytes = Files.readAllBytes(Paths.get(f))
+      // NOT a bare parquet file: magic "PAR1" must not lead the object
+      assert(!bytes.take(4).sameElements("PAR1".getBytes), codec.name)
+      // outer-decompress the whole object -> a complete, readable parquet
+      val in: InputStream = codec match {
+        case CompressionType.Gzip   => new GZIPInputStream(new FileInputStream(f))
+        case CompressionType.Snappy => new SnappyInputStream(new FileInputStream(f))
+        case CompressionType.Zstd   => new ZstdInputStream(new FileInputStream(f))
+        case CompressionType.None   => new FileInputStream(f)
+      }
+      val plain = Files.createTempFile("unwrapped", ".parquet")
+      try {
+        Files.copy(in, plain, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val inner = Files.readAllBytes(plain)
+        assert(inner.take(4).sameElements("PAR1".getBytes), codec.name)
+        val back = spark.read.parquet(plain.toString).orderBy("offset").collect()
+        assert(back.length == 2)
+        assert(back(0).getAs[String]("key") == "test-key")
+        assert(back(1).getAs[String]("value") == "test-value-1")
+      } finally { in.close(); Files.deleteIfExists(plain) }
+    }
+  }
+
   test("parquet round-trip matrix: field orders x envelope on/off x all " +
     "codecs — every written object reads back equal to its input " +
     "(ParquetUtils.java:42-70 read-back contract)") {
