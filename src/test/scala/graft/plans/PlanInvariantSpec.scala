@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSuite
+
+/** Mechanical assertions over physical plans of registry queries — the
+  * scale properties SCALING.md argues, pinned so a refactor that silently
+  * breaks one (a lost pushdown, a surprise cartesian, a global window
+  * sneaking back in) fails a test instead of a future bench.
+  *
+  * Uses sf0.001 so plan CONSTRUCTION is cheap; none of these queries is
+  * executed (the CC-loop queries, which run jobs during construction, are
+  * deliberately not asserted here).
+  */
+class PlanInvariantSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("map-only text/sampling queries have no hash exchange and no " +
+    "single-partition step (only the output sort's range partitioning)") {
+    for (q <- Seq("sample_split", "text_c4_filters", "text_token_count",
+      "text_quality_score", "text_redact_numbers")) {
+      val p = planOf(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles: unexpected hash exchange")
+      assert(!p.contains("SinglePartition"), s"$q has a single-partition step")
+    }
+  }
+
+  test("q_zorder_cluster: no window operator; the only single-partition " +
+    "exchange is the 1-row min/max scalar agg") {
+    val p = planOf("q_zorder_cluster")
+    assert(!p.contains("Window"), "global window crept back into the z audit")
+    assert(p.split("SinglePartition").length - 1 == 1,
+      "expected exactly one SinglePartition exchange (the scalar agg)")
+  }
+
+  test("positive-threshold ngram jaccard and containment never plan a " +
+    "cartesian or broadcast nested loop") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("per-group top-k queries get the WindowGroupLimit map-side pre-prune") {
+    for (q <- Seq("sample_quota", "text_tfidf_top"))
+      assert(planOf(q).contains("WindowGroupLimit"),
+        s"$q lost the InferWindowGroupLimit pushdown")
+  }
+
+  test("q1 filter reaches the parquet scan as a pushed filter") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [Less"),
+      "q1's shipdate predicate is not pushed to the scan")
+  }
+
+  test("star join broadcasts its dimensions") {
+    assert(planOf("q5_region_revenue").contains("BroadcastHashJoin"),
+      "q5 does not broadcast dimension tables")
+  }
+
+  test("sim_ann_lsh bucket join carries ids only - embeddings do not ride " +
+    "the bucket explode") {
+    val p = planOf("sim_ann_lsh")
+    // the Generate (explode) outputs must not include the embedding column
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).toList
+    assert(gen.nonEmpty, "expected explode of bucket arrays")
+    gen.foreach(l => assert(!l.contains("embedding#"),
+      s"bucket explode carries embeddings: $l"))
+  }
+}
