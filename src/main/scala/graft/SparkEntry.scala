@@ -674,25 +674,35 @@ object SparkEntry {
     "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir))),
     // Scale path: LSH-bucket blocking instead of the label column (the
     // "at 100 TB the block key is an LSH bucket" variant). Rows-only —
-    // hyperplane hashing is not SQL-expressible.
+    // hyperplane hashing is not SQL-expressible. Same shape as
+    // Similarity.lshTopK: the bucket self-join carries ONLY
+    // (vec_id, tbl, bits) — embeddings never ride the ×NumTables explode
+    // shuffle — and each candidate pair is scored once after an
+    // id-distinct, with vectors joined back for the single scoring pass.
     "dedup_embedding_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val bucketed = emb
-        .withColumn("_n", graft.ops.Similarity.norm(col("embedding")))
+      val buckets = emb
         .withColumn("_mask", graft.ops.Similarity.hyperplaneMask(col("embedding")))
         .withColumn("bb",
           explode(graft.ops.Similarity.bucketsFromMask(col("_mask"))))
-        .select(col("vec_id"), col("embedding"), col("_n"),
-          col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
-      bucketed.as("a")
-        .join(bucketed.as("b"),
+        .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bits") === col("b.bits") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          round(graft.ops.Similarity.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a._n") * col("b._n")), 6).as("cos"))
-        .where(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .distinct()
+      val v = emb.select(col("vec_id"), col("embedding"),
+        graft.ops.Similarity.norm(col("embedding")).as("_n"))
+      cand
+        .join(v.select(col("vec_id").as("d1"), col("embedding").as("_e1"),
+          col("_n").as("_n1")), "d1")
+        .join(v.select(col("vec_id").as("d2"), col("embedding").as("_e2"),
+          col("_n").as("_n2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(graft.ops.Similarity.dot(col("_e1"), col("_e2")) /
+            (col("_n1") * col("_n2")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
         .orderBy("d1", "d2")
     }),
 

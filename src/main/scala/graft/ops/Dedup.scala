@@ -90,7 +90,18 @@ object Dedup {
   }
 
   /** LSH candidate pairs verified with exact Jaccard over distinct
-    * shingles. Returns (d1, d2, jaccard), d1 < d2. */
+    * shingles. Returns (d1, d2, jaccard), d1 < d2.
+    *
+    * The verification joins are candidate-keyed inner joins, so only
+    * candidate docs' shingle sets ever cross the wire. A further
+    * left-semi prune that skips even COMPUTING shingles for
+    * non-candidate docs (the [[crossCorpusPairs]] shape) was measured at
+    * sf0.1 and rejected for this same-corpus operator: without a cached
+    * candidate table the semi-join re-derives the bucket self-join, and
+    * the duplicated candidate generation (+0.7 s) costs more than the
+    * skipped shingle maps. In the incremental operator the old corpus's
+    * buckets come from the signature store, so the prune is free there
+    * and stays. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val cand = minhashCandidates(docs)
     val shingleSets = docs
