@@ -63,13 +63,15 @@ class PlanInvariantSpec extends SparkSuite {
       "q5 does not broadcast dimension tables")
   }
 
-  test("sim_ann_lsh bucket join carries ids only - embeddings do not ride " +
-    "the bucket explode") {
-    val p = planOf("sim_ann_lsh")
-    // the Generate (explode) outputs must not include the embedding column
-    val gen = p.linesIterator.filter(_.contains("Generate explode")).toList
-    assert(gen.nonEmpty, "expected explode of bucket arrays")
-    gen.foreach(l => assert(!l.contains("embedding#"),
-      s"bucket explode carries embeddings: $l"))
+  test("LSH bucket joins carry ids only - embeddings do not ride the " +
+    "bucket explode") {
+    for (q <- Seq("sim_ann_lsh", "dedup_embedding_lsh")) {
+      val p = planOf(q)
+      // the Generate (explode) outputs must not include the embedding column
+      val gen = p.linesIterator.filter(_.contains("Generate explode")).toList
+      assert(gen.nonEmpty, s"$q: expected explode of bucket arrays")
+      gen.foreach(l => assert(!l.contains("embedding#"),
+        s"$q bucket explode carries embeddings: $l"))
+    }
   }
 }
