@@ -1041,21 +1041,31 @@ object SparkEntry {
     // plane/bucket/probe change drops recall below the bar, recall_ok
     // flips to false on BOTH sides and the regression is visible in the
     // committed result, not just in a local measurement.
-    "sim_ann_lsh_recall" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = emb.where(col("vec_id") < 20)
-      val approx = Similarity.lshTopK(emb, q, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = Similarity.bruteForceTopK(emb, q, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_exact"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
-          (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
-    })
+    "sim_ann_lsh_recall" -> ((s, dir) =>
+      annRecall(s, dir, Similarity.lshTopK(_, _, 5))),
+    // Same gate for the IVF path (recall@5 = 0.83 at sf0.01, 0.93 at
+    // sf0.1 — deterministic, both over the 0.8 bar).
+    "sim_ann_ivf_recall" -> ((s, dir) =>
+      annRecall(s, dir, Similarity.ivfTopK(_, _, 5)))
   )
+
+  /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
+    * top-5 over the vec_id < 20 query set, one summary row with the
+    * >= 0.8 flag (see sim_ann_lsh_recall's registry comment). */
+  private def annRecall(s: SparkSession, dir: String,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val approx = ann(emb, q).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+  }
 
   /** Hyperplane-LSH bucket CTE chain (no leading WITH): reproduces
     * Similarity's md5-derived planes and banded sign-bit buckets in SQL.
@@ -1084,6 +1094,78 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** IVF probe/assignment CTE chain (no leading WITH), ending with the
+    * `ranked` CTE — shared by the sim_ann_ivf oracle and its recall
+    * gate. */
+  private val IvfChain =
+    s"""nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings
+        |), seed AS (
+        |  SELECT vec_id AS cell, embedding AS cvec, n AS cn FROM nrm
+        |  WHERE vec_id < 16
+        |), assign0 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(s.cvec AS DOUBLE[])) / (v.n * s.cn) DESC,
+        |        s.cell) AS rn
+        |    FROM nrm v CROSS JOIN seed s) t
+        |  WHERE rn = 1
+        |), cent AS (
+        |  SELECT cell,
+        |    list_transform(
+        |      list_sort(list(struct_pack(i := i, m := m))),
+        |      x -> CAST(x.m AS REAL)) AS cvec
+        |  FROM (
+        |    SELECT a.cell, g.i, avg(CAST(v.embedding[g.i] AS DOUBLE)) AS m
+        |    FROM assign0 a
+        |    JOIN nrm v ON v.vec_id = a.vec_id,
+        |    LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) g
+        |    GROUP BY a.cell, g.i) d
+        |  GROUP BY cell
+        |), cent_n AS (
+        |  SELECT cell, cvec,
+        |    sqrt(list_dot_product(CAST(cvec AS DOUBLE[]), CAST(cvec AS DOUBLE[]))) AS cn
+        |  FROM cent
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |        c.cell) AS rn
+        |    FROM nrm v CROSS JOIN cent_n c) t
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
+        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |        c.cell) AS rn
+        |    FROM nrm v CROSS JOIN cent_n c
+        |    WHERE v.vec_id < 20) t
+        |  WHERE rn <= 4
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+        |                           CAST(ae.embedding AS DOUBLE[])) /
+        |          (qe.n * ae.n), 6) AS cos
+        |  FROM probes q JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+        |  JOIN nrm qe ON qe.vec_id = q.vec_id
+        |  JOIN nrm ae ON ae.vec_id = a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |""".stripMargin
 
   private def simOracles: Map[String, String] = Map(
     "sim_ann_lsh" -> ("WITH " + LshBucketChain +
@@ -1176,75 +1258,36 @@ object SparkEntry {
         |            (an.n * bn.n), 6) >= 0.3
         |ORDER BY d1, d2""".stripMargin),
 
-    "sim_ann_ivf" ->
-      s"""WITH nrm AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                          CAST(embedding AS DOUBLE[]))) AS n
-        |  FROM embeddings
-        |), seed AS (
-        |  SELECT vec_id AS cell, embedding AS cvec, n AS cn FROM nrm
-        |  WHERE vec_id < 16
-        |), assign0 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, s.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(s.cvec AS DOUBLE[])) / (v.n * s.cn) DESC,
-        |        s.cell) AS rn
-        |    FROM nrm v CROSS JOIN seed s) t
-        |  WHERE rn = 1
-        |), cent AS (
-        |  SELECT cell,
-        |    list_transform(
-        |      list_sort(list(struct_pack(i := i, m := m))),
-        |      x -> CAST(x.m AS REAL)) AS cvec
-        |  FROM (
-        |    SELECT a.cell, g.i, avg(CAST(v.embedding[g.i] AS DOUBLE)) AS m
-        |    FROM assign0 a
-        |    JOIN nrm v ON v.vec_id = a.vec_id,
-        |    LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) g
-        |    GROUP BY a.cell, g.i) d
-        |  GROUP BY cell
-        |), cent_n AS (
-        |  SELECT cell, cvec,
-        |    sqrt(list_dot_product(CAST(cvec AS DOUBLE[]), CAST(cvec AS DOUBLE[]))) AS cn
-        |  FROM cent
-        |), assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
-        |        c.cell) AS rn
-        |    FROM nrm v CROSS JOIN cent_n c) t
-        |  WHERE rn = 1
-        |), probes AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
-        |        c.cell) AS rn
-        |    FROM nrm v CROSS JOIN cent_n c
-        |    WHERE v.vec_id < 20) t
-        |  WHERE rn <= 4
-        |), scored AS (
-        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
-        |                           CAST(ae.embedding AS DOUBLE[])) /
-        |          (qe.n * ae.n), 6) AS cos
-        |  FROM probes q JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
-        |  JOIN nrm qe ON qe.vec_id = q.vec_id
-        |  JOIN nrm ae ON ae.vec_id = a.vec_id
-        |), ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM scored
-        |)
+    "sim_ann_ivf" -> ("WITH " + IvfChain +
+      """
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_recall" -> ("WITH " + IvfChain +
+      """, approx AS (
+        |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+        |), ex_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) /
+        |          (q.n * c.n), 6) AS cos
+        |  FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM ex_scored)
+        |  WHERE rank <= 5
+        |)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(n_hit * 1.0 / n_exact, 6) AS recall,
+        |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
+        |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
+        |             (SELECT count(*) FROM exact e
+        |              JOIN approx a ON e.query_id = a.query_id
+        |                AND e.neighbor_id = a.neighbor_id) AS n_hit)""".stripMargin),
 
     "sim_topk_bruteforce" ->
       """WITH scored AS (
