@@ -1051,19 +1051,28 @@ object SparkEntry {
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
     * top-5 over the vec_id < 20 query set, one summary row with the
-    * >= 0.8 flag (see sim_ann_lsh_recall's registry comment). */
+    * >= 0.8 flag (see sim_ann_lsh_recall's registry comment).
+    *
+    * One pass over the brute-force subtree: exact LEFT JOIN approx, then
+    * a single agg counts both the denominator (all exact pairs) and the
+    * numerator (pairs the ANN also returned) — referencing the exact
+    * top-k twice (agg + semi-join) would execute the corpus-wide
+    * brute-force scoring twice. Recall is rounded with the
+    * boundary-safe [[graft.ops.TextAnalysis.round6]] (int/int ratio —
+    * the exact cross-engine HALF_UP divergence class). */
   private def annRecall(s: SparkSession, dir: String,
       ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
-    val approx = ann(emb, q).select(col("query_id"), col("neighbor_id"))
+    val approx = ann(emb, q)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
     val exact = Similarity.bruteForceTopK(emb, q, 5)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
       .select(col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+        graft.ops.TextAnalysis
+          .round6(col("n_hit").cast("double") / col("n_exact")).as("recall"),
         (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
   }
 
@@ -1235,7 +1244,7 @@ object SparkEntry {
         |  WHERE rank <= 5
         |)
         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
-        |  round(n_hit * 1.0 / n_exact, 6) AS recall,
+        |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
         |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
         |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
         |             (SELECT count(*) FROM exact e
@@ -1282,7 +1291,7 @@ object SparkEntry {
         |  WHERE rank <= 5
         |)
         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
-        |  round(n_hit * 1.0 / n_exact, 6) AS recall,
+        |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
         |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
         |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
         |             (SELECT count(*) FROM exact e

@@ -444,6 +444,19 @@ object SinkConfig {
       case scala.None => true
     }
 
+    // same BOOLEAN convention as format.output.envelope: case-insensitive
+    // true/false, anything else is a collected config error (a silent
+    // parse-to-false would quietly disable the strict-parity layout)
+    val pqWholeObject = opt("graft.parquet.whole.object.compression") match {
+      case Some(s) => s.toBooleanOption.getOrElse {
+        errs += s"Invalid value $s for configuration " +
+          "graft.parquet.whole.object.compression: " +
+          "Expected value to be either true or false"
+        false
+      }
+      case scala.None => false
+    }
+
     val topics = opt("topics").map(_.split(",").toList.map(_.trim)).getOrElse(Nil)
     val topicsRegex = opt("topics.regex")
 
@@ -473,7 +486,6 @@ object SinkConfig {
         kafkaRetryBackoffMs = kafkaBackoff,
         topics = topics,
         topicsRegex = topicsRegex,
-        parquetWholeObjectCompression =
-          opt("graft.parquet.whole.object.compression").contains("true")))
+        parquetWholeObjectCompression = pqWholeObject))
   }
 }

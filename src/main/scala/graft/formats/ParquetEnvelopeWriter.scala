@@ -395,15 +395,22 @@ object ParquetEnvelopeWriter {
         .build()
     }
 
-    it.foreach { row =>
-      val name = row.getString(0)
-      if (name != current) { close(); open(name); current = name }
-      if (!writers.exists(_.skipsRecord(row))) {
-        val g = factory.newGroup()
-        writers.foreach(_.write(g, row))
-        writer.write(g)
+    try {
+      it.foreach { row =>
+        val name = row.getString(0)
+        if (name != current) { close(); open(name); current = name }
+        if (!writers.exists(_.skipsRecord(row))) {
+          val g = factory.newGroup()
+          writers.foreach(_.write(g, row))
+          writer.write(g)
+        }
       }
+      close()
+    } finally {
+      // a task failure between open() and close() must not leak the
+      // task-local spool file (a full uncompressed parquet object per
+      // retry would accumulate on long-lived executors)
+      if (spool != null) spool.delete()
     }
-    close()
   }
 }

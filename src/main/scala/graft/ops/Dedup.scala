@@ -138,11 +138,21 @@ object Dedup {
           col("a.h2") === col("b.h2"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
-    def shingleSets(d: DataFrame, ids: Column) = d
-      .join(cand.select(ids.as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
-      .select(col("doc_id"),
-        array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
+    // The left-semi compute-prune references `cand` once more per side —
+    // worth it exactly when the candidate subtree is cheap to re-derive
+    // (stored buckets + a SMALL new batch's signatures). Without a store,
+    // each extra reference re-mines the old corpus's signatures too, the
+    // measured regression documented at [[minhashLshPairs]] — so the
+    // prune is applied only on the stored path.
+    def shingleSets(d: DataFrame, ids: Column) = {
+      val base = if (oldBuckets.isDefined)
+        d.join(cand.select(ids.as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      else d
+      base
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
+    }
     cand
       .join(shingleSets(newDocs, col("new_id")).as("s1"),
         col("new_id") === col("s1.doc_id"))
@@ -164,9 +174,17 @@ object Dedup {
                       corpus: DataFrame, sourcePath: String,
                       tag: String): DataFrame = {
     def fp(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(fp).sum
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(fp).sum).getOrElse(
+          throw new IllegalArgumentException(
+            s"bandBucketStore: cannot list $f (unreadable directory)"))
       else f.lastModified() + f.length()
     val src = new java.io.File(sourcePath)
+    // a missing source would fingerprint as a constant 0 and freeze the
+    // store key forever — staleness invalidation silently inert
+    require(src.exists(),
+      s"bandBucketStore: source path $sourcePath does not exist; " +
+        "the store key is derived from its mtime+size fingerprint")
     val store = new java.io.File(sys.props("java.io.tmpdir"),
       f"graft_sigstore_${tag}_${fp(src)}%x")
     if (!new java.io.File(store, "_SUCCESS").exists())
@@ -334,14 +352,16 @@ object Dedup {
     // needed more rounds than the bound — near-dup graphs have tiny
     // diameters (≤ 4 rounds at sf0.1), so a jump in round count means a
     // propagation regression (broken edge cache, wrong join key), which
-    // would otherwise surface only as silent slowness.
+    // would otherwise surface only as silent slowness. Unpersist FIRST:
+    // a tripped guard must not leak the cached edge table into a session
+    // that catches the error.
+    edges.unpersist()
     sys.env.get("GRAFT_CC_ASSERT_ROUNDS")
       .orElse(sys.props.get("graft.cc.assert.rounds"))
       .map(_.toInt).foreach { bound =>
         require(iter <= bound,
           s"connectedComponents took $iter rounds, bound is $bound")
       }
-    edges.unpersist()
     val isolated = allIds.select(col("doc_id"))
       .join(edgeNodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
