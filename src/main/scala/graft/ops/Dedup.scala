@@ -163,34 +163,96 @@ object Dedup {
       .orderBy("new_id", "old_id")
   }
 
+  /** Signature-algorithm version baked into every store directory name.
+    * Bump whenever [[minhashSignature]] / [[bandBuckets]] change shape
+    * (hash count, band layout, shingle size, seeds) — an on-disk store
+    * written by an older algorithm then simply misses the new name and is
+    * rebuilt, instead of silently serving incompatible buckets. */
+  val SigStoreVersion = "v2-mh8-b4-sh3"
+
+  /** Source-data fingerprint for the store key: md5 over the sorted
+    * (relative path, mtime, length) tuple of every file under `src`,
+    * via the Hadoop FileSystem API so it works identically on local
+    * files, HDFS, and s3a object listings. Hashing tuples (rather than
+    * summing per-file values) means no two changes can cancel out. */
+  private def sigStoreFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                                  src: org.apache.hadoop.fs.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
+      else md.update(
+        s"${st.getPath.getName}|${st.getModificationTime}|${st.getLen}\n"
+          .getBytes("UTF-8"))
+    }
+    walk(src)
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The fingerprinted store directory for (source, tag) under `root` —
+    * exposed so callers (and tests) can locate a store without globbing. */
+  def sigStorePath(spark: org.apache.spark.sql.SparkSession,
+                   sourcePath: String, tag: String,
+                   storeRoot: String): org.apache.hadoop.fs.Path = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(sourcePath)
+    val srcFs = src.getFileSystem(hconf)
+    // a missing source must fail loudly — otherwise the fingerprint would
+    // degenerate to a constant and staleness invalidation go silently inert
+    require(srcFs.exists(src),
+      s"bandBucketStore: source path $sourcePath does not exist; " +
+        "the store key is derived from its mtime+length fingerprint")
+    new org.apache.hadoop.fs.Path(storeRoot,
+      s"graft_sigstore_${tag}_${SigStoreVersion}_" +
+        sigStoreFingerprint(srcFs, src))
+  }
+
   /** Persistent band-bucket store for the incremental-dedup corpus side:
     * build the (doc_id, band, h1, h2) table once, write it to parquet, and
     * serve every later batch from the stored copy — the executable form of
-    * "signatures are computed once and stored". The store directory name
-    * embeds a recursive mtime+size fingerprint of the source data, so a
-    * regenerated corpus can never be served stale buckets; rebuilds are
-    * atomic via Spark's own commit protocol (`_SUCCESS`). */
+    * "signatures are computed once and stored".
+    *
+    * Cluster-safe by construction: the store root is shared storage
+    * (`storeRoot` param, else the `graft.sigstore.dir` Spark conf /
+    * system property — e.g. an s3a:// or hdfs:// URI on a real cluster;
+    * java.io.tmpdir only as the local-mode fallback), and both the
+    * source fingerprint and the build go through the Hadoop FileSystem
+    * API, so executors read the same store the driver keyed. The
+    * directory name embeds [[SigStoreVersion]] plus an md5 of the source
+    * listing, so neither a regenerated corpus nor an algorithm change can
+    * be served stale buckets. Builds land in a unique temp directory and
+    * rename into the final path (best-effort atomicity: a concurrent
+    * builder produces identical content; the rename loser deletes its
+    * temp and reads the winner's store). */
   def bandBucketStore(spark: org.apache.spark.sql.SparkSession,
-                      corpus: DataFrame, sourcePath: String,
-                      tag: String): DataFrame = {
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(fp).sum).getOrElse(
-          throw new IllegalArgumentException(
-            s"bandBucketStore: cannot list $f (unreadable directory)"))
-      else f.lastModified() + f.length()
-    val src = new java.io.File(sourcePath)
-    // a missing source would fingerprint as a constant 0 and freeze the
-    // store key forever — staleness invalidation silently inert
-    require(src.exists(),
-      s"bandBucketStore: source path $sourcePath does not exist; " +
-        "the store key is derived from its mtime+size fingerprint")
-    val store = new java.io.File(sys.props("java.io.tmpdir"),
-      f"graft_sigstore_${tag}_${fp(src)}%x")
-    if (!new java.io.File(store, "_SUCCESS").exists())
+                      corpus: DataFrame, sourcePath: String, tag: String,
+                      storeRoot: Option[String] = None): DataFrame = {
+    val root = storeRoot
+      .orElse(spark.conf.getOption("graft.sigstore.dir"))
+      .orElse(sys.props.get("graft.sigstore.dir"))
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir")).toURI.toString)
+    val store = sigStorePath(spark, sourcePath, tag, root)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(store, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val tmp = new org.apache.hadoop.fs.Path(store.getParent,
+        store.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
       bandBuckets(minhashSignature(corpus))
-        .write.mode("overwrite").parquet(store.getPath)
-    spark.read.parquet(store.getPath)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // publish: rename wins or a concurrent builder already did —
+      // either way a complete store exists at `store` afterwards.
+      // (Hadoop rename onto an existing dir moves src INTO it — if a
+      // concurrent builder won that race, evict the stray subdir so the
+      // parquet listing never sees doubled data.)
+      if (!fs.exists(store)) fs.rename(tmp, store)
+      val stray = new org.apache.hadoop.fs.Path(store, tmp.getName)
+      if (fs.exists(stray)) fs.delete(stray, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      require(fs.exists(success),
+        s"bandBucketStore: store publish failed for $store")
+    }
+    spark.read.parquet(store.toString)
   }
 
   /** Jaccard similarity of two distinct-element arrays, rounded to 6 with

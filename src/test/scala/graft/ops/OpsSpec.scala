@@ -92,26 +92,41 @@ class OpsSpec extends SparkSuite {
     // a real file to fingerprint (content is irrelevant to the store key)
     java.nio.file.Files.write(new java.io.File(src, "marker").toPath,
       "x".getBytes("UTF-8"))
+    val rootDir = java.nio.file.Files.createTempDirectory("sigroot").toFile
+    val root = rootDir.toURI.toString // exercises the file:// URI path
     val old = docsDf.where(col("doc_id") % 2 === 0)
-    val stored = Dedup.bandBucketStore(spark, old, src.getPath, "spec")
+    val stored = Dedup.bandBucketStore(spark, old, src.getPath, "spec",
+      Some(root))
     val fresh = Dedup.crossCorpusPairs(
       docsDf.where(col("doc_id") % 2 === 1), old).collect().toSeq
     val viaStore = Dedup.crossCorpusPairs(
       docsDf.where(col("doc_id") % 2 === 1), old, Some(stored)).collect().toSeq
     assert(viaStore == fresh && viaStore.nonEmpty)
     // second call must reload the same store, not rebuild: the parquet
-    // files on disk are byte-identical before and after
+    // files on disk are byte-identical before and after. The store path
+    // is computed, not globbed — sigStorePath is the public locator.
     def listing(d: java.io.File): Seq[(String, Long, Long)] = {
       def all(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(all) else Seq(f)
       all(d).map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
     }
-    val storeDir = new java.io.File(sys.props("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_sigstore_spec_"))
-      .maxBy(_.lastModified())
+    val storeDir = new java.io.File(
+      Dedup.sigStorePath(spark, src.getPath, "spec", root).toUri)
+    assert(storeDir.getName.contains(Dedup.SigStoreVersion)) // algo-keyed
     val before = listing(storeDir)
-    Dedup.bandBucketStore(spark, old, src.getPath, "spec").count()
+    Dedup.bandBucketStore(spark, old, src.getPath, "spec", Some(root)).count()
     assert(listing(storeDir) == before) // untouched → reloaded, not rebuilt
+    // a source change (here: length) must key a DIFFERENT store directory —
+    // per-file tuples are md5'd, so no two edits can cancel additively
+    java.nio.file.Files.write(new java.io.File(src, "marker").toPath,
+      "xy".getBytes("UTF-8"))
+    val storeDir2 = new java.io.File(
+      Dedup.sigStorePath(spark, src.getPath, "spec", root).toUri)
+    assert(storeDir2.getPath != storeDir.getPath)
+    Dedup.bandBucketStore(spark, old, src.getPath, "spec", Some(root)).count()
+    assert(new java.io.File(storeDir2, "_SUCCESS").exists()) // rebuilt fresh
+    // no temp dirs left behind by the rename-publish protocol
+    assert(!rootDir.listFiles().exists(_.getName.contains(".tmp-")))
   }
 
   test("decontamination flags corpus docs overlapping the eval split") {
