@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.LongType
   *     rows/doc → self-join co-partitioned on (band, bucket). Never a cross
   *     join: candidate generation is O(docs × bands), pair verification only
   *     touches colliding buckets.
-  *   - SimHash: 16-bit signature (map-only) → 4-bit chunk banding join
-  *     (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal) → exact hamming
-  *     filter via bit_count(xor).
+  *   - SimHash: 16- or 64-bit signature (map-only) → 4-chunk banding join
+  *     (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal; chunk width
+  *     scales with signature width) → exact hamming filter via
+  *     bit_count(xor). 16-bit for the oracle, 64-bit for production
+  *     corpora where 65k signature values would saturate.
   *   - n-gram Jaccard: blocked on (lang, source) — the classic "block on
   *     cheap metadata, verify expensively inside blocks" pattern; at 100 TB
   *     the block key becomes any low-cardinality partition column.
@@ -264,26 +266,50 @@ object Dedup {
       (size(a).cast(LongType) + size(b).cast(LongType) - inter))
   }
 
+  /** Default SimHash width — 16-bit so the DuckDB oracle can mirror the
+    * md5-prefix token hash bit-exactly. Production scale uses `bits = 64`
+    * ([[simhash(docs:DataFrame,bits:Int)*]]): 16 bits means at most 65,536
+    * distinct signatures, so at billions of docs every bucket collides and
+    * the distinct-signature join optimization inverts. */
   val SimhashBits = 16
 
-  /** 16-bit SimHash per doc: per distinct token, weight = occurrence count;
-    * bit j of the signature is 1 iff the count-weighted sum of (±1 per
-    * token's hash bit j) is positive. One groupBy with 16 conditional-sum
-    * columns — no bit explosion (a per-bit explode would shuffle 16× the
-    * rows for the same answer). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Chunk count for the banding join — fixed at 4, which by pigeonhole
+    * guarantees candidate recall for hamming distance ≤ 3 at ANY width
+    * (chunk size scales with the width: 4-bit chunks at 16 bits, 16-bit
+    * chunks at 64). */
+  val SimhashChunks = 4
+
+  def simhash(docs: DataFrame): DataFrame = simhash(docs, SimhashBits)
+
+  /** SimHash per doc at the given width (16 or 64): per distinct token,
+    * weight = occurrence count; bit j of the signature is 1 iff the
+    * count-weighted sum of (±1 per token's hash bit j) is positive. One
+    * groupBy with `bits` conditional-sum columns — no bit explosion (a
+    * per-bit explode would shuffle `bits`× the rows for the same answer).
+    *
+    * Width picks the token hash: 16-bit uses the md5-prefix hash the
+    * oracle mirrors; 64-bit uses the codegen'd `xxhash64` — the production
+    * hash, not oracle-expressible, same topology. The 64-bit signature
+    * occupies the full Long (bit 63 = sign bit); all downstream arithmetic
+    * (xor, bit_count, chunk masks) is bit-pattern arithmetic, so
+    * signedness never matters. */
+  def simhash(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits == 16 || bits == 64,
+      s"simhash: width must be 16 (oracle) or 64 (production), got $bits")
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tokHash =
+      if (bits == 16) TextAnalysis.hash16(col("tok")) else xxhash64(col("tok"))
     val counted = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", TextAnalysis.hash16(col("tok")))
-    val bitSums = (0 until SimhashBits).map(j =>
+      .withColumn("h", tokHash)
+    val bitSums = (0 until bits).map(j =>
       sum(when(expr(s"shiftright(h, $j) & 1") === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"w$j"))
     counted
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until SimhashBits).map(j =>
+        (0 until bits).map(j =>
           when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -323,13 +349,18 @@ object Dedup {
     * doc-signature cache. Call it after materializing the pairs result
     * (count/write/collect); calling it earlier just makes the five
     * downstream scans recompute the signatures. Idempotent. */
-  def simhashPairsManaged(
-      docs: DataFrame, maxDist: Int = 3): (DataFrame, () => Unit) = {
-    val sig = simhash(docs).cache()
+  def simhashPairsManaged(docs: DataFrame, maxDist: Int = 3,
+                          bits: Int = SimhashBits): (DataFrame, () => Unit) = {
+    require(maxDist < SimhashChunks, // pigeonhole bound for the banding
+      s"simhashPairs: maxDist must be < $SimhashChunks chunks, got $maxDist")
+    val chunkBits = bits / SimhashChunks // 4 at width 16, 16 at width 64
+    val chunkMask = (1L << chunkBits) - 1
+    val sig = simhash(docs, bits).cache()
     val sigs = sig.select("simhash").distinct()
     val chunks = sigs.select(col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 4) & 15"))
+      explode(sequence(lit(0), lit(SimhashChunks - 1))).as("chunk"))
+      .withColumn("ckey",
+        expr(s"shiftright(simhash, chunk * $chunkBits) & $chunkMask"))
     val sigPairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
@@ -471,12 +502,38 @@ object Dedup {
     * sort plus hot-shingle sort-merge groups dwarf the duplicated
     * tokenize+shingle pass it saves, and at real scale Catalyst already
     * picks the shuffled join on its own once size estimates grow. */
-  def blockedNgramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = docs
+  def blockedNgramJaccard(docs: DataFrame, minJaccard: Double): DataFrame =
+    blockedNgramJaccard(docs, minJaccard, None)
+
+  /** As above, with an optional stop-shingle document-frequency cut:
+    * shingles appearing in more than `maxShingleDf` documents of a block
+    * are dropped BEFORE the posting self-join — the standard guard against
+    * a boilerplate shingle (license header, navigation chrome) whose
+    * posting list of length L contributes L² join pairs. Jaccard is then
+    * computed over each doc's surviving (non-stop) shingles on both the
+    * numerator and the denominator, so scores stay in [0,1]; docs whose
+    * every shingle is stop-cut drop out entirely (nothing left to
+    * compare). At 100 TB this bounds the largest posting group by the
+    * cutoff instead of by corpus size, making Σ postings² insensitive to
+    * boilerplate: worst-case pairs per (block, shingle) fall from L² to
+    * maxShingleDf². The df aggregation shuffles on the same
+    * (lang, source, sh) key the posting join uses, so the guard adds one
+    * reusable exchange, not a new partitioning. */
+  def blockedNgramJaccard(docs: DataFrame, minJaccard: Double,
+                          maxShingleDf: Option[Long]): DataFrame = {
+    val shAll = docs
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
+    val sh = maxShingleDf match {
+      case Some(k) =>
+        val rare = shAll.groupBy("lang", "source", "sh")
+          .agg(count(lit(1)).as("_df")).where(col("_df") <= k)
+          .select("lang", "source", "sh")
+        shAll.join(rare, Seq("lang", "source", "sh"), "left_semi")
+      case None => shAll
+    }
     val sizes = sh.groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
