@@ -400,19 +400,23 @@ object SparkEntry {
         |    / 1000000 AS quality
         |FROM toks ORDER BY doc_id""".stripMargin),
 
+    // every flag coalesced to false: degenerate (empty-text) rows hit 0/0
+    // divisions that are NaN->false in Spark but NULL in DuckDB
     "text_c4_filters" -> (T +
       """SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tok,
-        |  len(t) BETWEEN 10 AND 5000 AS len_ok,
-        |  (length(array_to_string(t, '')) * 1.0 / len(t))
-        |    BETWEEN 2.0 AND 12.0 AS wordlen_ok,
-        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
-        |    / length(text) < 0.15 AS symbol_ok,
-        |  len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 1.0
-        |    / len(t) >= 0.5 AS alpha_ok,
-        |  list_max(list_transform(t, x -> length(x))) <= 25 AS toklen_ok,
-        |  NOT contains(lower(text), 'lorem ipsum') AS lorem_ok,
-        |  len(list_distinct(t)) * 1.0 / len(t) >= 0.2 AS distinct_ok,
+        |  coalesce(len(t) BETWEEN 10 AND 5000, false) AS len_ok,
+        |  coalesce((length(array_to_string(t, '')) * 1.0 / len(t))
+        |    BETWEEN 2.0 AND 12.0, false) AS wordlen_ok,
+        |  coalesce(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |    / length(text) < 0.15, false) AS symbol_ok,
+        |  coalesce(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+        |    / len(t) >= 0.5, false) AS alpha_ok,
+        |  coalesce(list_max(list_transform(t, x -> length(x))) <= 25, false)
+        |    AS toklen_ok,
+        |  coalesce(NOT contains(lower(text), 'lorem ipsum'), false) AS lorem_ok,
+        |  coalesce(len(list_distinct(t)) * 1.0 / len(t) >= 0.2, false)
+        |    AS distinct_ok,
         |  (len_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND toklen_ok
         |    AND lorem_ok AND distinct_ok) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin),
@@ -665,6 +669,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedNgramJaccard(docs(s, dir), 0.1)),
+    // Stop-shingle guard: drop shingles with block document-frequency > 2
+    // before the posting join (boilerplate bound — worst posting group is
+    // maxShingleDf, not corpus size), score the survivors at a low
+    // threshold so the cut's effect is visible in the result.
+    "dedup_ngram_jaccard_dfcut" -> ((s, dir) =>
+      Dedup.blockedNgramJaccard(docs(s, dir), 0.02, Some(2L))),
     // Asymmetric containment (quote/subset detection) on the same blocks.
     "dedup_containment" -> ((s, dir) =>
       Dedup.blockedContainment(docs(s, dir), 0.01)),
@@ -843,6 +853,42 @@ object SparkEntry {
         |) WHERE jaccard >= 0.1
         |ORDER BY d1, d2""".stripMargin),
 
+    // df-cut variant mirrors the Spark posting-join (inter-driven) shape:
+    // distinct per-doc shingles -> block document frequency -> drop
+    // stop-shingles -> sizes and shared-shingle counts over the survivors.
+    "dedup_ngram_jaccard_dfcut" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        |), df AS (
+        |  SELECT lang, source, sh, count(*) AS df FROM dsh GROUP BY 1, 2, 3
+        |), kept AS (
+        |  SELECT dsh.* FROM dsh JOIN df USING (lang, source, sh)
+        |  WHERE df.df <= 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, jaccard FROM (
+        |  SELECT d1, d2,
+        |    floor((i.inter * 1.0 / (x.sz + y.sz - i.inter)) * 1000000 + 0.5)
+        |      / 1000000 AS jaccard
+        |  FROM inter i JOIN sizes x ON i.d1 = x.doc_id
+        |               JOIN sizes y ON i.d2 = y.doc_id
+        |) WHERE jaccard >= 0.02
+        |ORDER BY d1, d2""".stripMargin,
+
     "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (
         |  SELECT d1 AS a, d2 AS b FROM cand
@@ -942,13 +988,19 @@ object SparkEntry {
       val quality = TextAnalysis.qualityQuery(d)
       val kept = Dedup.clusterKeepList(d).where(col("keep"))
       val joined = quality.join(kept.select("doc_id"), "doc_id")
-      val total = d.count()
+      // corpus size rides the DAG as a broadcast 1-row crossJoin (the
+      // q_sketch_distinct pattern) — one job, no driver-side count action
+      val total = d.agg(count(lit(1)).as("_total"))
       joined.agg(
-        lit(total).as("docs_in"),
         count(lit(1)).as("docs_kept"),
-        TextAnalysis.round6(lit(1.0) - count(lit(1)).cast("double") / total)
-          .as("drop_rate"),
         TextAnalysis.round6(avg(col("quality"))).as("mean_quality"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("_total").as("docs_in"),
+          col("docs_kept"),
+          TextAnalysis.round6(lit(1.0) -
+            col("docs_kept").cast("double") / col("_total")).as("drop_rate"),
+          col("mean_quality"))
     })
   )
 

@@ -224,15 +224,22 @@ object TextAnalysis {
     val nAlpha = size(filter(col("_t"), x => x.rlike("^[a-z]+$"))).cast(LongType)
     val maxTokLen = array_max(transform(col("_t"), x => length(x))).cast(LongType)
     val nDistinct = size(array_distinct(col("_t"))).cast(LongType)
+    // Degenerate rows (empty/whitespace-only text) make several ratios
+    // 0/0: Spark yields NaN (comparisons → false) where DuckDB yields NULL,
+    // and array_max over an empty token list is NULL in both. Coalescing
+    // every flag to false makes degenerate docs deterministically rejected
+    // with non-null flags in both engines.
+    def flag(c: Column) = coalesce(c, lit(false))
     withT
       .select(col("doc_id"), nTok.as("n_tok"),
-        nTok.between(10, 5000).as("len_ok"),
-        (totTokChars.cast("double") / nTok).between(2.0, 12.0).as("wordlen_ok"),
-        (nSym.cast("double") / length(col("text")) < 0.15).as("symbol_ok"),
-        (nAlpha.cast("double") / nTok >= 0.5).as("alpha_ok"),
-        (maxTokLen <= 25).as("toklen_ok"),
-        (!contains(lower(col("text")), lit("lorem ipsum"))).as("lorem_ok"),
-        (nDistinct.cast("double") / nTok >= 0.2).as("distinct_ok"))
+        flag(nTok.between(10, 5000)).as("len_ok"),
+        flag((totTokChars.cast("double") / nTok).between(2.0, 12.0))
+          .as("wordlen_ok"),
+        flag(nSym.cast("double") / length(col("text")) < 0.15).as("symbol_ok"),
+        flag(nAlpha.cast("double") / nTok >= 0.5).as("alpha_ok"),
+        flag(maxTokLen <= 25).as("toklen_ok"),
+        flag(!contains(lower(col("text")), lit("lorem ipsum"))).as("lorem_ok"),
+        flag(nDistinct.cast("double") / nTok >= 0.2).as("distinct_ok"))
       .withColumn("keep",
         col("len_ok") && col("wordlen_ok") && col("symbol_ok") &&
           col("alpha_ok") && col("toklen_ok") && col("lorem_ok") &&

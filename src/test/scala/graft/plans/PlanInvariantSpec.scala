@@ -39,7 +39,8 @@ class PlanInvariantSpec extends SparkSuite {
 
   test("positive-threshold ngram jaccard and containment never plan a " +
     "cartesian or broadcast nested loop") {
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
+      "dedup_containment")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
