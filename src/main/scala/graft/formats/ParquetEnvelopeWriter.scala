@@ -408,8 +408,16 @@ object ParquetEnvelopeWriter {
       close()
     } finally {
       // a task failure between open() and close() must not leak the
-      // task-local spool file (a full uncompressed parquet object per
-      // retry would accumulate on long-lived executors)
+      // still-open ParquetWriter (fd + native column buffers on a
+      // long-lived executor) nor the task-local spool file (a full
+      // uncompressed parquet object per retry). Close the writer FIRST —
+      // deleting a file under an open handle is at best platform-dependent
+      // — swallowing the secondary failure so the original task exception
+      // stays the one that propagates.
+      if (writer != null) {
+        try writer.close() catch { case _: Throwable => () }
+        writer = null
+      }
       if (spool != null) spool.delete()
     }
   }
