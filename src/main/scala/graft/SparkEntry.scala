@@ -2364,6 +2364,18 @@ object SparkEntry {
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")))
     }),
 
+    // Batch run of the streaming first-wins content dedup (EventTimeOps
+    // .streamingDedup's deterministic twin): earliest (timestamp, offset)
+    // record per md5(value), one min_by(struct) groupBy.
+    "q_stream_dedup" -> ((s, dir) => {
+      graft.connector.Records.asDuckNames(
+        graft.streaming.EventTimeOps.batchDedup(
+          graft.connector.Records.fromEvents(s, dir)))
+        .select(col("topic"), col("part"), col("off"),
+          unix_millis(col("rts")).as("ts_ms"), col("rkey"), col("rvalue"))
+        .orderBy("off")
+    }),
+
     // Ordered-funnel analysis: users who viewed, then clicked AFTER the
     // first view, then purchased AFTER that click. Each stage is a
     // partial-aggregated min-ts groupBy plus a user-keyed join — every
@@ -2390,6 +2402,16 @@ object SparkEntry {
   )
 
   private def streamingOracles: Map[String, String] = Map(
+    "q_stream_dedup" -> (R +
+      """, keyed AS (
+        |  SELECT topic, part, off, rts, rkey, rvalue, md5(rvalue) AS h,
+        |    row_number() OVER (PARTITION BY md5(rvalue)
+        |                       ORDER BY rts, off) AS rn
+        |  FROM records
+        |)
+        |SELECT topic, part, off, epoch_ms(rts) AS ts_ms, rkey, rvalue
+        |FROM keyed WHERE rn = 1 ORDER BY off""".stripMargin),
+
     "q_windowed_counts" -> (R +
       """SELECT epoch_ms(date_trunc('hour', rts)) AS wstart_ms, topic,
         |       count(*) AS cnt

@@ -40,6 +40,25 @@ object EventTimeOps {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Deterministic batch twin of [[streamingDedup]]: keep, per content
+    * hash, the record that streaming first-wins semantics would keep — the
+    * earliest by (timestamp, offset). Expressed as one skew-immune
+    * `min_by(struct)` partial-aggregated groupBy on the 32-char hash (the
+    * [[graft.connector.Grouping]] key-compaction shape): one shuffle of
+    * 32-byte keys + winner structs, no window sort, works at any key
+    * cardinality. Streaming keeps bounded state via the watermark; batch
+    * sees all data, so "within watermark" degenerates to global
+    * first-wins — same keeper on any input where duplicates arrive inside
+    * the watermark. */
+  def batchDedup(records: DataFrame): DataFrame = {
+    val keyed = records.withColumn("_h", md5(col("value").cast("string")))
+    val payload = records.columns.map(col)
+    keyed.groupBy("_h")
+      .agg(min_by(struct(payload: _*),
+        struct(col("timestamp"), col("offset"))).as("_r"))
+      .select(col("_r.*"))
+  }
+
   final case class SessionInput(user: String, ts: Long)
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class SessionOutput(user: String, start: Long, end: Long,
