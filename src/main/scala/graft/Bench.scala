@@ -56,6 +56,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries mirrors Verify's COUNTS line into the bench artifact, so
+    // BENCH_r{N}.json is self-describing about suite size (doc counts
+    // cite COUNTS; the bench JSON can now be cross-checked against it)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
   }
 }
