@@ -528,10 +528,18 @@ object Dedup {
         explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
     val sh = maxShingleDf match {
       case Some(k) =>
-        val rare = shAll.groupBy("lang", "source", "sh")
-          .agg(count(lit(1)).as("_df")).where(col("_df") <= k)
+        // anti-join against the STOP set, not semi-join against the rare
+        // set: the stop set (df > cutoff) is boilerplate-sized — a handful
+        // of keys by construction, vs the rare set which is the whole
+        // vocabulary — so it broadcasts and the guard costs one df
+        // aggregation plus a map-side anti probe, never a second shuffle
+        // of the full posting table. (If the cutoff is set so low that
+        // "stop" covers most of the vocabulary, the broadcast would be
+        // the wrong shape — but then the cut itself is misconfigured.)
+        val stop = shAll.groupBy("lang", "source", "sh")
+          .agg(count(lit(1)).as("_df")).where(col("_df") > k)
           .select("lang", "source", "sh")
-        shAll.join(rare, Seq("lang", "source", "sh"), "left_semi")
+        shAll.join(broadcast(stop), Seq("lang", "source", "sh"), "left_anti")
       case None => shAll
     }
     val sizes = sh.groupBy("doc_id", "lang", "source")
