@@ -249,6 +249,19 @@ class StreamingSpec extends SparkSuite {
     val vals = spark.table("dedup_out").collect()
       .map(r => new String(r.getAs[Array[Byte]]("value"))).sorted.toList
     assert(vals == List("aaa", "bbb", "ccc")) // each content exactly once
+
+    // batch-twin consistency: on the same records (arriving in timestamp
+    // order, so streaming first-wins = earliest-timestamp-wins),
+    // batchDedup keeps exactly the records the streaming path kept
+    val batch = Seq(
+      (t(0), "aaa".getBytes, 0L), (t(1), "aaa".getBytes, 1L),
+      (t(2), "bbb".getBytes, 2L), (t(3), "aaa".getBytes, 3L),
+      (t(4), "ccc".getBytes, 4L))
+      .toDF("timestamp", "value", "offset")
+    val kept = EventTimeOps.batchDedup(batch).collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("value")),
+        r.getAs[java.sql.Timestamp]("timestamp"))).sortBy(_._1).toList
+    assert(kept == List(("aaa", t(0)), ("bbb", t(2)), ("ccc", t(4))))
   }
 
   test("windowed counts with watermark run in streaming mode") {
