@@ -680,6 +680,11 @@ object SparkEntry {
       Dedup.blockedContainment(docs(s, dir), 0.01)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // SemDeDup: IVF-cell-blocked semantic dedup keep-list (drop vectors
+    // with a lower-id in-cell neighbor at cosine >= 0.35). Shares the
+    // sim_ann_ivf centroid/assignment machinery and its oracle chain.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Full pipeline: LSH candidates -> connected components -> keep-list.
     "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir))),
     // Scale path: LSH-bucket blocking instead of the label column (the
@@ -930,6 +935,26 @@ object SparkEntry {
         |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
+
+    // SemDeDup keep-list over the sim_ann_ivf assignment chain: the
+    // `assigned` CTE is the identical deterministic cell assignment
+    // (1 Lloyd iteration, nLists 16); a vector is dropped iff a lower-id
+    // vector in its cell scores cosine >= 0.35.
+    "dedup_semantic" -> ("WITH " + IvfChain +
+      """, dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id > b.vec_id
+        |  JOIN nrm ae ON ae.vec_id = a.vec_id
+        |  JOIN nrm be ON be.vec_id = b.vec_id
+        |  WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
+        |                               CAST(be.embedding AS DOUBLE[])) /
+        |              (ae.n * be.n), 6) >= 0.35
+        |)
+        |SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+        |       (d.vec_id IS NULL) AS keep
+        |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
 
     "dedup_chunks" ->
       """WITH toks AS (

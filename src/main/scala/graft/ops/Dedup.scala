@@ -607,6 +607,54 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** SemDeDup-style semantic dedup over an embedding corpus: assign every
+    * vector to an IVF cell (deterministic k-means-refined centroids — the
+    * same [[Similarity.seedCentroids]]/[[Similarity.refineCentroids]]
+    * machinery the ANN path uses), compare pairs only WITHIN a cell, and
+    * drop any vector that has a lower-id in-cell neighbor with cosine ≥
+    * `threshold`. Returns one row per vector: (vec_id, cell, keep).
+    *
+    * This is the curation operator from the SemDeDup recipe (cluster the
+    * embedding space, prune semantic duplicates inside each cluster):
+    * pairwise keep semantics — one representative survives per duplicate
+    * NEIGHBORHOOD, no transitive closure (for transitive-cluster keep
+    * lists see [[clusterKeepList]]'s CC loop; SemDeDup deliberately avoids
+    * the iterative step because within-cell neighborhoods are tiny).
+    *
+    * Scale: cell assignment is a map + broadcast argmax over an
+    * nLists-row side; the pair join is co-partitioned on cell id — never
+    * all-pairs across the corpus. Σ cell² is the cost knob, controlled by
+    * nLists (≈ √n, the measured IvfSweep guidance) and Lloyd balancing —
+    * at production scale raise nLists so cells stay ~constant-sized and
+    * pair work grows linearly with the corpus. */
+  def semanticDedup(emb: DataFrame, threshold: Double, nLists: Int = 16,
+                    lloydIters: Int = 1): DataFrame = {
+    val cent = (1 to lloydIters).foldLeft(
+      Similarity.seedCentroids(emb, nLists)) {
+      (c, _) => Similarity.refineCentroids(emb, c)
+    }
+    val assigned = emb
+      .withColumn("_n", Similarity.norm(col("embedding")))
+      .crossJoin(broadcast(cent))
+      .withColumn("_sim",
+        Similarity.dot(col("embedding"), col("cvec")) /
+          (col("_n") * col("cn")))
+      .groupBy(col("vec_id"), col("embedding"), col("_n"))
+      .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
+    val dup = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .where(round(
+        Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a._n") * col("b._n")), 6) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("_dup").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold between vectors sharing a
     * `label` block (at scale the block key is an LSH bucket — see
     * [[Similarity.hyperplaneBuckets]]). Cosine is computed as an in-order

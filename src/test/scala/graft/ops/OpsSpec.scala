@@ -222,6 +222,24 @@ class OpsSpec extends SparkSuite {
     assert(pairs == List((0L, 1L))) // blocked: (0,3) not compared despite cos=1
   }
 
+  test("semantic dedup drops the higher-id in-cell near-duplicate only") {
+    // 4 seeds (nLists = 4) spanning three directions; 2 is a near-dup of
+    // 1, 4 of 0; 5 sits between clusters below the 0.95 threshold
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.98f, 0.2f)), // near dup of 1
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.99f, 0.05f, 0.0f)), // near dup of 0
+      (5L, Array(0.7f, 0.7f, 0.14f)))  // between clusters, below threshold
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(vecs, 0.95, nLists = 4).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r(0L) && r(1L) && r(3L)) // lowest ids always survive
+    assert(!r(2L) && !r(4L)) // near-dups of a lower id are dropped
+    assert(r.size == 6 && r(5L)) // everyone gets a row; 5 below threshold
+  }
+
   test("C4/Gopher rule bundle flags each pathology and keeps clean text") {
     val clean = base // 24 alphabetic tokens, normal word lengths
     val tooShort = "just five small clean words"           // < 10 tokens
