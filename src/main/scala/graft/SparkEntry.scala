@@ -564,6 +564,9 @@ object SparkEntry {
     // Per-source quota cap: keep the 40 longest docs per source (rank
     // pre-pruned map-side via InferWindowGroupLimit before the shuffle).
     "sample_quota" -> ((s, dir) => Sampling.quotaCap(docs(s, dir), 40)),
+    // Epoch-1 sharded training shuffle: deterministic salted-hash
+    // permutation, rank window partitioned by shard (never global).
+    "sample_shuffle" -> ((s, dir) => Sampling.shuffleOrder(docs(s, dir), 1)),
     // Numeric-run redaction over the events payload column (documents are
     // digit-free by construction, so the scrub targets props): a single
     // codegen'd regexp_replace pass plus an audit count.
@@ -624,7 +627,19 @@ object SparkEntry {
         |    CAST(row_number() OVER (
         |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
         |  FROM documents) r
-        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuffle:1:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      AS h
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS epoch, h % 32 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY h % 32 ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM h ORDER BY shard, pos""".stripMargin
   )
 
   // ----------------------------------------------------------- dedup family

@@ -43,6 +43,34 @@ object Sampling {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Deterministic sharded training-order shuffle: a reproducible
+    * pseudo-random permutation of the corpus via the salted 48-bit hash —
+    * the "shuffle your training data each epoch" step without `rand()`
+    * (nondeterministic under task retry). A document lands in shard
+    * `h % nShards` at the position of its hash within the shard; a new
+    * epoch reseeds the salt and yields an independent permutation.
+    *
+    * Sharded on purpose: a single global position would need a
+    * one-partition window (the q_zorder round-7 anti-pattern). Shards
+    * make the rank window `partitionBy(shard)` — nShards-way parallel,
+    * bounded state — which is also how training pipelines actually
+    * consume a shuffle (shard files read in order, shuffled within
+    * shard). At 100 TB: nShards = O(corpus/shard-budget), write each
+    * shard's rows in pos order, stream epochs shard by shard. */
+  def shuffleOrder(docs: DataFrame, epoch: Int,
+                   nShards: Int = 32): DataFrame = {
+    val h = saltedHash48(s"shuffle:$epoch", col("doc_id"))
+    docs
+      .select(col("doc_id"), h.as("h"), (h % nShards).as("shard"))
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast(LongType))
+      .select(lit(epoch.toLong).as("epoch"), col("shard"), col("pos"),
+        col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   /** Per-stratum deterministic downsampling: keep a document iff its
     * salted bucket falls under the stratum's percentage. Rates arrive as a
     * driver-side map (tiny config, folded into the plan as a CASE — at

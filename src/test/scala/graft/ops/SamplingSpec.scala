@@ -31,6 +31,23 @@ class SamplingSpec extends SparkSuite {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
+  test("shuffleOrder is a per-shard bijection, reproducible, and " +
+    "epoch-independent") {
+    val c = corpus(300)
+    def run(epoch: Int) = Sampling.shuffleOrder(c, epoch).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // shard,pos,doc
+    val e1 = run(1)
+    // every doc appears exactly once; within each shard, pos is 1..count
+    assert(e1.map(_._3).sorted.toSeq == (0L until 300L))
+    e1.groupBy(_._1).values.foreach { s =>
+      assert(s.map(_._2).sorted.toSeq == (1L to s.length))
+    }
+    assert(run(1).toSeq == e1.toSeq) // same epoch -> identical permutation
+    // a different epoch reorders: some doc sits at a different (shard,pos)
+    val e2 = run(2).map(t => t._3 -> ((t._1, t._2))).toMap
+    assert(e1.exists(t => e2(t._3) != ((t._1, t._2))))
+  }
+
   test("split and stratified buckets are independent (different salts)") {
     val s = Sampling.assignSplit(corpus(300))
       .select(col("doc_id"), col("bucket").as("b1"))

@@ -47,6 +47,12 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("sample_shuffle's rank window is sharded - no single-partition " +
+    "window anywhere in the plan") {
+    assert(!planOf("sample_shuffle").contains("SinglePartition"),
+      "the training shuffle's rank window collapsed to one partition")
+  }
+
   test("per-group top-k queries get the WindowGroupLimit map-side pre-prune") {
     for (q <- Seq("sample_quota", "text_tfidf_top"))
       assert(planOf(q).contains("WindowGroupLimit"),
