@@ -47,6 +47,20 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("dedup_semantic and sim_ann_ivf: centroid machinery broadcasts, " +
+    "no unplanned cartesian anywhere") {
+    for (q <- Seq("dedup_semantic", "sim_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a raw cartesian")
+      // the only nested-loop joins are the nLists-row broadcast centroid
+      // assignments - every BroadcastNestedLoopJoin must be BuildRight
+      // (the broadcast() side), never an unbroadcast fallback
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .foreach(l => assert(l.contains("BuildRight"),
+          s"$q has a non-broadcast nested loop: $l"))
+    }
+  }
+
   test("sample_shuffle's rank window is sharded - no single-partition " +
     "window anywhere in the plan") {
     assert(!planOf("sample_shuffle").contains("SinglePartition"),
