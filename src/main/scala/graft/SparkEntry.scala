@@ -567,6 +567,11 @@ object SparkEntry {
     // Epoch-1 sharded training shuffle: deterministic salted-hash
     // permutation, rank window partitioned by shard (never global).
     "sample_shuffle" -> ((s, dir) => Sampling.shuffleOrder(docs(s, dir), 1)),
+    // Static data mixing: downsample languages so surviving token mass is
+    // proportional to target weights (en 0.5 / zh 0.3 / others 0.2 each);
+    // the scarcest-relative-to-weight language is kept in full.
+    "sample_mix" -> ((s, dir) => Sampling.mixToWeights(docs(s, dir),
+      Map("en" -> 0.5, "zh" -> 0.3), 0.2)),
     // Numeric-run redaction over the events payload column (documents are
     // digit-free by construction, so the scrub targets props): a single
     // codegen'd regexp_replace pass plus an audit count.
@@ -628,6 +633,32 @@ object SparkEntry {
         |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
         |  FROM documents) r
         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+
+    // mirrors mixToWeights exactly: same CASE weights, same division
+    // order for k and rate (IEEE doubles match bit-for-bit), same salted
+    // hash threshold at rate * 2^48
+    "sample_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), per_lang AS (
+        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS ltok,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3
+        |         ELSE 0.2 END AS DOUBLE) AS w
+        |  FROM toks GROUP BY lang
+        |), kk AS (
+        |  SELECT min(CAST(ltok AS DOUBLE) / w) AS k FROM per_lang
+        |), rates AS (
+        |  SELECT lang, least(1.0, k * w / CAST(ltok AS DOUBLE)) AS rate
+        |  FROM per_lang CROSS JOIN kk
+        |)
+        |SELECT t.doc_id, t.lang, t.n_tok,
+        |  floor(r.rate * 1000000 + 0.5) / 1000000 AS rate
+        |FROM toks t JOIN rates r ON t.lang = r.lang
+        |WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
+        |      < r.rate * 281474976710656.0
+        |ORDER BY t.doc_id""".stripMargin,
 
     "sample_shuffle" ->
       """WITH h AS (

@@ -71,6 +71,50 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** Static data mixing toward target per-language token WEIGHTS: the
+    * language whose corpus is scarcest relative to its weight is kept in
+    * full (the binding constraint), every other language is deterministically
+    * downsampled so surviving token mass is proportional to the weights —
+    * the classic "mix web/code/books to a target ratio" step of a
+    * training-data pipeline, without discarding more data than the
+    * targets force.
+    *
+    * rate_l = min(1, k·w_l / tokens_l) with k = min_l(tokens_l / w_l);
+    * a doc survives iff its salted 48-bit hash < rate_l·2^48 (per-doc
+    * acceptance approximates the token-level rate). Deterministic and
+    * reproducible for a given corpus; unlike [[assignSplit]], survival is
+    * NOT stable under corpus growth — rates shift with the token totals,
+    * which is inherent to ratio targeting (hash ordering does guarantee a
+    * rate DECREASE only removes docs, never swaps one for another).
+    *
+    * Scale: one partial-aggregated groupBy(lang) for token totals (a
+    * languages-sized table), a 1-row scalar min riding a broadcast
+    * crossJoin (the q_sketch_distinct pattern — no driver action), a
+    * broadcast rate join, and a map-side hash filter. The corpus is
+    * scanned once and never shuffled. */
+  def mixToWeights(docs: DataFrame, weights: Map[String, Double],
+                   defaultWeight: Double): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (lang, wt)) =>
+      when(col("lang") === lang, lit(wt)).otherwise(acc)
+    }
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tok"))
+    val perLang = toks.groupBy("lang").agg(sum("n_tok").as("ltok"))
+      .withColumn("w", w)
+    val kRow = perLang.agg(
+      min(col("ltok").cast("double") / col("w")).as("k"))
+    val rates = perLang.crossJoin(broadcast(kRow))
+      .select(col("lang"),
+        least(lit(1.0),
+          col("k") * col("w") / col("ltok").cast("double")).as("rate"))
+    toks.join(broadcast(rates), "lang")
+      .where(saltedHash48("mix", col("doc_id")).cast("double") <
+        col("rate") * lit(281474976710656.0)) // 2^48, exactly representable
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        TextAnalysis.round6(col("rate")).as("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Per-stratum deterministic downsampling: keep a document iff its
     * salted bucket falls under the stratum's percentage. Rates arrive as a
     * driver-side map (tiny config, folded into the plan as a CASE — at

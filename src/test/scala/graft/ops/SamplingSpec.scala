@@ -31,6 +31,30 @@ class SamplingSpec extends SparkSuite {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
+  test("mixToWeights keeps the binding language in full and downsamples " +
+    "the rest to the weight ratio") {
+    // 100 docs x 8 tokens per lang -> ratios tokens/w: en 2T, zh 3.33T,
+    // de 5T => en binds (rate 1.0), zh rate 0.6, de rate 0.4 exactly
+    val r = Sampling.mixToWeights(corpus(300),
+      Map("en" -> 0.5, "zh" -> 0.3), 0.2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getAs[Double]("rate")))
+    val byLang = r.groupBy(_._2)
+    assert(byLang("en").length == 100) // binding language fully kept
+    assert(byLang("en").forall(_._3 == 1.0))
+    assert(byLang("zh").forall(_._3 == 0.6) && byLang("de").forall(_._3 == 0.4))
+    // acceptance tracks the rate (48-bit hash, 100 docs: generous slack)
+    assert(byLang("zh").length > 40 && byLang("zh").length < 80)
+    assert(byLang("de").length > 25 && byLang("de").length < 60)
+    // monotone-in-rate: halving de's weight halves its rate, and the
+    // survivor set SHRINKS (hash ordering: a rate decrease only removes
+    // docs, never swaps one for another)
+    val tighter = Sampling.mixToWeights(corpus(300),
+      Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.1), 0.2).collect()
+      .filter(_.getString(1) == "de").map(_.getLong(0)).toSet
+    val deBefore = byLang("de").map(_._1).toSet
+    assert(tighter.subsetOf(deBefore) && tighter.size < deBefore.size)
+  }
+
   test("shuffleOrder is a per-shard bijection, reproducible, and " +
     "epoch-independent") {
     val c = corpus(300)
