@@ -81,7 +81,12 @@ object Curation {
       .select(col("doc_id"), col("n_tok"), col("top2_cnt"),
         TextAnalysis.round6(col("top2_cnt").cast("double") / col("n2"))
           .as("top2_frac"),
-        TextAnalysis.round6((col("n3") - col("n3d")).cast("double") / col("n3"))
+        // a 2-token doc has one 2-gram (so it survives the join) but ZERO
+        // 3-grams: ANSI Spark would THROW on 0/0 where DuckDB yields
+        // NULL — gate the division so both emit a NULL dup3_frac. (n2 is
+        // never 0 here: the inner join keeps only docs with a 2-gram.)
+        TextAnalysis.round6(when(col("n3") > 0,
+          (col("n3") - col("n3d")).cast("double") / col("n3")))
           .as("dup3_frac"))
       .orderBy("doc_id")
   }

@@ -101,7 +101,12 @@ object TextAnalysis {
           (col("n_stopwords").cast("double") / col("n_tokens")) * 0.4 +
             least(col("n_chars2").cast("double") / col("n_tokens") / 10.0,
               lit(1.0)) * 0.3 +
-            (lit(1.0) - col("n_punct").cast("double") / col("n_chars2")) * 0.3))
+            // empty text has n_chars2 = 0: ANSI Spark would THROW on the
+            // division, DuckDB yields NULL — gate it so both produce a
+            // NULL quality for degenerate docs (n_tokens is never 0:
+            // tokenizing "" yields one empty token)
+            (lit(1.0) - when(col("n_chars2") > 0,
+              col("n_punct").cast("double") / col("n_chars2"))) * 0.3))
       .orderBy("doc_id")
 
   /** 16-bit hash of a token derived from its md5 hex prefix — chosen because
@@ -224,22 +229,24 @@ object TextAnalysis {
     val nAlpha = size(filter(col("_t"), x => x.rlike("^[a-z]+$"))).cast(LongType)
     val maxTokLen = array_max(transform(col("_t"), x => length(x))).cast(LongType)
     val nDistinct = size(array_distinct(col("_t"))).cast(LongType)
-    // Degenerate rows (empty/whitespace-only text) make several ratios
-    // 0/0: Spark yields NaN (comparisons → false) where DuckDB yields NULL,
-    // and array_max over an empty token list is NULL in both. Coalescing
-    // every flag to false makes degenerate docs deterministically rejected
-    // with non-null flags in both engines.
+    // Degenerate rows (empty/whitespace-only text) give several ratios a
+    // zero divisor: Spark 4 runs ANSI mode, where that THROWS
+    // DIVIDE_BY_ZERO — so each division is gated on a positive divisor
+    // (NULL otherwise, mirroring DuckDB's x/0 → NULL), and every flag is
+    // coalesced to false. Degenerate docs are deterministically rejected
+    // with non-null flags in both engines, and can never crash the query.
     def flag(c: Column) = coalesce(c, lit(false))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den.cast("double"))
     withT
       .select(col("doc_id"), nTok.as("n_tok"),
         flag(nTok.between(10, 5000)).as("len_ok"),
-        flag((totTokChars.cast("double") / nTok).between(2.0, 12.0))
-          .as("wordlen_ok"),
-        flag(nSym.cast("double") / length(col("text")) < 0.15).as("symbol_ok"),
-        flag(nAlpha.cast("double") / nTok >= 0.5).as("alpha_ok"),
+        flag(ratio(totTokChars, nTok).between(2.0, 12.0)).as("wordlen_ok"),
+        flag(ratio(nSym, length(col("text"))) < 0.15).as("symbol_ok"),
+        flag(ratio(nAlpha, nTok) >= 0.5).as("alpha_ok"),
         flag(maxTokLen <= 25).as("toklen_ok"),
         flag(!contains(lower(col("text")), lit("lorem ipsum"))).as("lorem_ok"),
-        flag(nDistinct.cast("double") / nTok >= 0.2).as("distinct_ok"))
+        flag(ratio(nDistinct, nTok) >= 0.2).as("distinct_ok"))
       .withColumn("keep",
         col("len_ok") && col("wordlen_ok") && col("symbol_ok") &&
           col("alpha_ok") && col("toklen_ok") && col("lorem_ok") &&

@@ -156,6 +156,25 @@ class OpsSpec extends SparkSuite {
     assert(r(1L).getAs[Double]("dup3_frac") == 0.0)
   }
 
+  test("quality and repetition queries survive degenerate docs under " +
+    "ANSI mode (NULL, never DIVIDE_BY_ZERO)") {
+    // empty text: length(text) = 0 is a zero divisor in the punct term
+    val q = TextAnalysis.qualityQuery(
+      Seq((0L, ""), (1L, "plain ordinary words here"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).isNullAt(q(0L).fieldIndex("quality"))) // NULL, not a crash
+    assert(!q(1L).isNullAt(q(1L).fieldIndex("quality")))
+    // a 2-token doc has one 2-gram but zero 3-grams: n3 = 0 divisor
+    val rep = Curation.repetitionStats(
+      Seq((0L, "two tokens"), (1L, "three token doc here now"))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(0L).isNullAt(rep(0L).fieldIndex("dup3_frac")))
+    assert(rep(0L).getAs[Double]("top2_frac") == 1.0)
+    assert(!rep(1L).isNullAt(rep(1L).fieldIndex("dup3_frac")))
+  }
+
   test("zorder key matches a bit-by-bit reference interleave") {
     import graft.functions.ZOrder
     def ref(a: Long, b: Long): Long = {
@@ -260,6 +279,25 @@ class OpsSpec extends SparkSuite {
     assert(!r(3L).getAs[Boolean]("toklen_ok"))
     assert(!r(4L).getAs[Boolean]("lorem_ok"))
     assert(!r(5L).getAs[Boolean]("distinct_ok"))
+  }
+
+  test("C4 flags on degenerate rows are non-null false, never NULL") {
+    // empty / whitespace-only text hits 0/0 divisions (NaN in Spark,
+    // NULL in DuckDB) and a NULL array_max — the coalesce guard must
+    // turn every flag into a hard false so keep can never be NULL
+    val df = Seq((0L, ""), (1L, "   "), (2L, "\t\n"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.c4FilterQuery(df).collect()
+    assert(rows.length == 3)
+    val flags = Seq("len_ok", "wordlen_ok", "symbol_ok", "alpha_ok",
+      "toklen_ok", "lorem_ok", "distinct_ok", "keep")
+    rows.foreach { r =>
+      flags.foreach { f =>
+        assert(!r.isNullAt(r.fieldIndex(f)), s"doc ${r.getLong(0)}: $f is NULL")
+      }
+      assert(!r.getAs[Boolean]("keep"), s"doc ${r.getLong(0)} kept")
+    }
   }
 
   test("connected components close transitive near-dup clusters") {
