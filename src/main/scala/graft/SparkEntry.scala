@@ -761,8 +761,9 @@ object SparkEntry {
         .join(v.select(col("vec_id").as("d2"), col("embedding").as("_e2"),
           col("_n").as("_n2")), "d2")
         .select(col("d1"), col("d2"),
-          round(graft.ops.Similarity.dot(col("_e1"), col("_e2")) /
-            (col("_n1") * col("_n2")), 6).as("cos"))
+          round(graft.ops.Similarity.cosFromDot(
+            graft.ops.Similarity.dot(col("_e1"), col("_e2")),
+            col("_n1"), col("_n2")), 6).as("cos"))
         .where(col("cos") >= 0.3)
         .orderBy("d1", "d2")
     }),

@@ -637,16 +637,16 @@ object Dedup {
       .withColumn("_n", Similarity.norm(col("embedding")))
       .crossJoin(broadcast(cent))
       .withColumn("_sim",
-        Similarity.dot(col("embedding"), col("cvec")) /
-          (col("_n") * col("cn")))
+        Similarity.cosFromDot(Similarity.dot(col("embedding"), col("cvec")),
+          col("_n"), col("cn")))
       .groupBy(col("vec_id"), col("embedding"), col("_n"))
       .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
     val dup = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
-      .where(round(
-        Similarity.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a._n") * col("b._n")), 6) >= threshold)
+      .where(round(Similarity.cosFromDot(
+        Similarity.dot(col("a.embedding"), col("b.embedding")),
+        col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("a.vec_id").as("vec_id")).distinct()
       .withColumn("_dup", lit(true))
     assigned.select(col("vec_id"), col("cell"))
@@ -666,8 +666,9 @@ object Dedup {
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
-          (col("a._n") * col("b._n")), 6).as("cos"))
+        round(Similarity.cosFromDot(
+          Similarity.dot(col("a.embedding"), col("b.embedding")),
+          col("a._n"), col("b._n")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("d1", "d2")
   }

@@ -35,9 +35,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** dot/(n1·n2) guarded against a zero norm product: NULL instead of an
+    * ANSI DIVIDE_BY_ZERO crash on an all-zero embedding (an empty doc's
+    * vector, a plausible production input). Mirrors DuckDB's x/0 → NULL,
+    * so oracle parity is automatic; a NULL similarity ranks below every
+    * real score (desc ordering puts nulls last in both engines) and
+    * passes no threshold — a zero vector matches nothing either way. */
+  def cosFromDot(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, d / (n1 * n2))
+
   /** Cosine similarity rounded to 6 decimals. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(cosFromDot(dot(a, b), norm(a), norm(b)), 6)
 
   /** Exact top-k neighbors for each query vector (query set must be small —
     * it is broadcast). Self-pairs excluded. Ties broken by neighbor id.
@@ -52,8 +61,8 @@ object Similarity {
     val scored = c.as("c")
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
-          (col("q._n") * col("c._n")), 6).as("cos"))
+        round(cosFromDot(dot(col("q.embedding"), col("c.embedding")),
+          col("q._n"), col("c._n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -167,7 +176,8 @@ object Similarity {
       .join(vecs(queries, "query_id", "_qe", "_qn"), "query_id")
       .join(vecs(corpus, "neighbor_id", "_ce", "_cn"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("_qe"), col("_ce")) / (col("_qn") * col("_cn")), 6).as("cos"))
+        round(cosFromDot(dot(col("_qe"), col("_ce")),
+          col("_qn"), col("_cn")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -191,7 +201,7 @@ object Similarity {
       .withColumn("_n", norm(col("embedding")))
       .crossJoin(broadcast(cent))
       .withColumn("_sim",
-        dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+        cosFromDot(dot(col("embedding"), col("cvec")), col("_n"), col("cn")))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
     val dims = assigned
@@ -227,7 +237,7 @@ object Similarity {
       df.withColumn("_n", norm(col("embedding")))
         .crossJoin(broadcast(cent))
         .withColumn("_sim",
-          dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+          cosFromDot(dot(col("embedding"), col("cvec")), col("_n"), col("cn")))
         .groupBy(col(idCol), col("embedding"), col("_n"))
         .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
     val assigned = cellOf(corpus, "vec_id")
@@ -237,7 +247,7 @@ object Similarity {
     val probes = queries.withColumn("_n", norm(col("embedding")))
       .crossJoin(broadcast(cent))
       .withColumn("_sim",
-        dot(col("embedding"), col("cvec")) / (col("_n") * col("cn")))
+        cosFromDot(dot(col("embedding"), col("cvec")), col("_n"), col("cn")))
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
@@ -246,8 +256,8 @@ object Similarity {
       .join(probes.as("q"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(dot(col("q.embedding"), col("c.embedding")) /
-          (col("q._n") * col("c._n")), 6).as("cos"))
+        round(cosFromDot(dot(col("q.embedding"), col("c.embedding")),
+          col("q._n"), col("c._n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -339,6 +339,29 @@ class OpsSpec extends SparkSuite {
     assert(r == List(1L, 2L, 3L))
   }
 
+  test("zero-norm embeddings rank last with NULL cosine instead of " +
+    "crashing under ANSI mode") {
+    // an all-zero vector (empty doc's embedding) has norm 0 - every
+    // cosine against it is a guarded NULL, never a DIVIDE_BY_ZERO
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 0.0f), 0)) // zero vector
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 3)
+      .collect()
+    // zero vector is last (NULL cos sorts after real scores) with NULL cos
+    assert(rows.map(_.getLong(1)).toList == List(1L, 2L))
+    assert(rows.last.isNullAt(rows.last.fieldIndex("cos")))
+    // threshold ops: the zero vector matches nothing, and nothing crashes
+    val pairs = Dedup.embeddingPairs(vecs, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(pairs == List((0L, 1L)))
+    val sem = Dedup.semanticDedup(vecs, 0.5, nLists = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sem.size == 3 && sem(2L)) // zero vector survives as its own item
+  }
+
   test("lsh topk results are a subset of brute-force ranking, same scoring") {
     val vecs = (0L until 50L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat), 0)
