@@ -713,6 +713,39 @@ object SparkEntry {
       Dedup.crossCorpusPairs(d.where(col("doc_id") % 2 === 1), old, Some(ob))
     }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // Production-width gate: the 64-bit xxhash64 SimHash path — the width
+    // a 100 TB corpus actually runs — is not SQL-expressible (DuckDB has
+    // no xxhash64), so like the ANN recall gates the query emits
+    // oracle-checkable INVARIANTS instead of the raw pairs: two docs with
+    // the same token-count multiset have identical simhash at ANY width,
+    // so every multiset-equal pair MUST appear in the 64-bit pair set at
+    // hamming 0. The oracle computes the multiset-pair count from the
+    // same md5 fingerprint and pins n_in64_h0 = n_multiset_pairs and
+    // covered = true symbolically — a 64-bit regression (missed pair,
+    // broken chunk banding, wrong re-expansion) flips the Spark side and
+    // hash-mismatches the row.
+    "dedup_simhash64" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs64 = Dedup.simhashPairs64(d)
+      val fp = d
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(md5(array_join(array_sort(collect_list(
+          concat_ws(":", col("tok"), col("cnt")))), "|")).as("fp"))
+      val mpairs = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      mpairs
+        .join(pairs64.where(col("hamming") === 0)
+          .select(col("d1"), col("d2"), lit(1L).as("_hit")),
+          Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_multiset_pairs"),
+          count(col("_hit")).as("n_in64_h0"))
+        .select(col("n_multiset_pairs"), col("n_in64_h0"),
+          (col("n_multiset_pairs") === col("n_in64_h0")).as("covered"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedNgramJaccard(docs(s, dir), 0.1)),
     // Stop-shingle guard: drop shingles with block document-frequency > 2
@@ -734,8 +767,8 @@ object SparkEntry {
     // Full pipeline: LSH candidates -> connected components -> keep-list.
     "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir))),
     // Scale path: LSH-bucket blocking instead of the label column (the
-    // "at 100 TB the block key is an LSH bucket" variant). Rows-only —
-    // hyperplane hashing is not SQL-expressible. Same shape as
+    // "at 100 TB the block key is an LSH bucket" variant); full SQL
+    // oracle via the LshBucketChain CTEs. Same shape as
     // Similarity.lshTopK: the bucket self-join carries ONLY
     // (vec_id, tbl, bits) — embeddings never ride the ×NumTables explode
     // shuffle — and each candidate pair is scored once after an
@@ -888,6 +921,32 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY d1, d2""".stripMargin,
 
+    // Invariant gate for the 64-bit path (see the registry comment): the
+    // oracle derives the multiset-equal pair count from the identical md5
+    // fingerprint and pins the containment symbolically — n_in64_h0 and
+    // covered are THEOREMS (same multiset ⇒ same signature ⇒ hamming 0 ⇒
+    // emitted by the banding join), so any divergence is a Spark-side bug.
+    "dedup_simhash64" ->
+      """WITH cnts AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents) t
+        |  GROUP BY doc_id, tok
+        |), fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_sort(list(tok || ':' || CAST(cnt AS VARCHAR))), '|')) AS fp
+        |  FROM cnts GROUP BY doc_id
+        |), mp AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_multiset_pairs,
+        |       CAST(count(*) AS BIGINT) AS n_in64_h0,
+        |       TRUE AS covered
+        |FROM mp""".stripMargin,
+
     "dedup_ngram_jaccard" -> (SH +
       """, shsagg AS (
         |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
@@ -974,13 +1033,13 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT a.vec_id AS d1, b.vec_id AS d2,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |        nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) AS cos
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-        |        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
+        |        nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
 
     // SemDeDup keep-list over the sim_ann_ivf assignment chain: the
@@ -996,7 +1055,7 @@ object SparkEntry {
         |  JOIN nrm be ON be.vec_id = b.vec_id
         |  WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
         |                               CAST(be.embedding AS DOUBLE[])) /
-        |              (ae.n * be.n), 6) >= 0.35
+        |              nullif(ae.n * be.n, 0), 6) >= 0.35
         |)
         |SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
         |       (d.vec_id IS NULL) AS keep
@@ -1145,14 +1204,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
-    // Scale path: LSH-bucketed ANN. No SQL oracle (hyperplane hashing is not
-    // reasonably SQL-expressible) → driver records rows-only.
+    // Scale path: LSH-bucketed ANN. Full SQL oracle — the LshBucketChain
+    // CTEs reproduce the md5-derived hyperplanes and banded sign-bit
+    // buckets symbolically, so the driver hash-compares this row.
     "sim_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
-    // Second scale path: IVF cells + nProbe search. Rows-only likewise.
+    // Second scale path: IVF cells + nProbe search. Full SQL oracle via
+    // the IvfChain CTEs (deterministic seeds + one Lloyd iteration).
     "sim_ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
@@ -1245,7 +1306,7 @@ object SparkEntry {
         |    SELECT v.vec_id, s.cell,
         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(s.cvec AS DOUBLE[])) / (v.n * s.cn) DESC,
+        |                         CAST(s.cvec AS DOUBLE[])) / nullif(v.n * s.cn, 0) DESC,
         |        s.cell) AS rn
         |    FROM nrm v CROSS JOIN seed s) t
         |  WHERE rn = 1
@@ -1270,7 +1331,7 @@ object SparkEntry {
         |    SELECT v.vec_id, c.cell,
         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |                         CAST(c.cvec AS DOUBLE[])) / nullif(v.n * c.cn, 0) DESC,
         |        c.cell) AS rn
         |    FROM nrm v CROSS JOIN cent_n c) t
         |  WHERE rn = 1
@@ -1279,7 +1340,7 @@ object SparkEntry {
         |    SELECT v.vec_id, c.cell,
         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
         |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
-        |                         CAST(c.cvec AS DOUBLE[])) / (v.n * c.cn) DESC,
+        |                         CAST(c.cvec AS DOUBLE[])) / nullif(v.n * c.cn, 0) DESC,
         |        c.cell) AS rn
         |    FROM nrm v CROSS JOIN cent_n c
         |    WHERE v.vec_id < 20) t
@@ -1288,7 +1349,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
         |                           CAST(ae.embedding AS DOUBLE[])) /
-        |          (qe.n * ae.n), 6) AS cos
+        |          nullif(qe.n * ae.n, 0), 6) AS cos
         |  FROM probes q JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
         |  JOIN nrm qe ON qe.vec_id = q.vec_id
         |  JOIN nrm ae ON ae.vec_id = a.vec_id
@@ -1310,7 +1371,7 @@ object SparkEntry {
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
         |                           CAST(ce.embedding AS DOUBLE[])) /
-        |          (qn.n * cn.n), 6) AS cos
+        |          nullif(qn.n * cn.n, 0), 6) AS cos
         |  FROM qprobe q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
         |    AND q.vec_id <> c.vec_id
         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
@@ -1336,7 +1397,7 @@ object SparkEntry {
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
         |                           CAST(ce.embedding AS DOUBLE[])) /
-        |          (qn.n * cn.n), 6) AS cos
+        |          nullif(qn.n * cn.n, 0), 6) AS cos
         |  FROM qprobe q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
         |    AND q.vec_id <> c.vec_id
         |  JOIN embeddings qe ON qe.vec_id = q.vec_id
@@ -1354,7 +1415,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
         |                           CAST(c.embedding AS DOUBLE[])) /
-        |          (qn.n * cn.n), 6) AS cos
+        |          nullif(qn.n * cn.n, 0), 6) AS cos
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  JOIN nrm qn ON qn.vec_id = q.vec_id
         |  JOIN nrm cn ON cn.vec_id = c.vec_id
@@ -1379,7 +1440,7 @@ object SparkEntry {
       """SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
         |  round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
         |                         CAST(be.embedding AS DOUBLE[])) /
-        |        (an.n * bn.n), 6) AS cos
+        |        nullif(an.n * bn.n, 0), 6) AS cos
         |FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bits = b.bits
         |  AND a.vec_id < b.vec_id
         |JOIN embeddings ae ON ae.vec_id = a.vec_id
@@ -1388,7 +1449,7 @@ object SparkEntry {
         |JOIN nrm bn ON bn.vec_id = b.vec_id
         |WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
         |                             CAST(be.embedding AS DOUBLE[])) /
-        |            (an.n * bn.n), 6) >= 0.3
+        |            nullif(an.n * bn.n, 0), 6) >= 0.3
         |ORDER BY d1, d2""".stripMargin),
 
     "sim_ann_ivf" -> ("WITH " + IvfChain +
@@ -1403,7 +1464,7 @@ object SparkEntry {
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
         |                           CAST(c.embedding AS DOUBLE[])) /
-        |          (q.n * c.n), 6) AS cos
+        |          nullif(q.n * c.n, 0), 6) AS cos
         |  FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 20
         |), exact AS (
@@ -1426,8 +1487,8 @@ object SparkEntry {
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
-        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+        |          nullif(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 0), 6) AS cos
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 20
         |), ranked AS (
@@ -1443,14 +1504,16 @@ object SparkEntry {
 
   private def mmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) => Multimodal.metaQuery(s, dir)),
-    // Stubbed decode via mapPartitions — not SQL-expressible → rows-only.
+    // Stubbed decode via mapPartitions; the deterministic stub is mirrored
+    // symbolically by the SQL oracle, so the row hash-compares.
     "mm_feature_extract" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaFromEvents(s, dir)).toDF()
         .select(col("media_id"), col("modality"), col("ok"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
     }),
-    // Frame sampling over the video modality (1->N flatMap) — rows-only.
+    // Frame sampling over the video modality (1->N flatMap) — the frame
+    // count formula is mirrored in SQL, so the row hash-compares.
     "mm_frame_sample" -> ((s, dir) => {
       Multimodal.frameSampleStub(
         Multimodal.mediaFromEvents(s, dir), frameBytes = 4, stride = 2).toDF()

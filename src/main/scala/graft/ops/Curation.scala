@@ -39,14 +39,39 @@ object Curation {
     * is the distinct n-grams of benchmark suites (MBs), never the corpus.
     */
   def decontaminate(docs: DataFrame, evalMod: Int = 17): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
-    val evalGrams = grams.where(col("doc_id") % evalMod === 0)
-      .select("sh").distinct().withColumn("hit", lit(1L))
-    grams.where(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), Seq("sh"), "left")
+    val grams = docGrams(docs)
+    probeContamination(
+      grams.where(col("doc_id") % evalMod =!= 0),
+      grams.where(col("doc_id") % evalMod === 0).select("sh"))
+  }
+
+  /** Production signature: decontaminate the WHOLE corpus against an
+    * external eval-gram table — one string column `sh` holding the
+    * benchmark suites' n-grams (typically a small parquet file maintained
+    * alongside the eval sets). Same broadcast-probe topology as the
+    * mod-based oracle variant; only the eval side's provenance differs.
+    * Duplicate grams in the input are tolerated (distinct'd here). */
+  def decontaminate(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    probeContamination(docGrams(docs), evalGrams.select(col("sh")))
+
+  /** (doc_id, sh) distinct 3-token shingles per document — the corpus-side
+    * probe rows. Two-step select so the tokenizer is materialized before
+    * the shingle lambda (the CollapseProject re-tokenization trap). */
+  private def docGrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+    .select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
+
+  /** Broadcast-probe core: mark each corpus gram that appears in the eval
+    * set, aggregate per doc, keep contaminated docs. The eval side is
+    * distinct'd and explicitly broadcast — benchmark suites are MBs
+    * against a 100 TB corpus, so the probe is a map-side hash join and
+    * the only shuffle is the final per-doc partial-aggregated count. */
+  private def probeContamination(grams: DataFrame,
+                                 evalGrams: DataFrame): DataFrame =
+    grams
+      .join(broadcast(evalGrams.distinct().withColumn("hit", lit(1L))),
+        Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
@@ -55,7 +80,6 @@ object Curation {
         TextAnalysis.round6(col("n_overlap").cast("double") / col("n_grams"))
           .as("contam_frac"))
       .orderBy("doc_id")
-  }
 
   /** Gopher-style within-document repetition statistics, one row per doc:
     * (doc_id, n_tok, top2_cnt, top2_frac, dup3_frac) where `top2_frac` is

@@ -226,7 +226,22 @@ object Dedup {
     * be served stale buckets. Builds land in a unique temp directory and
     * rename into the final path (best-effort atomicity: a concurrent
     * builder produces identical content; the rename loser deletes its
-    * temp and reads the winner's store). */
+    * temp and reads the winner's store). A store directory WITHOUT its
+    * `_SUCCESS` marker is a partial publish (a builder that crashed
+    * mid-write, or a non-atomic rename — s3a renames are copies) and is
+    * evicted and rebuilt on the next call rather than poisoning every
+    * later read.
+    *
+    * Concurrency contract: publishes are idempotent (every builder of the
+    * same fingerprint writes identical content), and concurrent BUILDERS
+    * are safe — each returns a complete store. The exists-check + rename
+    * pair is not atomic, though, so a third process reading the store
+    * directory DURING a concurrent publish could transiently list a
+    * losing builder's in-flight subdirectory before the loser evicts it.
+    * Deployments that cannot tolerate that window should serialize
+    * writers per store key (one builder job per corpus snapshot — the
+    * natural batch topology) or gate readers on `_SUCCESS` plus an exact
+    * file manifest instead of a directory listing. */
   def bandBucketStore(spark: org.apache.spark.sql.SparkSession,
                       corpus: DataFrame, sourcePath: String, tag: String,
                       storeRoot: Option[String] = None): DataFrame = {
@@ -242,6 +257,12 @@ object Dedup {
         store.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
       bandBuckets(minhashSignature(corpus))
         .write.mode("overwrite").parquet(tmp.toString)
+      // self-repair: a store dir without _SUCCESS is a partial publish
+      // (crashed builder / non-atomic s3a rename). Left in place it would
+      // skip the rename below and fail the completeness check — on this
+      // call and every later one — so evict it first; the freshly-built
+      // tmp then lands a complete store.
+      if (fs.exists(store) && !fs.exists(success)) fs.delete(store, true)
       // publish: rename wins or a concurrent builder already did —
       // either way a complete store exists at `store` afterwards.
       // (Hadoop rename onto an existing dir moves src INTO it — if a
@@ -344,6 +365,13 @@ object Dedup {
     * accumulate storage pressure. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
     simhashPairsManaged(docs, maxDist)._1
+
+  /** Production-width facade: [[simhashPairsManaged]] at the 64-bit
+    * xxhash64 width a real corpus runs (16-bit saturates — see
+    * [[SimhashBits]]), pairs only. Interior cache lifecycle as in
+    * [[simhashPairs]]. */
+  def simhashPairs64(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsManaged(docs, maxDist, bits = 64)._1
 
   /** As [[simhashPairs]], plus a cleanup thunk that unpersists the interior
     * doc-signature cache. Call it after materializing the pairs result
@@ -531,15 +559,19 @@ object Dedup {
         // anti-join against the STOP set, not semi-join against the rare
         // set: the stop set (df > cutoff) is boilerplate-sized — a handful
         // of keys by construction, vs the rare set which is the whole
-        // vocabulary — so it broadcasts and the guard costs one df
-        // aggregation plus a map-side anti probe, never a second shuffle
-        // of the full posting table. (If the cutoff is set so low that
-        // "stop" covers most of the vocabulary, the broadcast would be
-        // the wrong shape — but then the cut itself is misconfigured.)
+        // vocabulary — so it hash-joins cheaply and the guard costs one df
+        // aggregation plus an anti probe. NO explicit broadcast() hint:
+        // a low cutoff on a repetitive corpus can make the stop set
+        // vocabulary-sized, and an unconditional hint would then OOM the
+        // driver instead of degrading. The optimizer decides — small stop
+        // sets broadcast via autoBroadcastJoinThreshold / AQE's runtime
+        // size (post-shuffle stage stats are exact), oversized ones fall
+        // back to a shuffled anti join that is merely slower, reusing the
+        // (lang, source, sh) partitioning the posting join needs anyway.
         val stop = shAll.groupBy("lang", "source", "sh")
           .agg(count(lit(1)).as("_df")).where(col("_df") > k)
           .select("lang", "source", "sh")
-        shAll.join(broadcast(stop), Seq("lang", "source", "sh"), "left_anti")
+        shAll.join(stop, Seq("lang", "source", "sh"), "left_anti")
       case None => shAll
     }
     val sizes = sh.groupBy("doc_id", "lang", "source")
@@ -628,7 +660,31 @@ object Dedup {
     * at production scale raise nLists so cells stay ~constant-sized and
     * pair work grows linearly with the corpus. */
   def semanticDedup(emb: DataFrame, threshold: Double, nLists: Int = 16,
-                    lloydIters: Int = 1): DataFrame = {
+                    lloydIters: Int = 1): DataFrame =
+    semanticDedupManaged(emb, threshold, nLists, lloydIters)._1
+
+  /** As [[semanticDedup]], plus a cleanup thunk that unpersists the
+    * interior assignment cache (the [[simhashPairsManaged]] pattern).
+    *
+    * The `assigned` subtree — Lloyd-refined centroids + the broadcast
+    * argmax over the whole corpus, the dominant linear pass — feeds THREE
+    * consumers (both sides of the in-cell pair join and the final keep
+    * join), and Catalyst does not dedupe the copies (no exchange reuse
+    * fires across the self-join aliases; the round-9 plan carried the
+    * full Lloyd chain three times, including three corpus×dims
+    * posexplode shuffles). `.cache()` collapses that to ONE derivation
+    * plus a columnar write. Measured trade at sf0.1 (QBench, warm JVM):
+    * ~0.69 s uncached vs ~0.90 s cached — the cache BUILD costs ~0.2 s
+    * at a scale where the corpus passes it saves are only ~0.1 s each;
+    * the crossover is corpus size, since uncached cost grows with ~3×
+    * (argmax + refine + posexplode shuffle) corpus passes while the
+    * cache adds one spill-safe (MEMORY_AND_DISK) write of
+    * (id, embedding, norm, cell) rows. At the 100 TB design point the
+    * cache is the only sane shape. Call the thunk once the result is
+    * materialized; Bench / Verify instead clear the session cache
+    * wholesale. */
+  def semanticDedupManaged(emb: DataFrame, threshold: Double, nLists: Int = 16,
+                           lloydIters: Int = 1): (DataFrame, () => Unit) = {
     val cent = (1 to lloydIters).foldLeft(
       Similarity.seedCentroids(emb, nLists)) {
       (c, _) => Similarity.refineCentroids(emb, c)
@@ -641,6 +697,7 @@ object Dedup {
           col("_n"), col("cn")))
       .groupBy(col("vec_id"), col("embedding"), col("_n"))
       .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
+      .cache()
     val dup = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
@@ -649,10 +706,11 @@ object Dedup {
         col("a._n"), col("b._n")), 6) >= threshold)
       .select(col("a.vec_id").as("vec_id")).distinct()
       .withColumn("_dup", lit(true))
-    assigned.select(col("vec_id"), col("cell"))
+    val result = assigned.select(col("vec_id"), col("cell"))
       .join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("_dup").isNull.as("keep"))
       .orderBy("vec_id")
+    (result, () => { assigned.unpersist(); () })
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold between vectors sharing a

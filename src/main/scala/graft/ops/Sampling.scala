@@ -90,8 +90,11 @@ object Sampling {
     * Scale: one partial-aggregated groupBy(lang) for token totals (a
     * languages-sized table), a 1-row scalar min riding a broadcast
     * crossJoin (the q_sketch_distinct pattern — no driver action), a
-    * broadcast rate join, and a map-side hash filter. The corpus is
-    * scanned once and never shuffled. */
+    * broadcast rate join, and a map-side hash filter. The corpus is never
+    * shuffled; it is scanned twice (the `toks` subtree feeds both the
+    * per-lang token totals and the final filter join), each scan a linear
+    * map pass — persist `toks` if the double tokenize ever shows in a
+    * profile. */
   def mixToWeights(docs: DataFrame, weights: Map[String, Double],
                    defaultWeight: Double): DataFrame = {
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (lang, wt)) =>

@@ -141,6 +141,27 @@ class OpsSpec extends SparkSuite {
     assert(!r.contains(0L)) // eval doc itself is not a corpus row
   }
 
+  test("decontaminate against a file-backed external eval-gram table " +
+    "probes every doc, including the eval docs themselves") {
+    // production signature: the eval set arrives as a parquet table of
+    // distinct n-grams, not as a doc_id partition of the corpus
+    val evalPath = tmpDir("evalgrams") + "/grams.parquet"
+    docsDf.where(col("doc_id") === 0)
+      .select(TextAnalysis.tokens(col("text")).as("_t"))
+      .select(explode(array_distinct(TextAnalysis.shingles3(col("_t"))))
+        .as("sh"))
+      .write.parquet(evalPath)
+    val r = Curation.decontaminate(docsDf, spark.read.parquet(evalPath))
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_overlap"), x.getAs[Double]("contam_frac"))).toMap
+    // doc 0 wrote the eval set (full self-overlap), 1 is its exact dup,
+    // 2 a near dup (partial), 3 unrelated (no row)
+    assert(r(0L)._2 == 1.0 && r(1L)._2 == 1.0)
+    assert(r.contains(2L) && r(2L)._1 > 0 && r(2L)._2 < 1.0)
+    assert(!r.contains(3L))
+  }
+
   test("repetition stats match hand-computed Gopher fractions") {
     val df = Seq(
       (0L, "a b a b a b", "en", "s", 11L),       // (a b)x3 of 5 2-grams
@@ -257,6 +278,32 @@ class OpsSpec extends SparkSuite {
     assert(r(0L) && r(1L) && r(3L)) // lowest ids always survive
     assert(!r(2L) && !r(4L)) // near-dups of a lower id are dropped
     assert(r.size == 6 && r(5L)) // everyone gets a row; 5 below threshold
+  }
+
+  test("semanticDedupManaged cleanup unpersists the interior assignment " +
+    "cache and the result stays recomputable afterwards") {
+    spark.catalog.clearCache()
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.98f, 0.2f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val (res, cleanup) = Dedup.semanticDedupManaged(vecs, 0.95, nLists = 4)
+    val before = res.collect().map(_.toSeq).toList
+    assert(!spark.sharedState.cacheManager.isEmpty) // assignment cache live
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    cleanup() // idempotent
+    assert(res.collect().map(_.toSeq).toList == before) // recomputes fine
+  }
+
+  test("dedup_simhash64 gate holds on real data: every multiset-equal " +
+    "pair appears in the 64-bit pair set at hamming 0 (sf0.001)") {
+    val row = graft.SparkEntry.queries("dedup_simhash64")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getAs[Boolean]("covered"))
+    assert(row.getAs[Long]("n_in64_h0") == row.getAs[Long]("n_multiset_pairs"))
   }
 
   test("C4/Gopher rule bundle flags each pathology and keeps clean text") {
