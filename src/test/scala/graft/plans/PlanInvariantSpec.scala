@@ -47,6 +47,22 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("dedup_simhash64: equi-joins only (no cartesian / nested loop), " +
+    "and the signature pair join still runs at the distinct-signature " +
+    "level") {
+    val p = planOf("dedup_simhash64")
+    assert(!p.contains("CartesianProduct"), "simhash64 plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "simhash64 plans a nested loop")
+    // the production width pin needs the formatted explain — the simple
+    // treeString truncates the 64-column signature aggregate and loses
+    // the expression text
+    val full = graft.SparkEntry.queries("dedup_simhash64")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(full.contains("xxhash64"), "production width lost the xxhash64 hash")
+  }
+
   test("dedup_semantic and sim_ann_ivf: centroid machinery broadcasts, " +
     "no unplanned cartesian anywhere") {
     for (q <- Seq("dedup_semantic", "sim_ann_ivf")) {
