@@ -701,6 +701,15 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    // The production LSH dial, exercised at a NON-default configuration
+    // (16 hashes, 8 bands of 2): each band's minhashes fold into one
+    // 48-bit md5-prefix key, so the banding schema is config-independent —
+    // the executable form of SCALING.md's "raise bands/hashes, topology
+    // unchanged". The oracle regenerates the folded chain from the same
+    // constants, so collisions (which only add verified candidates)
+    // reproduce identically on both sides.
+    "dedup_minhash_wide" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), 16, 8)),
     // Incremental dedup: new batch (odd doc_ids) vs existing corpus (even).
     // The corpus side's band buckets come from the persisted signature
     // store (built on first run, reloaded after), so repeat batches never
@@ -841,6 +850,39 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Folded-band-key MinHash candidate CTE chain at an arbitrary
+    * (numHashes, numBands) config (no leading WITH) — generated from the
+    * same [[graft.ops.Dedup.minhashParams]] constants the Scala side
+    * uses, with each band's minhashes folded into a 48-bit md5-prefix
+    * key exactly as `Dedup.bandBucketsAt` does. */
+  private def minhashFoldedChain(numHashes: Int, numBands: Int): String = {
+    val rpb = numHashes / numBands
+    ShChain +
+      s""", xs AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS x FROM sh
+        |), sig AS (
+        |  SELECT doc_id,
+        |${(0 until numHashes).map { i =>
+             val (a, b) = graft.ops.Dedup.minhashParams(i)
+             s"    min((x * $a + $b) % ${graft.ops.Dedup.MersenneP}) AS mh$i"
+           }.mkString(",\n")}
+        |  FROM xs GROUP BY doc_id
+        |), buckets AS (
+        |${(0 until numBands).map { b =>
+             val key = (0 until rpb)
+               .map(i => s"CAST(mh${b * rpb + i} AS VARCHAR)")
+               .mkString(" || ',' || ")
+             s"  SELECT doc_id, $b AS band, " +
+               s"CAST(('0x' || substr(md5($key), 1, 12)) AS BIGINT) AS bkey FROM sig"
+           }.mkString("\n  UNION ALL\n")}
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        |""".stripMargin
+  }
+
   private def dedupOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
@@ -866,6 +908,17 @@ object SparkEntry {
         |FROM documents GROUP BY h ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_lsh" -> ("WITH " + MinhashCandChain +
+      """, shs AS (
+        |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
+        |)
+        |SELECT d1, d2,
+        |  floor((len(list_intersect(s1.shs, s2.shs)) * 1.0 /
+        |         (len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs))))
+        |        * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM cand JOIN shs s1 ON cand.d1 = s1.doc_id JOIN shs s2 ON cand.d2 = s2.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "dedup_minhash_wide" -> ("WITH " + minhashFoldedChain(16, 8) +
       """, shs AS (
         |  SELECT doc_id, list(DISTINCT sh) AS shs FROM sh GROUP BY doc_id
         |)

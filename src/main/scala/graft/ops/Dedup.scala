@@ -50,16 +50,24 @@ object Dedup {
   def shingleHash(sh: Column): Column =
     conv(substring(md5(sh), 1, 12), 16, 10).cast(LongType)
 
-  /** Per-doc MinHash signature columns mh0..mh7 over 3-token shingles.
+  /** Per-doc MinHash signature columns mh0..mh{k-1} over 3-token shingles.
     * Tokens are materialized in a projection BEFORE the shingle transform —
     * otherwise Catalyst inlines the regex split into every `element_at` of
     * the lambda and re-tokenizes the document once per shingle position. */
-  def minhashSignature(docs: DataFrame): DataFrame = {
+  def minhashSignature(docs: DataFrame): DataFrame =
+    minhashSignature(docs, NumMinhashes)
+
+  /** As above at an explicit hash count — the production recall/precision
+    * knob (more hashes = finer jaccard resolution; pair with more bands
+    * in [[minhashCandidates(docs:DataFrame,numHashes:Int,numBands:Int)*]]).
+    * Still one md5 per shingle regardless of k: every extra hash is one
+    * more integer affine map over the same base hash. */
+  def minhashSignature(docs: DataFrame, numHashes: Int): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"), explode(TextAnalysis.shingles3(col("_t"))).as("sh"))
       .withColumn("x", shingleHash(col("sh")))
-    val aggs = (0 until NumMinhashes).map { i =>
+    val aggs = (0 until numHashes).map { i =>
       val (a, b) = minhashParams(i)
       min((col("x") * a + b) % MersenneP).as(s"mh$i")
     }
@@ -91,6 +99,49 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band, bkey) band-bucket rows at an arbitrary
+    * (numHashes, numBands) configuration — the production LSH dial
+    * SCALING.md argues ("8→128 hashes, 16 bands of 8": more hashes per
+    * band = higher precision per collision, more bands = recall back).
+    * Each band's `numHashes / numBands` minhashes fold into ONE 48-bit
+    * key (the [[shingleHash]] md5-prefix of their comma-join — the same
+    * oracle-mirrorable construction the base hash uses), so the bucket
+    * schema — and therefore the join, the store layout, and every
+    * downstream consumer — is identical at every configuration. A fold
+    * collision only ever ADDS a candidate pair, which the exact-Jaccard
+    * verification stage scores like any other candidate. */
+  private def bandBucketsAt(sig: DataFrame, numHashes: Int,
+                            numBands: Int): DataFrame = {
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"minhash banding: $numBands bands must evenly divide $numHashes hashes")
+    val rpb = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
+      val key = shingleHash(concat_ws(",",
+        (0 until rpb).map(i => col(s"mh${b * rpb + i}").cast("string")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+  }
+
+  /** [[minhashCandidates]] at an explicit (numHashes, numBands)
+    * configuration via the folded band key. At the default (8, 4) the
+    * candidate set equals the legacy (h1, h2) path's (fold collisions
+    * aside) — property-tested; at production configs the same topology
+    * scales bands/hashes with zero schema change. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int,
+                        numBands: Int): DataFrame = {
+    val buckets = bandBucketsAt(minhashSignature(docs, numHashes),
+      numHashes, numBands)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** LSH candidate pairs verified with exact Jaccard over distinct
     * shingles. Returns (d1, d2, jaccard), d1 < d2.
     *
@@ -104,8 +155,20 @@ object Dedup {
     * skipped shingle maps. In the incremental operator the old corpus's
     * buckets come from the signature store, so the prune is free there
     * and stays. */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val cand = minhashCandidates(docs)
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    jaccardVerify(docs, minhashCandidates(docs))
+
+  /** [[minhashLshPairs]] at an explicit (numHashes, numBands)
+    * configuration — candidates from the folded-key banding, identical
+    * exact-Jaccard verification. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int,
+                      numBands: Int): DataFrame =
+    jaccardVerify(docs, minhashCandidates(docs, numHashes, numBands))
+
+  /** Exact-Jaccard verification of a candidate-pair table: candidate-keyed
+    * inner joins against per-doc distinct shingle sets, so only candidate
+    * docs' sets ever cross the wire. */
+  private def jaccardVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
     val shingleSets = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"),
