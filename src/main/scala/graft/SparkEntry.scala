@@ -1265,6 +1265,18 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
+    // The LSH recall dial exercised at a NON-default configuration
+    // (12 tables × 4 planes = 48 hyperplanes): planes are a prefix of one
+    // shared md5-derived family, so this config's candidates are a strict
+    // superset of the default 8-table run's (recall monotone — see the
+    // LshConfigPropertySpec theorem) and the oracle regenerates the
+    // 48-plane chain from the same constants.
+    "sim_ann_lsh_wide" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), 5,
+        multiProbe = true, numTables = 12, planesPerTable = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
     // Second scale path: IVF cells + nProbe search. Full SQL oracle via
     // the IvfChain CTEs (deterministic seeds + one Lloyd iteration).
     "sim_ann_ivf" -> ((s, dir) => {
@@ -1317,13 +1329,19 @@ object SparkEntry {
   /** Hyperplane-LSH bucket CTE chain (no leading WITH): reproduces
     * Similarity's md5-derived planes and banded sign-bit buckets in SQL.
     * Sum-order noise in projections only matters when a projection is
-    * within ~1e-15 of zero — measure-zero on real data. */
-  private val LshBucketChain =
+    * within ~1e-15 of zero — measure-zero on real data. Parameterized on
+    * (numPlanes, planesPerTable) exactly as `Similarity.lshTopK`'s 6-arg
+    * overload is; the default chain is the (32, 4) instance. */
+  private val LshBucketChain: String =
+    lshBucketChain(graft.ops.Similarity.NumHyperplanes,
+      graft.ops.Similarity.PlanesPerTable)
+
+  private def lshBucketChain(numPlanes: Int, planesPerTable: Int): String =
     s"""planes AS (
       |  SELECT p, j,
       |    CAST(('0x' || substr(md5('hp|' || p || '|' || j), 1, 6)) AS INT)
       |      / 16777216.0 - 0.5 AS w
-      |  FROM generate_series(0, ${graft.ops.Similarity.NumHyperplanes - 1}) t1(p),
+      |  FROM generate_series(0, ${numPlanes - 1}) t1(p),
       |       generate_series(0, 63) t2(j)
       |), proj AS (
       |  SELECT v.vec_id, pl.p,
@@ -1416,6 +1434,32 @@ object SparkEntry {
 
   private def simOracles: Map[String, String] = Map(
     "sim_ann_lsh" -> ("WITH " + LshBucketChain +
+      """, qprobe AS (
+        |  SELECT vec_id, tbl, CAST(xor(bits, f) AS BIGINT) AS bits
+        |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS f) flips
+        |  WHERE vec_id < 20
+        |), scored AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+        |                           CAST(ce.embedding AS DOUBLE[])) /
+        |          nullif(qn.n * cn.n, 0), 6) AS cos
+        |  FROM qprobe q JOIN bkt c ON q.tbl = c.tbl AND q.bits = c.bits
+        |    AND q.vec_id <> c.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |  JOIN nrm qn ON qn.vec_id = q.vec_id
+        |  JOIN nrm cn ON cn.vec_id = c.vec_id
+        |  WHERE q.vec_id < 20
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_lsh_wide" -> ("WITH " + lshBucketChain(48, 4) +
       """, qprobe AS (
         |  SELECT vec_id, tbl, CAST(xor(bits, f) AS BIGINT) AS bits
         |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS f) flips

@@ -74,14 +74,19 @@ object Similarity {
   val PlanesPerTable = 4
   val NumTables = 8
   val MaxDim = 512
+  val MaxHyperplanes = 64 // sign bits share one Long mask
 
   /** Deterministic pseudo-random hyperplanes, precomputed ONCE on the driver
     * (component j of plane p = md5("hp|p|j") first 6 hex nibbles mapped into
     * [-0.5, 0.5)) and shipped as array literals — zero per-row hashing on
-    * executors, reruns identical everywhere. */
-  private[graft] lazy val planes: Array[Array[Double]] = {
+    * executors, reruns identical everywhere. Plane p's values depend only
+    * on p, so every configuration's plane list is a PREFIX of the full
+    * [[MaxHyperplanes]]-plane family — a wider config reuses the default's
+    * planes verbatim and appends, which is what makes its candidate set a
+    * superset of the default's (see [[lshTopK]]'s 6-arg overload). */
+  private[graft] lazy val allPlanes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumHyperplanes) { p =>
+    Array.tabulate(MaxHyperplanes) { p =>
       Array.tabulate(MaxDim) { j =>
         val hex = md.digest(s"hp|$p|$j".getBytes("UTF-8"))
           .take(3).map(b => f"${b & 0xff}%02x").mkString
@@ -89,6 +94,15 @@ object Similarity {
       }
     }
   }
+
+  private[graft] def planesFor(n: Int): Array[Array[Double]] = {
+    require(n > 0 && n <= MaxHyperplanes,
+      s"hyperplane count must be in 1..$MaxHyperplanes, got $n")
+    allPlanes.take(n)
+  }
+
+  private[graft] lazy val planes: Array[Array[Double]] =
+    planesFor(NumHyperplanes)
 
   /** All 32 hyperplane sign bits of a vector as one long bitmask, via the
     * batched codegen kernel [[graft.functions.HyperplaneSignBits]] (one
@@ -98,6 +112,12 @@ object Similarity {
     * unchanged, so every downstream bucket value is bit-identical. */
   def hyperplaneMask(vec: Column): Column =
     graft.functions.VectorExpressions.hyperplaneSignBits(vec, planes)
+
+  /** [[hyperplaneMask]] over the first `numPlanes` planes of the shared
+    * family — bit p of the wider mask equals bit p of the default mask
+    * for every shared plane (prefix property above). */
+  def hyperplaneMaskAt(vec: Column, numPlanes: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneSignBits(vec, planesFor(numPlanes))
 
   /** Banded multi-table LSH buckets from a precomputed sign-bit mask:
     * NumTables entries of (table_id, PlanesPerTable sign bits). AND within
@@ -109,11 +129,18 @@ object Similarity {
     * table structs each reference the mask, and handing the kernel
     * expression itself here would rely on codegen subexpression
     * elimination to avoid 8 re-evaluations. */
-  def bucketsFromMask(mask: Column): Column = {
-    val tables = (0 until NumTables).map { t =>
+  def bucketsFromMask(mask: Column): Column =
+    bucketsFromMask(mask, NumTables, PlanesPerTable)
+
+  /** Banded buckets at an explicit (numTables, planesPerTable) — the LSH
+    * recall dial as a parameter (more tables = more OR-chances = higher
+    * recall at ×tables corpus explode cost). */
+  def bucketsFromMask(mask: Column, numTables: Int,
+                      planesPerTable: Int): Column = {
+    val tables = (0 until numTables).map { t =>
       struct(lit(t).as("tbl"),
-        shiftright(mask, t * PlanesPerTable)
-          .bitwiseAND(lit((1L << PlanesPerTable) - 1)).as("bits"))
+        shiftright(mask, t * planesPerTable)
+          .bitwiseAND(lit((1L << planesPerTable) - 1)).as("bits"))
     }
     array(tables: _*)
   }
@@ -131,13 +158,18 @@ object Similarity {
     * probed). Applied to the QUERY side only, so the corpus explode
     * factor — the side that matters at scale — stays NumTables; probe
     * cost grows only with the (small) query set. */
-  def probeBucketsFromMask(mask: Column): Column = {
+  def probeBucketsFromMask(mask: Column): Column =
+    probeBucketsFromMask(mask, NumTables, PlanesPerTable)
+
+  /** Multi-probe buckets at an explicit configuration (see above). */
+  def probeBucketsFromMask(mask: Column, numTables: Int,
+                           planesPerTable: Int): Column = {
     val entries = for {
-      t <- 0 until NumTables
-      f <- -1 until PlanesPerTable // -1 = the exact (unflipped) bucket
+      t <- 0 until numTables
+      f <- -1 until planesPerTable // -1 = the exact (unflipped) bucket
     } yield {
-      val bits = shiftright(mask, t * PlanesPerTable)
-        .bitwiseAND(lit((1L << PlanesPerTable) - 1))
+      val bits = shiftright(mask, t * planesPerTable)
+        .bitwiseAND(lit((1L << planesPerTable) - 1))
       val probed = if (f < 0) bits else bits.bitwiseXOR(lit(1L << f))
       struct(lit(t).as("tbl"), probed.as("bits"))
     }
@@ -156,12 +188,26 @@ object Similarity {
     * tables/probes is scored once, not per collision), and the vectors
     * are joined back just for the one scoring pass. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true): DataFrame =
+    lshTopK(corpus, queries, k, multiProbe, NumTables, PlanesPerTable)
+
+  /** [[lshTopK]] at an explicit (numTables, planesPerTable) — the
+    * production recall dial. Because every configuration's planes are a
+    * prefix of one shared family, a run with MORE tables (same
+    * planesPerTable) generates a candidate SUPERSET of the default's:
+    * its first NumTables tables produce bit-identical buckets, the extra
+    * tables only add collisions — so recall@k is monotone in the table
+    * count (property-tested; exercised oracle-gated at 12×4 by
+    * `sim_ann_lsh_wide`). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              multiProbe: Boolean, numTables: Int,
+              planesPerTable: Int): DataFrame = {
+    val numPlanes = numTables * planesPerTable
     def bucketed(df: DataFrame, probe: Boolean) = df
-      .withColumn("_mask", hyperplaneMask(col("embedding")))
+      .withColumn("_mask", hyperplaneMaskAt(col("embedding"), numPlanes))
       .withColumn("bb", explode(
-        if (probe) probeBucketsFromMask(col("_mask"))
-        else bucketsFromMask(col("_mask"))))
+        if (probe) probeBucketsFromMask(col("_mask"), numTables, planesPerTable)
+        else bucketsFromMask(col("_mask"), numTables, planesPerTable)))
       .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
     val cand = bucketed(corpus, probe = false).as("c")
       .join(bucketed(queries, probe = multiProbe).as("q"),
