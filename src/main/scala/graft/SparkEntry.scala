@@ -572,6 +572,12 @@ object SparkEntry {
     // the scarcest-relative-to-weight language is kept in full.
     "sample_mix" -> ((s, dir) => Sampling.mixToWeights(docs(s, dir),
       Map("en" -> 0.5, "zh" -> 0.3), 0.2)),
+    // DSIR-flavored importance selection: keep source docs whose hashed
+    // 2-gram profile is more target-like than source-like (integerized
+    // ratio-of-sums — see Sampling.importanceSelect's scaladoc for why
+    // not sum-of-logs).
+    "sample_importance" -> ((s, dir) =>
+      Sampling.importanceSelect(docs(s, dir))),
     // Numeric-run redaction over the events payload column (documents are
     // digit-free by construction, so the scrub targets props): a single
     // codegen'd regexp_replace pass plus an audit count.
@@ -659,6 +665,40 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
         |      < r.rate * 281474976710656.0
         |ORDER BY t.doc_id""".stripMargin,
+
+    "sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) x
+        |), gb AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 256 AS b
+        |  FROM g2
+        |), bs AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cs
+        |  FROM gb GROUP BY b
+        |), tot AS (
+        |  SELECT sum(ct) AS t_total, sum(cs) AS s_total FROM bs
+        |), per AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(bs.ct) AS BIGINT) AS t_hits,
+        |         CAST(sum(bs.cs) AS BIGINT) AS s_hits
+        |  FROM gb g JOIN bs ON g.b = bs.b
+        |  WHERE g.doc_id % 17 <> 0 GROUP BY g.doc_id
+        |)
+        |SELECT doc_id, n_grams, t_hits, s_hits, imp_ratio FROM (
+        |  SELECT doc_id, n_grams, t_hits, s_hits,
+        |    floor((t_hits * 1.0 * s_total /
+        |           nullif(s_hits * 1.0 * t_total, 0)) * 1000000 + 0.5)
+        |      / 1000000 AS imp_ratio
+        |  FROM per, tot)
+        |WHERE imp_ratio > 1.0
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_shuffle" ->
       """WITH h AS (

@@ -185,4 +185,57 @@ object Sampling {
       .where(col("rk") <= perSource)
       .orderBy("doc_id")
   }
+
+  /** DSIR-flavored importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each SOURCE
+    * document by how target-like its hashed n-gram profile is, keep docs
+    * scoring above parity. The target split (`doc_id % targetMod == 0` —
+    * the same stand-in convention [[Curation.decontaminate]] uses for an
+    * external high-quality set) plays the "formal text" distribution;
+    * 2-gram features hash into `buckets` buckets.
+    *
+    * The published recipe scores with a sum of per-bucket log-likelihood
+    * ratios; this implementation integerizes it as a RATIO OF INTEGER
+    * SUMS — imp = (Σ_g ct[b(g)] / T) / (Σ_g cs[b(g)] / S), i.e. the
+    * aggregate target-vs-source frequency ratio of the doc's grams — for
+    * two reasons. Deterministic oracle parity: integer sums are
+    * order-independent where a float sum-of-logs depends on partition
+    * order (and `ln` is not bit-identical across engines); and a single
+    * final double multiply/divide is IEEE-exact in both engines. Scale:
+    * the bucket tables are ≤ `buckets` rows (broadcast), the totals ride
+    * a 1-row broadcast crossJoin, and the only corpus shuffle is the
+    * per-doc partial-aggregated groupBy — the corpus itself is never
+    * repartitioned. Returns (doc_id, n_grams, t_hits, s_hits, imp_ratio)
+    * for source docs with imp_ratio > 1, ordered; docs sharing no bucket
+    * with the target (t_hits = 0 would make the ratio 0) drop out via
+    * the threshold like everything else below parity. */
+  def importanceSelect(docs: DataFrame, targetMod: Int = 17,
+                       buckets: Int = 256): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), explode(TextAnalysis.shingles2(col("_t"))).as("g"))
+      .withColumn("b", Dedup.shingleHash(col("g")) % buckets)
+    // ONE bucket-stats pass: target and source counts as conditional sums
+    // over the same scan (separate target/source aggregations would each
+    // re-tokenize the corpus)
+    val bstats = grams.groupBy("b").agg(
+      sum(when(col("doc_id") % targetMod === 0, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("doc_id") % targetMod =!= 0, 1L).otherwise(0L)).as("cs"))
+    val totals = bstats.agg(sum("ct").as("t_total"), sum("cs").as("s_total"))
+    val raw = col("t_hits").cast("double") * col("s_total") /
+      (col("s_hits").cast("double") * col("t_total"))
+    grams.where(col("doc_id") % targetMod =!= 0)
+      .join(broadcast(bstats), Seq("b")) // every bucket of a source gram exists
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("ct")).as("t_hits"),
+        sum(col("cs")).as("s_hits")) // every source gram counts itself: cs >= 1
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_grams"), col("t_hits"), col("s_hits"),
+        // ANSI guard: an empty target split zeroes t_total -> NULL ratio
+        TextAnalysis.round6(
+          when(col("s_hits") * col("t_total") > 0, raw)).as("imp_ratio"))
+      .where(col("imp_ratio") > 1.0)
+      .orderBy("doc_id")
+  }
 }

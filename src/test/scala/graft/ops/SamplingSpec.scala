@@ -17,6 +17,36 @@ class SamplingSpec extends SparkSuite {
       s"src${i % 4}", 40L)
   }.toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("importance selection keeps target-like source docs and drops " +
+    "docs sharing nothing with the target") {
+    // doc 0 (doc_id % 17 == 0) IS the target split; doc 1 repeats its
+    // vocabulary, docs 2-3 are alien filler that dilutes the source
+    // distribution, so doc 1's grams are target-heavy relative to source
+    val df = Seq(
+      (0L, "formal prose about careful writing and formal prose style"),
+      (1L, "formal prose about careful writing makes formal prose style"),
+      (2L, "xx yy zz qq ww ee rr tt uu ii oo pp aa ss dd ff gg hh"),
+      (3L, "zz qq ww ee rr tt uu ii oo pp aa ss dd ff gg hh xx yy"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Sampling.importanceSelect(df).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("imp_ratio")).toMap
+    assert(r.contains(1L) && r(1L) > 1.0, s"target-like doc dropped: $r")
+    assert(!r.contains(2L) && !r.contains(3L), s"alien docs kept: $r")
+    assert(!r.contains(0L)) // target docs are never scored as source
+  }
+
+  test("importance selection survives an empty target split under ANSI " +
+    "(NULL ratios, zero rows, no DIVIDE_BY_ZERO)") {
+    // ids 1..3 only: no doc_id % 17 == 0 -> t_total is NULL-ish/0
+    val df = Seq(
+      (1L, "some ordinary words here"), (2L, "more ordinary words there"),
+      (3L, "yet more ordinary words"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Sampling.importanceSelect(df).collect().isEmpty)
+  }
+
   test("assignSplit is deterministic and stable under corpus growth") {
     val small = Sampling.assignSplit(corpus(200)).collect()
       .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
