@@ -572,6 +572,10 @@ object SparkEntry {
     // the scarcest-relative-to-weight language is kept in full.
     "sample_mix" -> ((s, dir) => Sampling.mixToWeights(docs(s, dir),
       Map("en" -> 0.5, "zh" -> 0.3), 0.2)),
+    // Quality-weighted epoch repetition: 3/2/1 copies by quality tier
+    // (the "repeat high-quality data more" mix-construction step). Pure
+    // map + explode, zero shuffle.
+    "sample_epochs" -> ((s, dir) => Sampling.epochRepeat(docs(s, dir))),
     // DSIR-flavored importance selection: keep source docs whose hashed
     // 2-gram profile is more target-like than source-like (integerized
     // ratio-of-sums — see Sampling.importanceSelect's scaladoc for why
@@ -665,6 +669,30 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
         |      < r.rate * 281474976710656.0
         |ORDER BY t.doc_id""".stripMargin,
+
+    // quality expression inlined from the text_quality_score oracle; the
+    // tier CASE guards NULL/NaN explicitly so a degenerate doc lands in
+    // the 1-copy tier on both engines regardless of DuckDB's
+    // float-division setting (Spark's guarded quality is NULL there)
+    "sample_epochs" -> (T +
+      """SELECT doc_id, n_copies, CAST(ec AS BIGINT) AS epoch_copy
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN quality IS NULL OR isnan(quality) THEN 1
+        |              WHEN quality >= 0.5 THEN 3
+        |              WHEN quality >= 0.25 THEN 2
+        |              ELSE 1 END AS BIGINT) AS n_copies
+        |  FROM (
+        |    SELECT doc_id,
+        |      floor(((CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |          * 1.0 / len(t)) * 0.4 +
+        |        least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |        (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |          / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
+        |    FROM toks) q
+        |) c, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS ec) g
+        |ORDER BY doc_id, epoch_copy""".stripMargin),
 
     "sample_importance" ->
       """WITH toks AS (

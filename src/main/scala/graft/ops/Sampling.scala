@@ -186,6 +186,30 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted epoch repetition: emit each document once per
+    * training epoch it participates in, with high-quality docs repeated
+    * more — the "repeat books 4×, crawl 1×" mix-construction step of a
+    * pretraining recipe, driven here by [[TextAnalysis.qualityQuery]]'s
+    * heuristic score (quality ≥ 0.5 → 3 copies, ≥ 0.25 → 2, else — and
+    * for degenerate docs whose quality is NULL — 1). Tiers compare the
+    * ROUNDED score, so the branch taken is bit-identical across engines.
+    * Returns (doc_id, n_copies, epoch_copy), ordered.
+    *
+    * Scale: pure map + explode — zero shuffle at any size (plan-asserted
+    * with the other map-only family members); the output multiplies rows
+    * by the mean copy count, which is the operator's semantics, not
+    * overhead. */
+  def epochRepeat(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityQuery(docs)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("n_copies",
+        when(col("quality") >= 0.5, 3L)
+          .when(col("quality") >= 0.25, 2L)
+          .otherwise(1L))
+      .select(col("doc_id"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch_copy"))
+      .orderBy("doc_id", "epoch_copy")
+
   /** DSIR-flavored importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each SOURCE
     * document by how target-like its hashed n-gram profile is, keep docs

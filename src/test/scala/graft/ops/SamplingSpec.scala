@@ -17,6 +17,26 @@ class SamplingSpec extends SparkSuite {
       s"src${i % 4}", 40L)
   }.toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("epoch repetition emits 3/2/1 copies by quality tier and one copy " +
+    "for degenerate docs") {
+    val df = Seq(
+      // stopword-dense, normal word lengths, no punctuation -> high tier
+      (0L, "the cat is on the mat and the dog is in the house with a bone"),
+      (1L, "wxyz qrst mnop asdf ghjk zxcv bnml poiu ytre"), // no stopwords
+      (2L, "")) // degenerate: NULL quality
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Sampling.epochRepeat(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val copies = r.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(copies(0L) == 3, s"high-quality doc copies: $r")
+    assert(copies(2L) == 1) // NULL quality -> single epoch, no crash
+    assert(copies(1L) < copies(0L))
+    // epoch_copy enumerates 1..n_copies per doc
+    assert(r.filter(_._1 == 0L).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    r.foreach { case (_, n, ec) => assert(ec >= 1 && ec <= n) }
+  }
+
   test("importance selection keeps target-like source docs and drops " +
     "docs sharing nothing with the target") {
     // doc 0 (doc_id % 17 == 0) IS the target split; doc 1 repeats its

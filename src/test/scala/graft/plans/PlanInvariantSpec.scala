@@ -21,8 +21,8 @@ class PlanInvariantSpec extends SparkSuite {
 
   test("map-only text/sampling queries have no hash exchange and no " +
     "single-partition step (only the output sort's range partitioning)") {
-    for (q <- Seq("sample_split", "text_c4_filters", "text_token_count",
-      "text_quality_score", "text_redact_numbers")) {
+    for (q <- Seq("sample_split", "sample_epochs", "text_c4_filters",
+      "text_token_count", "text_quality_score", "text_redact_numbers")) {
       val p = planOf(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles: unexpected hash exchange")
       assert(!p.contains("SinglePartition"), s"$q has a single-partition step")
