@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** Cumulative stop-the-world GC time across all collectors (ms). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** First three /proc/loadavg fields as "1m,5m,15m" ('' off-Linux). */
+  private def loadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadAvg()
     // Steady-state methodology: run every query once at the smallest scale
     // factor first. Cold-run cost is dominated by fixed overhead (janino
     // codegen compile, planner warm-up — ~3-7 s per complex pipeline,
@@ -34,16 +53,60 @@ object Bench {
     // measured +56% on the whole-suite total from storage/GC pressure —
     // while making later reps of the SAME query read leftover cached data
     // instead of doing the full scan the protocol promises.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> times.sorted.apply(1)
+    //
+    // Adjudication telemetry (round-11): alongside each median the JSON
+    // carries the raw per-rep times, the query's GC-time delta summed over
+    // its 3 reps, and its suite position, plus suite-level loadavg
+    // before/after — so a driver-vs-builder spike (like round 10's 6-10x
+    // on four CONTIGUOUS queries) is diagnosable from the artifact alone:
+    // one outlier rep with a matching GC/loadavg signature says machine
+    // stall; three uniformly slow reps with quiet GC says plan.
+    case class QStat(median: Double, reps: Seq[Double], gcMs: Long, pos: Int)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), pos) =>
+        val gc0 = gcMillis()
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        name -> QStat(times.sorted.apply(1), times, gcMillis() - gc0, pos)
     }.toMap
+    // Sink-writer throughput: the one genuinely custom write path
+    // (GroupFileWriter's group-per-object streaming) timed per codec so a
+    // writer regression shows up in BENCH, not only in byte goldens.
+    // 200k ~120-byte lines across 64 groups to local FS per codec.
+    val sinkWrite = {
+      import graft.config.{CompressionType => C, FormatType}
+      val base = java.nio.file.Files.createTempDirectory("graft_sinkbench")
+      val nRows = 200000L
+      val nGroups = 64
+      val df = spark.range(nRows)
+        .select(col("id").as("offset"),
+          concat(lit("bench-topic-"), (col("id") % nGroups).cast("string"),
+            lit(".jsonl")).as("_filename"),
+          concat(lit("{\"offset\":"), col("id").cast("string"),
+            lit(",\"payload\":\""),
+            lpad(md5(col("id").cast("string")), 96, "x"), lit("\"}"))
+            .as("_line"))
+      val codecs = Seq(C.None, C.Gzip, C.Snappy, C.Zstd)
+      val times = codecs.map { c =>
+        val out = base.resolve(c.name).toUri.toString
+        val t0 = System.nanoTime()
+        graft.formats.GroupFileWriter.writeLines(df, out, FormatType.Jsonl, c)
+        c.name -> (System.nanoTime() - t0) / 1e9
+      }
+      // best-effort cleanup; the JVM exits right after either way
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      (times, nRows, nGroups)
+    }
+    val loadAfter = loadAvg()
     // The driver captures only the tail of the sbt output and parses the
     // JSON line out of it: keep the line compact (ms resolution — the
     // timings are ~0.1-4 s, three decimals lose nothing) and print it LAST,
@@ -52,13 +115,23 @@ object Bench {
     // otherwise sbt's "[success] Total time" line lands after ours.)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v.median) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val tel = results.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":{\"pos\":" + v.pos +
+          ",\"reps\":[" + v.reps.map(f3).mkString(",") + "]" +
+          ",\"gc_ms\":" + v.gcMs + "}"
+      }
+      .mkString("{", ",", "}")
+    val sw = (sinkWrite._1.map { case (k, v) => "\"" + k + "\":" + f3(v) } ++
+      Seq("\"rows\":" + sinkWrite._2, "\"groups\":" + sinkWrite._3))
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.median).sum else 0.0
     spark.stop()
     // n_queries mirrors Verify's COUNTS line into the bench artifact, so
     // BENCH_r{N}.json is self-describing about suite size (doc counts
     // cite COUNTS; the bench JSON can now be cross-checked against it)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
   }
 }

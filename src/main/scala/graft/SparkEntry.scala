@@ -365,6 +365,47 @@ object SparkEntry {
     "text_length_outliers" -> ((s, dir) =>
       Curation.lengthOutliers(docs(s, dir))),
 
+    // The production dial at its NON-default setting: approx_percentile
+    // with accuracy=1000 (10x looser than the 10000 default). The approx
+    // median/MAD values are sketch outputs (not cross-engine
+    // reproducible), so like the sketch family the row gates the
+    // guarantee in-query: for each lang, the returned median's rank
+    // window must straddle 0.5 (f_lt = fraction strictly below, <= 0.51;
+    // f_le = fraction at-or-below, >= 0.49 — the two-sided form absorbs
+    // tie mass and grants 10x the setting's 0.001 rank error for
+    // discreteness), and the same for the MAD over
+    // deviations-from-approx-median. accuracy=1000, not 100: measured on
+    // sf0.01 (n=64-218 per lang), accuracy=100 returns values up to ~9%
+    // of ranks off (es: 261 vs exact 311) — far beyond its documented
+    // 1/accuracy bound — while 1000 lands on the discrete median element;
+    // the dial's floor is where the GK guarantee empirically holds. The
+    // oracle pins n_docs exactly and the flags symbolically TRUE: a
+    // broken sketch/merge (e.g. accuracy-100-class drift, f_le ~ 0.42)
+    // flips a flag and hash-mismatches the row.
+    "text_length_outliers_approx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ap = Curation.lengthOutliers(d, 3.0, Some(1000))
+      val base = d.select(col("lang"), col("n_chars").cast("double").as("v"))
+      base
+        .join(broadcast(ap.select(col("lang"), col("med_chars"),
+          col("mad_chars"))), Seq("lang"))
+        .withColumn("adev", abs(col("v") - col("med_chars")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("v") < col("med_chars"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("m_lt"),
+          (sum(when(col("v") <= col("med_chars"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("m_le"),
+          (sum(when(col("adev") < col("mad_chars"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("a_lt"),
+          (sum(when(col("adev") <= col("mad_chars"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("a_le"))
+        .select(col("lang"), col("n_docs"),
+          (col("m_lt") <= 0.51 && col("m_le") >= 0.49).as("med_ok"),
+          (col("a_lt") <= 0.51 && col("a_le") >= 0.49).as("mad_ok"))
+        .orderBy("lang")
+    }),
+
     // Unigram-LM commonness score (log-free CCNet-perplexity cousin —
     // integer sums only, so bit-reproducible across partition orders).
     "text_commonness" -> ((s, dir) =>
@@ -531,6 +572,15 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.lang = mad.lang
         |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin,
+
+    // The approx row's med/mad rank-window flags are THEOREMS of the
+    // approx_percentile(0.5, 100) guarantee (rank error <= 1/100), so the
+    // oracle pins them symbolically and the exact n_docs numerically —
+    // the dedup_simhash64 / q_sketch_distinct invariant-gate pattern.
+    "text_length_outliers_approx" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS med_ok, TRUE AS mad_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_commonness" -> (T +
       """, tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -804,12 +854,18 @@ object SparkEntry {
     "dedup_simhash64" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs64 = Dedup.simhashPairs64(d)
+      // md5(tok) (fixed-width hex) rather than the raw token in the
+      // multiset fingerprint: a token containing ':' or '|' would make the
+      // raw encoding non-injective ('a:1|b' x1 vs {'a','b'} x1 collide),
+      // turning a non-pair into a "multiset pair" and flipping covered —
+      // a false gate failure. Hashing each token first makes the
+      // sorted-join encoding injective (same md5 both engines).
       val fp = d
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(md5(array_join(array_sort(collect_list(
-          concat_ws(":", col("tok"), col("cnt")))), "|")).as("fp"))
+          concat_ws(":", md5(col("tok")), col("cnt")))), "|")).as("fp"))
       val mpairs = fp.as("a")
         .join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -841,6 +897,13 @@ object SparkEntry {
     // sim_ann_ivf centroid/assignment machinery and its oracle chain.
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // SemDeDup with the scale-aware sqrt-n nLists dial (non-default:
+    // 23 cells at sf0.01 vs the fixed 16) — the auto IvfChain oracle
+    // recomputes the same nLists from count(*), so cell assignment AND
+    // the keep-list at the auto dial hash-compare end-to-end.
+    "dedup_semantic_auto" -> ((s, dir) =>
+      Dedup.semanticDedupAuto(s.read.parquet(s"$dir/embeddings.parquet"),
+        0.35)),
     // Full pipeline: LSH candidates -> connected components -> keep-list.
     "dedup_cluster_keep" -> ((s, dir) => Dedup.clusterKeepList(docs(s, dir))),
     // Scale path: LSH-bucket blocking instead of the label column (the
@@ -1057,7 +1120,7 @@ object SparkEntry {
         |), fp AS (
         |  SELECT doc_id,
         |    md5(array_to_string(
-        |      list_sort(list(tok || ':' || CAST(cnt AS VARCHAR))), '|')) AS fp
+        |      list_sort(list(md5(tok) || ':' || CAST(cnt AS VARCHAR))), '|')) AS fp
         |  FROM cnts GROUP BY doc_id
         |), mp AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
@@ -1167,21 +1230,11 @@ object SparkEntry {
     // `assigned` CTE is the identical deterministic cell assignment
     // (1 Lloyd iteration, nLists 16); a vector is dropped iff a lower-id
     // vector in its cell scores cosine >= 0.35.
-    "dedup_semantic" -> ("WITH " + IvfChain +
-      """, dup AS (
-        |  SELECT DISTINCT a.vec_id
-        |  FROM assigned a JOIN assigned b
-        |    ON a.cell = b.cell AND a.vec_id > b.vec_id
-        |  JOIN nrm ae ON ae.vec_id = a.vec_id
-        |  JOIN nrm be ON be.vec_id = b.vec_id
-        |  WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
-        |                               CAST(be.embedding AS DOUBLE[])) /
-        |              nullif(ae.n * be.n, 0), 6) >= 0.35
-        |)
-        |SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
-        |       (d.vec_id IS NULL) AS keep
-        |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
-        |ORDER BY a.vec_id""".stripMargin),
+    "dedup_semantic" -> ("WITH " + IvfChain + SemDedupTail),
+
+    // Same SemDeDup tail over the AUTO chain: nLists recomputed from
+    // count(*) inside the SQL, pinning the scale-aware dial's value.
+    "dedup_semantic_auto" -> ("WITH " + AutoIvfChain + SemDedupTail),
 
     "dedup_chunks" ->
       """WITH toks AS (
@@ -1364,7 +1417,17 @@ object SparkEntry {
     // Same gate for the IVF path (recall@5 = 0.83 at sf0.01, 0.93 at
     // sf0.1 — deterministic, both over the 0.8 bar).
     "sim_ann_ivf_recall" -> ((s, dir) =>
-      annRecall(s, dir, Similarity.ivfTopK(_, _, 5)))
+      annRecall(s, dir, Similarity.ivfTopK(_, _, 5))),
+    // Scale-aware dial, oracle-gated at its NON-default value: nLists =
+    // max(16, ceil(sqrt(n))) (23 at sf0.01, 45 at sf0.1) computed from a
+    // corpus count on the Spark side and from count(*) inside the oracle
+    // SQL — the one knob the fixed-dial 10x probe showed growing
+    // super-linearly now turns itself, and the turned value hash-compares.
+    "sim_ann_ivf_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopKAuto(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    })
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1417,9 +1480,9 @@ object SparkEntry {
       |  FROM embeddings v JOIN planes pl ON pl.j < len(v.embedding)
       |  GROUP BY v.vec_id, pl.p
       |), bkt AS (
-      |  SELECT vec_id, p // ${graft.ops.Similarity.PlanesPerTable} AS tbl,
+      |  SELECT vec_id, p // $planesPerTable AS tbl,
       |    CAST(sum(CASE WHEN s >= 0
-      |      THEN (1 << (p % ${graft.ops.Similarity.PlanesPerTable})) ELSE 0 END) AS BIGINT) AS bits
+      |      THEN (1 << (p % $planesPerTable)) ELSE 0 END) AS BIGINT) AS bits
       |  FROM proj GROUP BY vec_id, tbl
       |), nrm AS (
       |  SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1430,8 +1493,37 @@ object SparkEntry {
 
   /** IVF probe/assignment CTE chain (no leading WITH), ending with the
     * `ranked` CTE — shared by the sim_ann_ivf oracle and its recall
-    * gate. */
-  private val IvfChain =
+    * gate. The default chain is the nLists=16 instance; the auto chain
+    * computes nLists = max(16, ceil(sqrt(count(*)))) IN SQL (exact-integer
+    * sqrt/ceil, bit-identical to [[graft.ops.Similarity.autoNLists]]), so
+    * the scale-aware dial is oracle-gated end-to-end. */
+  private val IvfChain = ivfChain("16")
+
+  private val AutoNListsSql =
+    "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))"
+
+  private val AutoIvfChain = ivfChain(AutoNListsSql)
+
+  /** SemDeDup keep-list tail over an IvfChain's `assigned`/`nrm` CTEs:
+    * a vector is dropped iff a lower-id vector in its cell scores cosine
+    * >= 0.35 (shared by dedup_semantic and dedup_semantic_auto). */
+  private val SemDedupTail =
+    """, dup AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id > b.vec_id
+      |  JOIN nrm ae ON ae.vec_id = a.vec_id
+      |  JOIN nrm be ON be.vec_id = b.vec_id
+      |  WHERE round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
+      |                               CAST(be.embedding AS DOUBLE[])) /
+      |              nullif(ae.n * be.n, 0), 6) >= 0.35
+      |)
+      |SELECT a.vec_id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+      |       (d.vec_id IS NULL) AS keep
+      |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  private def ivfChain(nListsSql: String): String =
     s"""nrm AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1439,7 +1531,7 @@ object SparkEntry {
         |  FROM embeddings
         |), seed AS (
         |  SELECT vec_id AS cell, embedding AS cvec, n AS cn FROM nrm
-        |  WHERE vec_id < 16
+        |  WHERE vec_id < ($nListsSql)
         |), assign0 AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT v.vec_id, s.cell,
@@ -1622,6 +1714,11 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    "sim_ann_ivf_auto" -> ("WITH " + AutoIvfChain +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "sim_ann_ivf_recall" -> ("WITH " + IvfChain +
       """, approx AS (
         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
@@ -1689,7 +1786,21 @@ object SparkEntry {
     // Asset-level exact dedup BEFORE decode: only md5 digests shuffle,
     // never the media bytes.
     "mm_dedup_binary" -> ((s, dir) =>
-      Multimodal.dedupBinary(Multimodal.mediaFromEvents(s, dir)))
+      Multimodal.dedupBinary(Multimodal.mediaFromEvents(s, dir))),
+
+    // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
+    // cyclically): the grid is deterministic, so its md5 is mirrored in
+    // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
+    // make byte == char). Empty payloads are excluded on both sides — the
+    // all-zero-byte grid is not expressible as a DuckDB VARCHAR.
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromEvents(s, dir)
+        .where(col("byte_len") > 0)
+      Multimodal.resizeStub(media, 8, 4).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          md5(col("payload")).as("resized_md5"))
+        .orderBy("media_id")
+    })
   )
 
   private def mmOracles: Map[String, String] = Map(
@@ -1726,7 +1837,16 @@ object SparkEntry {
       """SELECT md5(props) AS asset_md5, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(sum(length(props)) AS BIGINT) AS bytes_total
-        |FROM events GROUP BY asset_md5 ORDER BY keep_id""".stripMargin
+        |FROM events GROUP BY asset_md5 ORDER BY keep_id""".stripMargin,
+
+    // resized grid = payload tiled cyclically to 32 bytes (out[i] =
+    // payload[i % len]) == substr(repeat(props, ceil(32/len)), 1, 32)
+    "mm_resize" ->
+      """SELECT event_id AS media_id, 8 AS width, 4 AS height,
+        |  md5(substr(repeat(props,
+        |    CAST(ceil(32.0 / length(props)) AS INT)), 1, 32)) AS resized_md5
+        |FROM events WHERE length(props) > 0
+        |ORDER BY media_id""".stripMargin
   )
 
   // ------------------------------------------------------ relational family

@@ -185,20 +185,35 @@ object Curation {
     * mega-documents drag the threshold). One row per lang:
     * (lang, n_docs, med_chars, mad_chars, n_outliers).
     *
-    * Scale: two exact-percentile aggregations over (lang) — at 100 TB the
-    * med/MAD pass swaps `percentile` for `approx_percentile` (same plan
-    * shape, sketch-mergeable); the per-lang aggregate rows are tiny and
-    * explicitly broadcast back for the deviation/flag passes, so the corpus
-    * is scanned exactly twice and shuffled only into per-lang partials.
-    */
-  def lengthOutliers(docs: DataFrame, k: Double = 3.0): DataFrame = {
+    * Scale: two percentile aggregations over (lang); the per-lang
+    * aggregate rows are tiny and explicitly broadcast back for the
+    * deviation/flag passes, so the corpus is scanned exactly twice and
+    * shuffled only into per-lang partials. The production dial is
+    * `approxAccuracy`: `Some(acc)` swaps `percentile` for
+    * `approx_percentile(…, acc)` — identical plan shape (both are
+    * ObjectHashAggregate TypedImperative aggs; asserted by
+    * CurationOpsSpec), sketch-mergeable partials, bounded state (~acc
+    * samples per group instead of every value) — the med/MAD pass a
+    * 100 TB corpus actually runs. Documented rank error is ≤ 1/acc, but
+    * measured (sf0.01, groups of 64–218): acc=100 drifts up to ~9% of
+    * ranks — keep acc ≥ 1000, the empirical floor where the guarantee
+    * holds, which the text_length_outliers_approx oracle row gates
+    * in-query. */
+  def lengthOutliers(docs: DataFrame, k: Double = 3.0,
+                     approxAccuracy: Option[Int] = None): DataFrame = {
+    // cast("double"): percentile returns DOUBLE but approx_percentile
+    // returns the input type — pin the schema so the dial never changes it
+    def p50(c: String) = (approxAccuracy match {
+      case Some(acc) => expr(s"approx_percentile($c, 0.5D, $acc)")
+      case None      => expr(s"percentile($c, 0.5D)")
+    }).cast("double")
     val base = docs.select(col("lang"), col("n_chars"))
     val med = base.groupBy("lang")
-      .agg(expr("percentile(n_chars, 0.5D)").as("med_chars"))
+      .agg(p50("n_chars").as("med_chars"))
     val dev = base.join(broadcast(med), Seq("lang"))
       .withColumn("adev", abs(col("n_chars") - col("med_chars")))
     val mad = dev.groupBy("lang")
-      .agg(expr("percentile(adev, 0.5D)").as("mad_chars"))
+      .agg(p50("adev").as("mad_chars"))
     dev.join(broadcast(mad), Seq("lang"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -721,10 +721,28 @@ object Dedup {
     * all-pairs across the corpus. Σ cell² is the cost knob, controlled by
     * nLists (≈ √n, the measured IvfSweep guidance) and Lloyd balancing —
     * at production scale raise nLists so cells stay ~constant-sized and
-    * pair work grows linearly with the corpus. */
+    * pair work grows linearly with the corpus (or call
+    * [[semanticDedupAuto]], which sets the dial from a corpus count).
+    *
+    * NOTE: this facade `.cache()`s the interior cell assignment and keeps
+    * it pinned for the session (MEMORY_AND_DISK) — each call leaks one
+    * cached table until `spark.catalog.clearCache()` (what Bench/Verify
+    * do) or session end. Long-lived library callers should use
+    * [[semanticDedupManaged]] and invoke the returned cleanup thunk once
+    * the result is materialized. */
   def semanticDedup(emb: DataFrame, threshold: Double, nLists: Int = 16,
                     lloydIters: Int = 1): DataFrame =
     semanticDedupManaged(emb, threshold, nLists, lloydIters)._1
+
+  /** [[semanticDedup]] with the nLists dial set by the √n occupancy rule
+    * ([[Similarity.autoNLists]]) from a cheap parquet-metadata count of
+    * the corpus — the 10× scale probe's only super-linear growth was
+    * FIXED-nLists cell occupancy (Σ cell² pair work), and this variant
+    * turns that knob automatically. Same cache note as the facade. */
+  def semanticDedupAuto(emb: DataFrame, threshold: Double,
+                        lloydIters: Int = 1): DataFrame =
+    semanticDedup(emb, threshold, Similarity.autoNLists(emb.count()),
+      lloydIters)
 
   /** As [[semanticDedup]], plus a cleanup thunk that unpersists the
     * interior assignment cache (the [[simhashPairsManaged]] pattern).

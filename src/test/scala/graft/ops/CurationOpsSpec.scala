@@ -69,6 +69,36 @@ class CurationOpsSpec extends SparkSuite {
     assert(r("de") == ((20.0, 0.0, 0L)))
   }
 
+  test("lengthOutliers approxAccuracy dial: identical schema and, on a " +
+    "fixture far from any rank boundary, identical values") {
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "x" * 10, "en", "s", 10L)) :+
+        (5L, "x" * 1000, "en", "s", 1000L)) ++ (
+      (6 to 8).map(i => (i.toLong, "y" * 20, "de", "s", 20L)))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Curation.lengthOutliers(df)
+    val approx = Curation.lengthOutliers(df, 3.0, Some(1000))
+    assert(approx.schema == exact.schema)
+    // n=5/n=3 with huge gaps: the <=1% rank window cannot cross a value
+    // boundary, so the sketch must return the exact median elements
+    assert(approx.collect().toSeq == exact.collect().toSeq)
+  }
+
+  test("lengthOutliers approx dial keeps the exact plan's shape: same " +
+    "exchange count, percentile aggs stay ObjectHashAggregate") {
+    val docs = mkDocs(0L -> "aa bb", 1L -> "cc dd")
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("Exchange".r.findAllIn(p).size,
+        "ObjectHashAggregate".r.findAllIn(p).size)
+    }
+    val (exEx, exAgg) = shape(Curation.lengthOutliers(docs))
+    val (apEx, apAgg) = shape(Curation.lengthOutliers(docs, 3.0, Some(1000)))
+    assert(exEx == apEx, "approx dial must not add/remove an exchange")
+    assert(exAgg == apAgg && apAgg >= 2,
+      "both percentile passes must stay ObjectHashAggregate in both modes")
+  }
+
   test("quotaCap keeps the perSource longest docs, ties broken by doc_id") {
     val docs = mkDocs(
       0L -> "aa bb", 1L -> "cc dd", 2L -> "longest text here ok",

@@ -280,6 +280,29 @@ class OpsSpec extends SparkSuite {
     assert(r.size == 6 && r(5L)) // everyone gets a row; 5 below threshold
   }
 
+  test("autoNLists follows the sqrt-n occupancy rule with a floor of 16") {
+    assert(Similarity.autoNLists(0L) == 16)
+    assert(Similarity.autoNLists(256L) == 16)   // sqrt = 16 exactly
+    assert(Similarity.autoNLists(257L) == 17)   // first step past the floor
+    assert(Similarity.autoNLists(500L) == 23)   // the sf0.01 embeddings count
+    assert(Similarity.autoNLists(2000L) == 45)  // the sf0.1 embeddings count
+    assert(Similarity.autoNLists(20000L) == 142) // the 10x probe corpus
+    assert(Similarity.autoNLists(10000L) == 100) // perfect square stays exact
+  }
+
+  test("semanticDedupAuto at n <= 256 equals the fixed dial at its floor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.98f, 0.2f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.semanticDedupAuto(vecs, 0.95).collect().map(_.toSeq)
+    val fixed = Dedup.semanticDedup(vecs, 0.95, nLists = 16)
+      .collect().map(_.toSeq)
+    assert(auto.toSeq == fixed.toSeq)
+  }
+
   test("semanticDedupManaged cleanup unpersists the interior assignment " +
     "cache and the result stays recomputable afterwards") {
     spark.catalog.clearCache()

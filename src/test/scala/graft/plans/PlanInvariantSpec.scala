@@ -63,9 +63,11 @@ class PlanInvariantSpec extends SparkSuite {
     assert(full.contains("xxhash64"), "production width lost the xxhash64 hash")
   }
 
-  test("dedup_semantic, sim_ann_ivf, sample_importance: broadcast-only " +
-    "nested loops (1-row/nLists-row sides), no unplanned cartesian") {
-    for (q <- Seq("dedup_semantic", "sim_ann_ivf", "sample_importance")) {
+  test("dedup_semantic, sim_ann_ivf (fixed + auto-nLists), " +
+    "sample_importance: broadcast-only nested loops (1-row/nLists-row " +
+    "sides), no unplanned cartesian") {
+    for (q <- Seq("dedup_semantic", "sim_ann_ivf", "sample_importance",
+      "dedup_semantic_auto", "sim_ann_ivf_auto")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a raw cartesian")
       // the only nested-loop joins are the nLists-row broadcast centroid

@@ -15,14 +15,16 @@ for i in $(seq 1 "$N"); do
   # never overwrite a good run{i}.json with an empty file
   tmp=$(mktemp)
   # GRAFT_CC_ASSERT_ROUNDS arms the connected-components convergence
-  # canary (Dedup.connectedComponents): measured round count is 2 at
-  # sf0.01/sf0.1/3x-sf0.1, so >6 means a propagation regression (wrong
-  # join key, broken edge cache) and the bench run fails loudly instead
-  # of silently timing a degraded loop.
+  # canary (Dedup.connectedComponents): measured round count is 2 across
+  # two decades (sf0.01 -> 10x-sf0.1, SCALING.md), so >3 means a
+  # propagation regression (wrong join key, broken edge cache) and the
+  # bench run fails loudly instead of silently timing a degraded loop.
+  # (3, not 2: one round of honest diameter growth on a new corpus should
+  # not abort a bench; SCALING.md documents the 10x-probe canary recipe.)
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
-  GRAFT_CC_ASSERT_ROUNDS="${GRAFT_CC_ASSERT_ROUNDS:-6}" \
+  GRAFT_CC_ASSERT_ROUNDS="${GRAFT_CC_ASSERT_ROUNDS:-3}" \
     tools/spark-run.sh graft.Bench 2>/dev/null \
     | grep '"metric":"total"' | tail -1 > "$tmp"
   python3 -c "import json,sys; d=json.load(open('$tmp')); assert d['queries']" \
