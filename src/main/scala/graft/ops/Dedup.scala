@@ -747,37 +747,33 @@ object Dedup {
   /** As [[semanticDedup]], plus a cleanup thunk that unpersists the
     * interior assignment cache (the [[simhashPairsManaged]] pattern).
     *
-    * The `assigned` subtree — Lloyd-refined centroids + the broadcast
-    * argmax over the whole corpus, the dominant linear pass — feeds THREE
-    * consumers (both sides of the in-cell pair join and the final keep
-    * join), and Catalyst does not dedupe the copies (no exchange reuse
-    * fires across the self-join aliases; the round-9 plan carried the
-    * full Lloyd chain three times, including three corpus×dims
-    * posexplode shuffles). `.cache()` collapses that to ONE derivation
-    * plus a columnar write. Measured trade at sf0.1 (QBench, warm JVM):
-    * ~0.69 s uncached vs ~0.90 s cached — the cache BUILD costs ~0.2 s
-    * at a scale where the corpus passes it saves are only ~0.1 s each;
-    * the crossover is corpus size, since uncached cost grows with ~3×
-    * (argmax + refine + posexplode shuffle) corpus passes while the
-    * cache adds one spill-safe (MEMORY_AND_DISK) write of
-    * (id, embedding, norm, cell) rows. At the 100 TB design point the
-    * cache is the only sane shape. Call the thunk once the result is
-    * materialized; Bench / Verify instead clear the session cache
+    * The `assigned` subtree feeds THREE consumers (both sides of the
+    * in-cell pair join and the final keep join), and Catalyst does not
+    * dedupe the copies. Since round 11 the subtree is cheap to rebuild —
+    * the Lloyd chain is collected to the driver at construction and
+    * assignment is the map-only [[graft.ops.Similarity.assignCells]]
+    * kernel — so the cache now saves two corpus SCANS (plus kernel
+    * re-evaluation), not two Lloyd chains; at sf0.1 the cached shape
+    * measures at parity (~0.55 s) with the uncached one. It stays
+    * because at the 100 TB design point two extra full-corpus scans
+    * dwarf one spill-safe (MEMORY_AND_DISK) write of
+    * (id, embedding, norm, cell) rows. Call the thunk once the result
+    * is materialized; Bench / Verify instead clear the session cache
     * wholesale. */
   def semanticDedupManaged(emb: DataFrame, threshold: Double, nLists: Int = 16,
                            lloydIters: Int = 1): (DataFrame, () => Unit) = {
-    val cent = (1 to lloydIters).foldLeft(
-      Similarity.seedCentroids(emb, nLists)) {
-      (c, _) => Similarity.refineCentroids(emb, c)
-    }
-    val assigned = emb
-      .withColumn("_n", Similarity.norm(col("embedding")))
-      .crossJoin(broadcast(cent))
-      .withColumn("_sim",
-        Similarity.cosFromDot(Similarity.dot(col("embedding"), col("cvec")),
-          col("_n"), col("cn")))
-      .groupBy(col("vec_id"), col("embedding"), col("_n"))
-      .agg(max_by(col("cell"), struct(col("_sim"), -col("cell"))).as("cell"))
+    // Centroids collected once at construction, assignment via the
+    // map-only NearestCentroid codegen kernel (see Similarity.assignCells
+    // — every declarative argmax shape measured super-linear at the
+    // 10×/100× probes: struct-buffer SortAggregate, or Lloyd-chain
+    // re-execution per consumer).
+    val local = Similarity.collectCentroids(
+      (1 to lloydIters).foldLeft(Similarity.seedCentroids(emb, nLists)) {
+        (c, _) => Similarity.refineCentroids(emb, c)
+      })
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("_n")), local)
       .cache()
     val dup = assigned.as("a")
       .join(assigned.as("b"),

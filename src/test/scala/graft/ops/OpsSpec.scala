@@ -676,6 +676,53 @@ class OpsSpec extends SparkSuite {
         ((got(0L) >> (r.getAs[Int]("tbl") * Similarity.PlanesPerTable)) & 15L))
   }
 
+  test("NearestCentroid kernel matches a driver-side argmax fold, keeps " +
+    "the lowest cell on exact ties, and sends zero-norm vectors to the " +
+    "lowest cell") {
+    val dim = 16
+    val cents = Seq.tabulate(8) { k =>
+      // cells 3 and 5 get IDENTICAL centroids -> exact float tie on every
+      // vector; the lower cell (3) must win
+      val kk = if (k == 5) 3 else k
+      Array.tabulate(dim)(j => (math.cos(kk * 17 + j * 3) * 2).toFloat)
+    }
+    val vecs = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (math.sin(i * 131 + j * 7) * 2).toFloat))
+    } :+ (98L, cents(3).map(x => x * 2f)) :+ // colinear with the tied pair
+      (99L, Array.fill(dim)(0.0f))           // zero-norm vector
+    val local = Similarity.LocalCentroids(
+      cells = Array.tabulate(8)(_.toLong),
+      vecs = cents.toArray,
+      norms = cents.map(c =>
+        math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)).toArray)
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("_n"))
+    val got = Similarity.assignCells(df, local)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side reference: same in-order double fold, strict >, cells asc
+    for ((id, v) <- vecs) {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      var bestCell = 0L
+      var best = Double.NegativeInfinity
+      for (k <- 0 until 8) {
+        var acc = 0.0
+        for (i <- 0 until dim) acc += v(i).toDouble * local.vecs(k)(i).toDouble
+        val den = n * local.norms(k)
+        if (den > 0) {
+          val sim = acc / den
+          if (sim > best) { best = sim; bestCell = k.toLong }
+        }
+      }
+      assert(got(id) == bestCell, s"vec $id")
+    }
+    assert(got(99L) == 0L) // zero norm: no valid sim, falls to lowest cell
+    assert(got(98L) == 3L) // sim 1.0 with BOTH 3 and 5 -> lowest cell wins
+    assert(!got.values.exists(_ == 5L)) // the tied higher cell never wins
+  }
+
   test("BPE-ish token count segments punctuation and digits separately") {
     val df = Seq((0L, "hello world"), (1L, "a1b2!"), (2L, "price: $4.99"))
       .toDF("doc_id", "text")
