@@ -215,12 +215,41 @@ object SparkEntry {
         .unionByName(r.where(col("topic") === "signup"))
         .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("topic"))
+    }),
+
+    // Avro-valued topics (the reference's AvroConverter scenario): every
+    // record value avro-encodes into the {payload: string} envelope and
+    // decodes back to the identical string — a THEOREM of the format, so
+    // the oracle pins n_ok = n_records and all_ok symbolically (the
+    // dedup_simhash64 pattern; DuckDB has no Avro codec to mirror). A
+    // decoder regression (wrong varint handling, stale reused decoder
+    // state, charset drift) breaks a round-trip and flips the row.
+    "sink_avro_roundtrip" -> ((s, dir) => {
+      val src = rec(s, dir)
+        .select(col("offset").as("off"),
+          coalesce(col("value").cast(StringType), lit("")).as("v"))
+      val decoded = graft.formats.AvroEnvelope.decodePayload(
+        graft.formats.AvroEnvelope.encodePayload(src, "off", "v"),
+        "off", "avro")
+      src.join(decoded, "off")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("payload") === col("v"), 1L).otherwise(0L))
+            .as("n_ok"))
+        .select(col("n_records"), col("n_ok"),
+          (col("n_records") === col("n_ok")).as("all_ok"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   private def connectorOracles: Map[String, String] = Map(
+    // round-trip identity is a format theorem — pinned symbolically
+    "sink_avro_roundtrip" -> (R +
+      """SELECT CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(count(*) AS BIGINT) AS n_ok,
+        |       TRUE AS all_ok
+        |FROM records""".stripMargin),
+
     "sink_group_topic_partition" -> (R +
       """SELECT topic, part, min(off) AS start_offset, max(off) AS end_offset,
         |       count(*) AS cnt
@@ -1427,7 +1456,13 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopKAuto(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-    })
+    }),
+    // Recall gate at the turned dial: more cells = fewer candidates per
+    // probe, so the dial's recall cost is pinned alongside its speed
+    // (recall here is data-derived on BOTH sides — a drop below the 0.8
+    // bar flips recall_ok in the committed result, visibly).
+    "sim_ann_ivf_auto_recall" -> ((s, dir) =>
+      annRecall(s, dir, Similarity.ivfTopKAuto(_, _, 5)))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1503,6 +1538,35 @@ object SparkEntry {
     "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))"
 
   private val AutoIvfChain = ivfChain(AutoNListsSql)
+
+  /** Recall-gate tail over an IvfChain's `ranked`/`nrm` CTEs: recall@5 of
+    * the IVF top-5 against the exact brute-force top-5, with the >= 0.8
+    * flag (shared by sim_ann_ivf_recall and its auto-dial twin). */
+  private val IvfRecallTail =
+    """, approx AS (
+      |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+      |), ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) /
+      |          nullif(q.n * c.n, 0), 6) AS cos
+      |  FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20
+      |), exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM ex_scored)
+      |  WHERE rank <= 5
+      |)
+      |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+      |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
+      |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
+      |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
+      |             (SELECT count(*) FROM exact e
+      |              JOIN approx a ON e.query_id = a.query_id
+      |                AND e.neighbor_id = a.neighbor_id) AS n_hit)""".stripMargin
 
   /** SemDeDup keep-list tail over an IvfChain's `assigned`/`nrm` CTEs:
     * a vector is dropped iff a lower-id vector in its cell scores cosine
@@ -1719,31 +1783,9 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
-    "sim_ann_ivf_recall" -> ("WITH " + IvfChain +
-      """, approx AS (
-        |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
-        |), ex_scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                           CAST(c.embedding AS DOUBLE[])) /
-        |          nullif(q.n * c.n, 0), 6) AS cos
-        |  FROM nrm q JOIN nrm c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 20
-        |), exact AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY cos DESC, neighbor_id) AS rank
-        |    FROM ex_scored)
-        |  WHERE rank <= 5
-        |)
-        |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
-        |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
-        |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
-        |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
-        |             (SELECT count(*) FROM exact e
-        |              JOIN approx a ON e.query_id = a.query_id
-        |                AND e.neighbor_id = a.neighbor_id) AS n_hit)""".stripMargin),
+    "sim_ann_ivf_recall" -> ("WITH " + IvfChain + IvfRecallTail),
+
+    "sim_ann_ivf_auto_recall" -> ("WITH " + AutoIvfChain + IvfRecallTail),
 
     "sim_topk_bruteforce" ->
       """WITH scored AS (
