@@ -217,6 +217,15 @@ case class NearestCentroid(vec: Expression, norm: Expression,
     val n = nn.asInstanceOf[Double]
     val xd = isDouble
     val vn = x.numElements()
+    // copy the vector out of ArrayData once — the nLists × dim inner nest
+    // then runs on primitive arrays (no per-element accessor calls, JIT
+    // auto-vectorizable); the copy amortizes over nLists passes
+    val xs = new Array[Double](vn)
+    var j = 0
+    while (j < vn) {
+      xs(j) = if (xd) x.getDouble(j) else x.getFloat(j).toDouble
+      j += 1
+    }
     var bestCell = cells(0)
     var best = Double.NegativeInfinity
     var k = 0
@@ -226,7 +235,7 @@ case class NearestCentroid(vec: Expression, norm: Expression,
       var acc = 0.0
       var i = 0
       while (i < m) {
-        acc += (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) * w(i).toDouble
+        acc += xs(i) * w(i).toDouble
         i += 1
       }
       val den = n * cnorms(k)
@@ -254,9 +263,16 @@ case class NearestCentroid(vec: Expression, norm: Expression,
       val i = ctx.freshName("i")
       val den = ctx.freshName("den")
       val sim = ctx.freshName("sim")
-      val ax = if (isDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val xs = ctx.freshName("xs")
+      val j = ctx.freshName("j")
+      val ax = if (isDouble) s"$a.getDouble($j)" else s"(double) $a.getFloat($j)"
+      // vector copied to a primitive scratch once per row: the nLists × dim
+      // nest then has no ArrayData accessor calls in it (JIT-vectorizable);
+      // same multiply/accumulate order, bit-identical result
       s"""
          |int $vn = $a.numElements();
+         |double[] $xs = new double[$vn];
+         |for (int $j = 0; $j < $vn; $j++) { $xs[$j] = $ax; }
          |long $bestCell = $cl[0];
          |double $best = Double.NEGATIVE_INFINITY;
          |for (int $k = 0; $k < $cv.length; $k++) {
@@ -264,7 +280,7 @@ case class NearestCentroid(vec: Expression, norm: Expression,
          |  int $m = java.lang.Math.min($vn, $w.length);
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $acc += $ax * (double) $w[$i];
+         |    $acc += $xs[$i] * (double) $w[$i];
          |  }
          |  double $den = $b * $cn[$k];
          |  if ($den > 0) {
