@@ -1462,7 +1462,14 @@ object SparkEntry {
     // (recall here is data-derived on BOTH sides — a drop below the 0.8
     // bar flips recall_ok in the committed result, visibly).
     "sim_ann_ivf_auto_recall" -> ((s, dir) =>
-      annRecall(s, dir, Similarity.ivfTopKAuto(_, _, 5)))
+      annRecall(s, dir, Similarity.ivfTopKAuto(_, _, 5))),
+    // Corpus-wide k-NN graph (every vector a query — the SemDeDup-style
+    // diversity/graph-dedup building block), in-cell candidates at the
+    // auto dial; the oracle reuses the auto assignment chain so the
+    // whole graph hash-compares.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphAuto(
+        s.read.parquet(s"$dir/embeddings.parquet"), 3))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1786,6 +1793,27 @@ object SparkEntry {
     "sim_ann_ivf_recall" -> ("WITH " + IvfChain + IvfRecallTail),
 
     "sim_ann_ivf_auto_recall" -> ("WITH " + AutoIvfChain + IvfRecallTail),
+
+    // k-NN graph over the auto chain's `assigned`/`nrm` CTEs (fresh CTE
+    // names — the chain's own probes/scored/ranked stay unused)
+    "sim_knn_graph" -> ("WITH " + AutoIvfChain +
+      """, kscored AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(ae.embedding AS DOUBLE[]),
+        |                           CAST(be.embedding AS DOUBLE[])) /
+        |          nullif(ae.n * be.n, 0), 6) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  JOIN nrm ae ON ae.vec_id = a.vec_id
+        |  JOIN nrm be ON be.vec_id = b.vec_id
+        |), knn AS (
+        |  SELECT vec_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM kscored
+        |)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+        |FROM knn WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
 
     "sim_topk_bruteforce" ->
       """WITH scored AS (

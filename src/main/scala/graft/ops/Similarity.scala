@@ -251,6 +251,47 @@ object Similarity {
     ivfTopK(corpus, queries, k, autoNLists(corpus.count()), nProbe,
       lloydIters)
 
+  /** Corpus-wide k-nearest-neighbor graph, IVF-cell-blocked: every vector
+    * is a query (the k-NN-graph build a SemDeDup-style pipeline runs for
+    * diversity filtering / graph-based dedup), with candidates restricted
+    * to the vector's own cell. One row per (vector, rank≤k):
+    * (vec_id, rank, neighbor_id, cos), vectors whose cell is a singleton
+    * emit nothing.
+    *
+    * Scale: assignment is the map-only [[assignCells]] kernel; the only
+    * joins are the cell-equi self-join (co-partitioned on cell — with
+    * the √n dial, per-cell pair work is bounded near-linearly, see
+    * SCALING.md round 11) and the per-vector top-k window, which Spark
+    * pre-prunes map-side via WindowGroupLimit. No all-pairs anywhere. */
+  def knnGraph(corpus: DataFrame, k: Int, nLists: Int = 16,
+               lloydIters: Int = 1): DataFrame = {
+    val local = collectCentroids(
+      (1 to lloydIters).foldLeft(seedCentroids(corpus, nLists)) {
+        (c, _) => refineCentroids(corpus, c)
+      })
+    val assigned = assignCells(
+      corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("_n")), local)
+    val scored = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(cosFromDot(dot(col("a.embedding"), col("b.embedding")),
+          col("a._n"), col("b._n")), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** [[knnGraph]] at the scale-aware √n dial ([[autoNLists]]) — the
+    * configuration a corpus-sized graph build actually wants: cell size
+    * ≈ √n bounds both the per-vector candidate list and the largest
+    * join group. */
+  def knnGraphAuto(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
+    knnGraph(corpus, k, autoNLists(corpus.count()), lloydIters)
+
   /** Deterministic seed centroids: the first `nLists` corpus vectors. */
   def seedCentroids(corpus: DataFrame, nLists: Int): DataFrame =
     corpus.where(col("vec_id") < nLists)

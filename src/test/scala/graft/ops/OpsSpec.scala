@@ -280,6 +280,23 @@ class OpsSpec extends SparkSuite {
     assert(r.size == 6 && r(5L)) // everyone gets a row; 5 below threshold
   }
 
+  test("knnGraph ranks a planted near-dup pair as mutual top-1 neighbors " +
+    "and never emits more than k rows per vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.98f, 0.2f)), // near dup of 1 (same cell)
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.99f, 0.05f, 0.0f)), // near dup of 0
+      (5L, Array(0.7f, 0.7f, 0.14f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, 2, nLists = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))) // (vec, rank, nbr)
+    val top1 = g.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(top1(1L) == 2L && top1(2L) == 1L) // mutual nearest
+    assert(g.groupBy(_._1).forall(_._2.length <= 2)) // k bound holds
+  }
+
   test("autoNLists follows the sqrt-n occupancy rule with a floor of 16") {
     assert(Similarity.autoNLists(0L) == 16)
     assert(Similarity.autoNLists(256L) == 16)   // sqrt = 16 exactly
