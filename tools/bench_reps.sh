@@ -7,6 +7,20 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N=${1:-3}
+# Cool-window guard: a set started on a loaded machine records ambient
+# contention, not plan cost (round-11's committed set ran at loadavg
+# 0.25->4.52 and overstated totals ~10% vs the same-day cool set).
+# Refuse to start unless the 1-min loadavg is < 1.0; override consciously
+# with GRAFT_BENCH_ALLOW_HOT=1, which annotates every run as hot-window.
+LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+if python3 -c "import sys; sys.exit(0 if float('$LOAD1') < 1.0 else 1)"; then
+  echo "[bench_reps] loadavg $LOAD1 < 1.0 — cool window, starting" >&2
+elif [ "${GRAFT_BENCH_ALLOW_HOT:-0}" = "1" ]; then
+  echo "[bench_reps] WARNING: loadavg $LOAD1 >= 1.0 but GRAFT_BENCH_ALLOW_HOT=1 — runs will be annotated hot_window" >&2
+else
+  echo "[bench_reps] REFUSING: 1-min loadavg $LOAD1 >= 1.0. Wait for a cool window or set GRAFT_BENCH_ALLOW_HOT=1 (set will be annotated hot_window)." >&2
+  exit 2
+fi
 mkdir -p bench_runs
 for i in $(seq 1 "$N"); do
   echo "[bench_reps] run $i/$N ..." >&2
