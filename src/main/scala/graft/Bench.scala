@@ -61,18 +61,35 @@ object Bench {
     // on four CONTIGUOUS queries) is diagnosable from the artifact alone:
     // one outlier rep with a matching GC/loadavg signature says machine
     // stall; three uniformly slow reps with quiet GC says plan.
-    case class QStat(median: Double, reps: Seq[Double], gcMs: Long, pos: Int)
+    // A failing query must surface as an ERROR, not as its time-to-crash:
+    // round 13 proved the old `catch → -1L` swallow launders analysis
+    // failures into phantom "speedups" (failure latency ~0.06 s read as a
+    // 2x win). An errored query records `err` instead of reps, is excluded
+    // from the suite total, and forces a nonzero exit so the driver
+    // artifact shows red.
+    case class QStat(median: Double, reps: Seq[Double], gcMs: Long, pos: Int,
+                     err: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), pos) =>
         val gc0 = gcMillis()
-        val times = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          dt
+        var err: Option[String] = None
+        val times = (1 to 3).flatMap { _ =>
+          if (err.isDefined) None // one crash condemns the query; don't re-crash x3
+          else {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                err = Some(s"${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).getOrElse("").linesIterator
+                    .take(1).mkString.take(200))
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            if (err.isDefined) None else Some(dt)
+          }
         }
-        name -> QStat(times.sorted.apply(1), times, gcMillis() - gc0, pos)
+        val median = if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0
+        name -> QStat(median, times, gcMillis() - gc0, pos, err)
     }.toMap
     // Sink-writer throughput: the one genuinely custom write path
     // (GroupFileWriter's group-per-object streaming) timed per codec so a
@@ -114,6 +131,16 @@ object Bench {
     // (build.sbt sets `Global / showSuccess := false` for the same reason —
     // otherwise sbt's "[success] Total time" line lands after ours.)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    // errored queries keep a numeric (but impossible) -1 in the queries map
+    // so downstream numeric parsers don't trip; the err text lives in
+    // telemetry and n_errors flags the artifact as red at the top level
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v.median) }
       .mkString("{", ",", "}")
@@ -121,17 +148,25 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":{\"pos\":" + v.pos +
           ",\"reps\":[" + v.reps.map(f3).mkString(",") + "]" +
-          ",\"gc_ms\":" + v.gcMs + "}"
+          ",\"gc_ms\":" + v.gcMs +
+          v.err.fold("")(e => ",\"err\":" + jstr(e)) + "}"
       }
       .mkString("{", ",", "}")
+    val nErrors = results.values.count(_.err.isDefined)
     val sw = (sinkWrite._1.map { case (k, v) => "\"" + k + "\":" + f3(v) } ++
       Seq("\"rows\":" + sinkWrite._2, "\"groups\":" + sinkWrite._3))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.median).sum else 0.0
+    val total = results.values.collect {
+      case s if s.err.isEmpty => s.median
+    }.sum
     spark.stop()
     // n_queries mirrors Verify's COUNTS line into the bench artifact, so
     // BENCH_r{N}.json is self-describing about suite size (doc counts
     // cite COUNTS; the bench JSON can now be cross-checked against it)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    if (nErrors > 0) {
+      Console.err.println(s"BENCH RED: $nErrors queries errored")
+      sys.exit(1)
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.sql.types.{BinaryType, StringType, TimestampType}
 
 import org.apache.spark.sql.types.{BinaryType => BinT, StructType}
 
@@ -49,7 +49,11 @@ object OutputFields {
       case OutputFieldType.Key       => encoded(col("key"), f.encoding)
       case OutputFieldType.Value     => encoded(col("value"), f.encoding)
       case OutputFieldType.Offset    => col("offset").cast(StringType)
-      case OutputFieldType.Timestamp => unix_millis(col("timestamp")).cast(StringType)
+      case OutputFieldType.Timestamp =>
+        // cast first: user-supplied frames may carry TIMESTAMP_NTZ (e.g.
+        // pandas-written parquet), which unix_millis rejects; the cast is a
+        // no-op for the canonical zoned type
+        unix_millis(col("timestamp").cast(TimestampType)).cast(StringType)
       case OutputFieldType.Headers   => flattenHeaders(col("headers"))
     }
     nullToEmpty(raw)

@@ -57,16 +57,28 @@ object Records {
       ).as("headers"))
   }
 
-  /** Read the `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
-    * which Spark 4 only reads via the nanos-as-long legacy conf; convert the
-    * nanos back to a microsecond TimestampType (the driver's generator emits
-    * microsecond-precision values, so this is lossless). */
+  /** Read the `events` table, normalizing `ts` to a session-zoned
+    * [[TimestampType]] regardless of how the generator wrote it. Two
+    * encodings have been observed across driver regenerations:
+    *
+    *   - parquet TIMESTAMP(NANOS), which Spark 4 only reads via the
+    *     nanos-as-long legacy conf → convert nanos back to micros
+    *     (the generator emits microsecond-precision values, lossless);
+    *   - pandas-written `timestamp[us]` with no UTC flag, which Spark 4
+    *     reads as [[TimestampNTZType]] → cast to [[TimestampType]]; under
+    *     the pinned-UTC session this reproduces the zoned values
+    *     bit-for-bit.
+    *
+    * Downstream consumers (`unix_millis`, watermarks, window()) require
+    * the zoned type, so this is the single choke point for both shims. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     ev.schema("ts").dataType match {
       case LongType =>
         ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        ev.withColumn("ts", col("ts").cast(TimestampType))
       case _ => ev
     }
   }

@@ -289,7 +289,9 @@ object ParquetEnvelopeWriter {
               RequiredLongField("offset", idx): FieldWriter,
               Types.primitive(INT64, Repetition.REQUIRED).named("offset"))
           case OutputFieldType.Timestamp =>
-            (unix_millis(col("timestamp")).as("timestamp"),
+            // cast first: tolerate TIMESTAMP_NTZ frames (no-op for the
+            // canonical zoned type) — unix_millis rejects NTZ input
+            (unix_millis(col("timestamp").cast(TimestampType)).as("timestamp"),
               RequiredLongField("timestamp", idx): FieldWriter,
               Types.primitive(INT64, Repetition.REQUIRED).named("timestamp"))
           case OutputFieldType.Headers =>
