@@ -1,10 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path (SURVEY.md §7.3's
@@ -297,6 +300,128 @@ case class NearestCentroid(vec: Expression, norm: Expression,
     copy(vec = newLeft, norm = newRight)
 }
 
+/** Primitive-buffer mutable state for [[VectorMean]]: per-dimension running
+  * double sums and long counts, grown lazily to the widest vector seen. */
+private[functions] final class VecMeanBuffer(
+    var sums: Array[Double], var counts: Array[Long]) {
+  def add(x: ArrayData, isDouble: Boolean): Unit = {
+    val n = x.numElements()
+    if (n > sums.length) {
+      sums = java.util.Arrays.copyOf(sums, n)
+      counts = java.util.Arrays.copyOf(counts, n)
+    }
+    var i = 0
+    while (i < n) {
+      sums(i) += (if (isDouble) x.getDouble(i) else x.getFloat(i).toDouble)
+      counts(i) += 1L
+      i += 1
+    }
+  }
+  def mergeIn(o: VecMeanBuffer): Unit = {
+    val n = o.sums.length
+    if (n > sums.length) {
+      sums = java.util.Arrays.copyOf(sums, n)
+      counts = java.util.Arrays.copyOf(counts, n)
+    }
+    var i = 0
+    while (i < n) { sums(i) += o.sums(i); counts(i) += o.counts(i); i += 1 }
+  }
+}
+
+/** Element-wise mean of a group's float vectors as one aggregate with a
+  * primitive `(double[] sums, long[] counts)` buffer — the Lloyd-refinement
+  * kernel (the [[NearestCentroid]] precedent applied to the reduce side).
+  *
+  * Replaces the `posexplode → groupBy(cell, i).avg → collect_list →
+  * array_sort → transform` chain, which pushes n×dim ROWS through a hash
+  * aggregate per Lloyd iteration (the named residual in SCALING.md's 100×
+  * gap). Here each input row is one `while` loop over its vector into a
+  * primitive buffer: no row expansion, no struct shuffle — partials are one
+  * compact binary blob per (cell, partition).
+  *
+  * The struct/array aggregation-buffer trap does not apply: a
+  * TypedImperativeAggregate's buffer is an opaque JVM object in a
+  * BinaryType slot, which HashAggregate holds fine (this is how Spark's own
+  * percentile/count_min_sketch work) — it is DECLARATIVE array-typed
+  * buffers that force the SortAggregate fallback.
+  *
+  * Parity with the replaced chain: per dimension the accumulation is the
+  * same add-per-row in partition encounter order, merged per-partition
+  * partial — and the mean divides by that DIMENSION's count (a ragged
+  * corpus averages exactly like posexplode+avg, which only sees rows that
+  * have the dimension). Output is `array<double>` of per-dim means;
+  * returns NULL for a group with no non-null vectors (posexplode of such
+  * a group emitted no rows at all). */
+case class VectorMean(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecMeanBuffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatVectors("vector_mean", child)
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): VecMeanBuffer =
+    new VecMeanBuffer(Array.emptyDoubleArray, Array.emptyLongArray)
+
+  override def update(buf: VecMeanBuffer, input: InternalRow): VecMeanBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[ArrayData], isDouble)
+    buf
+  }
+
+  override def merge(buf: VecMeanBuffer, other: VecMeanBuffer): VecMeanBuffer = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: VecMeanBuffer): Any =
+    if (buf.sums.length == 0) null
+    else {
+      val out = new Array[Double](buf.sums.length)
+      var i = 0
+      while (i < out.length) { out(i) = buf.sums(i) / buf.counts(i); i += 1 }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: VecMeanBuffer): Array[Byte] = {
+    val n = buf.sums.length
+    val bb = java.nio.ByteBuffer.allocate(4 + n * 16)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(buf.sums(i)); i += 1 }
+    i = 0
+    while (i < n) { bb.putLong(buf.counts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMeanBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val sums = new Array[Double](n)
+    val counts = new Array[Long](n)
+    var i = 0
+    while (i < n) { sums(i) = bb.getDouble; i += 1 }
+    i = 0
+    while (i < n) { counts(i) = bb.getLong; i += 1 }
+    new VecMeanBuffer(sums, counts)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMean =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMean =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMean =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Analysis-time gate shared by the vector kernels: every input must be
     * `array<float>` or `array<double>`. The element accessors hard-branch
@@ -325,6 +450,12 @@ object VectorExpressions {
   def hyperplaneSignBits(vec: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(
       HyperplaneSignBits(GraftBridge.expression(vec), planes))
+
+  /** Column-API entry point: per-dimension mean of a group's vectors
+    * (aggregate — use inside `.agg(...)`). */
+  def vecMean(vec: Column): Column =
+    GraftBridge.column(
+      VectorMean(GraftBridge.expression(vec)).toAggregateExpression())
 
   /** Column-API entry point: argmax-cosine centroid cell of a vector. */
   def nearestCentroid(vec: Column, norm: Column, cells: Array[Long],

@@ -351,21 +351,24 @@ object Similarity {
   /** One Lloyd (k-means) iteration: assign every corpus vector to its
     * nearest seed cell ([[assignCells]] — the map-only kernel over the
     * collected seed centroids), recompute each cell's centroid as the
-    * element-wise mean of its members (posexplode → per-dimension avg →
-    * re-assemble). One iteration fixes the worst seed imbalance; more
-    * iterations drop in by chaining. Deterministic — no RNG. */
+    * element-wise mean of its members via the
+    * [[graft.functions.VectorMean]] primitive-buffer aggregate — one
+    * groupBy(cell) whose partials are a compact `(double[], long[])` blob
+    * per (cell, partition), instead of the previous posexplode chain that
+    * pushed n×dim rows through a per-(cell, dim) hash aggregate (the named
+    * residual in SCALING.md's 100× gap). Same per-dimension mean semantics
+    * (each dim divides by ITS observation count, so a ragged corpus
+    * averages identically). One iteration fixes the worst seed imbalance;
+    * more iterations drop in by chaining. Deterministic — no RNG. */
   def refineCentroids(corpus: DataFrame, cent: DataFrame): DataFrame = {
     val local = collectCentroids(cent)
     val base = corpus
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("_n"))
-    val dims = assignCells(base, local)
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
-    dims
+    assignCells(base, local)
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+      .agg(graft.functions.VectorExpressions.vecMean(col("embedding")).as("m"))
       .select(col("cell"),
-        transform(col("pairs"), p => p.getField("m").cast("float")).as("cvec"))
+        transform(col("m"), x => x.cast("float")).as("cvec"))
       .withColumn("cn", norm(col("cvec")))
   }
 

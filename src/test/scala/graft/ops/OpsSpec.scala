@@ -578,6 +578,37 @@ class OpsSpec extends SparkSuite {
     assert(a.exists(c => !seeds.contains(c._2)))
   }
 
+  test("VectorMean aggregate matches the posexplode+avg formulation, " +
+    "including ragged vectors and all-null groups") {
+    import graft.functions.VectorExpressions.vecMean
+    // real embeddings, grouped into 7 synthetic cells
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cell", ($"vec_id" % 7).cast("long"))
+    def viaKernel(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("cell").agg(vecMean($"embedding").as("m"))
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getSeq[Double](1)).map(_.toList).orNull)).toList
+    def viaExplode(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cell", posexplode($"embedding").as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg($"x").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct($"i", $"m"))).as("pairs"))
+      .select($"cell", transform($"pairs", p => p.getField("m")).as("m"))
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toList
+    assert(viaKernel(emb) == viaExplode(emb))
+    // ragged + null vectors: per-dim divisor is that dim's observation
+    // count (posexplode semantics), null vectors contribute nothing, and
+    // an all-null group yields a NULL mean (not an empty array)
+    val ragged = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)), (0L, Seq(5.0f)), (0L, null),
+      (1L, null), (1L, null)
+    ).toDF("cell", "embedding")
+    assert(viaKernel(ragged) ==
+      List((0L, List(3.0, 2.0, 3.0)), (1L, null)))
+  }
+
   test("salted join equals the plain join exactly") {
     import graft.operators.SaltedJoin
     val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")

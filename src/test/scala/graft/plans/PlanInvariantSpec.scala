@@ -86,7 +86,11 @@ class PlanInvariantSpec extends SparkSuite {
   }
 
   test("per-group top-k queries get the WindowGroupLimit map-side pre-prune") {
-    for (q <- Seq("sample_quota", "text_tfidf_top"))
+    // sim_knn_graph runs two small construction jobs (corpus count +
+    // centroid collect) before its plan exists — cheap at sf0.001, and the
+    // assert matters: losing the prune there pushes the full n×√n candidate
+    // rows through the window sort instead of per-group top-k heaps
+    for (q <- Seq("sample_quota", "text_tfidf_top", "sim_knn_graph"))
       assert(planOf(q).contains("WindowGroupLimit"),
         s"$q lost the InferWindowGroupLimit pushdown")
   }
