@@ -92,28 +92,47 @@ object Bench {
         name -> QStat(median, times, gcMillis() - gc0, pos, err)
     }.toMap
     // Sink-writer throughput: the one genuinely custom write path
-    // (GroupFileWriter's group-per-object streaming) timed per codec so a
-    // writer regression shows up in BENCH, not only in byte goldens.
-    // 200k ~120-byte lines across 64 groups to local FS per codec.
+    // (GroupFileWriter's group-per-object streaming) timed per codec AND
+    // per line format (JSONL + CSV — the two line-oriented reference
+    // formats) so a writer regression shows up in BENCH, not only in byte
+    // goldens. 200k ~120-byte lines across 64 groups to local FS per run;
+    // each entry reports seconds and uncompressed-input MB/s (bytes
+    // processed per second — codec-comparable, unlike output MB/s which
+    // would reward weak compression).
     val sinkWrite = {
       import graft.config.{CompressionType => C, FormatType}
       val base = java.nio.file.Files.createTempDirectory("graft_sinkbench")
       val nRows = 200000L
       val nGroups = 64
-      val df = spark.range(nRows)
-        .select(col("id").as("offset"),
-          concat(lit("bench-topic-"), (col("id") % nGroups).cast("string"),
-            lit(".jsonl")).as("_filename"),
-          concat(lit("{\"offset\":"), col("id").cast("string"),
-            lit(",\"payload\":\""),
-            lpad(md5(col("id").cast("string")), 96, "x"), lit("\"}"))
-            .as("_line"))
+      def df(fmt: FormatType) = {
+        val line = fmt match {
+          case FormatType.Csv =>
+            // offset,base64(payload) — the reference's raw comma-join shape
+            concat(col("id").cast("string"), lit(","),
+              lpad(md5(col("id").cast("string")), 96, "x"))
+          case _ =>
+            concat(lit("{\"offset\":"), col("id").cast("string"),
+              lit(",\"payload\":\""),
+              lpad(md5(col("id").cast("string")), 96, "x"), lit("\"}"))
+        }
+        spark.range(nRows)
+          .select(col("id").as("offset"),
+            concat(lit("bench-topic-"), (col("id") % nGroups).cast("string"),
+              lit("." + fmt.name)).as("_filename"),
+            line.as("_line"))
+      }
+      // uncompressed input bytes (lines + newlines) per format, for MB/s
+      val fmts = Seq(FormatType.Jsonl, FormatType.Csv)
+      val fmtBytes = fmts.map { f =>
+        f -> df(f).agg(sum(length(col("_line")) + 1)).head().getLong(0)
+      }.toMap
       val codecs = Seq(C.None, C.Gzip, C.Snappy, C.Zstd)
-      val times = codecs.map { c =>
-        val out = base.resolve(c.name).toUri.toString
+      val times = for (f <- fmts; c <- codecs) yield {
+        val out = base.resolve(f.name + "_" + c.name).toUri.toString
         val t0 = System.nanoTime()
-        graft.formats.GroupFileWriter.writeLines(df, out, FormatType.Jsonl, c)
-        c.name -> (System.nanoTime() - t0) / 1e9
+        graft.formats.GroupFileWriter.writeLines(df(f), out, f, c)
+        val sec = (System.nanoTime() - t0) / 1e9
+        (s"${f.name}_${c.name}", sec, fmtBytes(f) / 1e6 / sec)
       }
       // best-effort cleanup; the JVM exits right after either way
       try {
@@ -153,7 +172,9 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val nErrors = results.values.count(_.err.isDefined)
-    val sw = (sinkWrite._1.map { case (k, v) => "\"" + k + "\":" + f3(v) } ++
+    val sw = (sinkWrite._1.map { case (k, sec, mbs) =>
+      "\"" + k + "\":{\"sec\":" + f3(sec) + ",\"mb_s\":" + f3(mbs) + "}"
+    } ++
       Seq("\"rows\":" + sinkWrite._2, "\"groups\":" + sinkWrite._3))
       .mkString("{", ",", "}")
     val total = results.values.collect {

@@ -237,6 +237,32 @@ object SparkEntry {
             .as("n_ok"))
         .select(col("n_records"), col("n_ok"),
           (col("n_records") === col("n_ok")).as("all_ok"))
+    }),
+
+    // Schema-Registry wire framing (AvroConverter + registry config,
+    // reference AvroIntegrationTest.java:128-193): every value frames
+    // under one of TWO registry ids (offset parity — so the id dispatch in
+    // decodeFramed is actually exercised, not a constant) and decodes back
+    // through the injected id→schema snapshot to the identical string.
+    // Round-trip identity + both-ids-seen are format theorems, pinned
+    // symbolically like sink_avro_roundtrip.
+    "sink_avro_registry" -> ((s, dir) => {
+      import graft.formats.AvroEnvelope
+      val src = rec(s, dir)
+        .select(col("offset").as("off"),
+          coalesce(col("value").cast(StringType), lit("")).as("v"))
+      val encoded = AvroEnvelope.encodePayload(src, "off", "v")
+      val framed = AvroEnvelope.frame(encoded.where(col("off") % 2 === 0), "avro", 101)
+        .unionByName(AvroEnvelope.frame(encoded.where(col("off") % 2 === 1), "avro", 202))
+      val decoded = AvroEnvelope.decodeFramed(framed, "off", "avro",
+        Map(101 -> AvroEnvelope.EnvelopeSchemaJson,
+            202 -> AvroEnvelope.EnvelopeSchemaJson))
+      src.join(decoded, "off")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("payload") === col("v"), 1L).otherwise(0L)).as("n_ok"),
+          countDistinct(col("schema_id")).as("n_ids"))
+        .select(col("n_records"), col("n_ok"), col("n_ids"),
+          (col("n_records") === col("n_ok")).as("all_ok"))
     })
   )
 
@@ -247,6 +273,15 @@ object SparkEntry {
     "sink_avro_roundtrip" -> (R +
       """SELECT CAST(count(*) AS BIGINT) AS n_records,
         |       CAST(count(*) AS BIGINT) AS n_ok,
+        |       TRUE AS all_ok
+        |FROM records""".stripMargin),
+
+    // registry-framed round-trip: identity + exactly the two injected
+    // schema ids observed (offsets span both parities at every SF)
+    "sink_avro_registry" -> (R +
+      """SELECT CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(count(*) AS BIGINT) AS n_ok,
+        |       CAST(2 AS BIGINT) AS n_ids,
         |       TRUE AS all_ok
         |FROM records""".stripMargin),
 

@@ -24,13 +24,22 @@ import org.apache.spark.sql.functions.col
   * per record. No shuffle — decode/encode ride the scan like any other
   * projection.
   *
-  * Schema-Registry framing (the 5-byte magic + schema-id header) is
-  * deliberately OUT of scope, as the reference's own converter config is
-  * (SURVEY §1.2): this is the raw binary-Avro body path; a registry
-  * integration would strip the header and look the schema up by id before
-  * calling [[decodePayload]].
+  * Schema-Registry wire framing (the 5-byte `0x00` magic + big-endian
+  * schema-id header every Registry-backed producer writes, implied by the
+  * reference's AvroConverter + schema.registry.url config,
+  * `AvroIntegrationTest.java:128-193`) is handled by [[frame]] /
+  * [[decodeFramed]]: the header is stripped, the WRITER schema is resolved
+  * by id through an injectable in-memory `Map[Int, String]` resolver (a
+  * pre-fetched registry snapshot — no network on the data path, which is
+  * also how a production job should ship it: fetch once on the driver,
+  * broadcast the map), and the body is decoded with Avro's standard
+  * writer→reader schema resolution into the envelope reader schema, so
+  * evolved writer schemas (extra fields) decode cleanly.
   */
 object AvroEnvelope {
+
+  /** Confluent wire-format magic byte (framed message byte 0). */
+  val WireMagic: Byte = 0x00
 
   /** Single-field envelope schema: {payload: string}. */
   val EnvelopeSchemaJson: String =
@@ -62,6 +71,65 @@ object AvroEnvelope {
         }
       }
       .toDF(idCol, "avro")
+  }
+
+  /** Prepend the Schema-Registry wire header — `0x00` magic + 4-byte
+    * big-endian schema id — to a binary Avro column (the producer
+    * direction; a Registry-backed producer writes exactly these bytes).
+    * Pure column expression: the 5 header bytes are a literal, the concat
+    * stays inside whole-stage codegen. */
+  def frame(df: DataFrame, binCol: String, schemaId: Int): DataFrame = {
+    val header = java.nio.ByteBuffer.allocate(5)
+      .put(WireMagic).putInt(schemaId).array()
+    df.withColumn(binCol,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(header), col(binCol)))
+  }
+
+  /** Decode Registry-framed (id, binary) rows to (id, schema_id,
+    * payload-string): validate the magic byte, read the big-endian schema
+    * id, resolve the WRITER schema through `schemasById` (schema JSON by
+    * registry id — an injected snapshot, never a network call per record),
+    * and Avro-resolve it against the envelope READER schema, so a writer
+    * that evolved (added fields) still yields `payload`.
+    *
+    * Scale shape matches [[decodePayload]]: `mapPartitions`, one reused
+    * decoder, one `DatumReader` per DISTINCT schema id per partition
+    * (lazily built, cached in a local map — a registry snapshot is a
+    * handful of ids). Unframed bytes (wrong magic) and unregistered ids
+    * fail loudly with the offending value — silently mis-decoding a frame
+    * as a raw body would corrupt every downstream row. */
+  def decodeFramed(df: DataFrame, idCol: String, binCol: String,
+                   schemasById: Map[Int, String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val readerSchema = new Schema.Parser().parse(EnvelopeSchemaJson)
+        val readers = scala.collection.mutable.HashMap.empty[Int, GenericDatumReader[GenericRecord]]
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        it.map { case (id, bytes) =>
+          require(bytes != null && bytes.length >= 5,
+            s"record $id: framed Avro needs >= 5 bytes, got " +
+              (if (bytes == null) "null" else s"${bytes.length}"))
+          require(bytes(0) == WireMagic,
+            f"record $id: not Schema-Registry framed (magic 0x${bytes(0)}%02x, expected 0x00)")
+          val schemaId = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+          val reader = readers.getOrElseUpdate(schemaId, {
+            val writerJson = schemasById.getOrElse(schemaId,
+              throw new IllegalArgumentException(
+                s"record $id: schema id $schemaId not in resolver " +
+                  s"(known: ${schemasById.keys.toSeq.sorted.mkString(",")})"))
+            new GenericDatumReader[GenericRecord](
+              new Schema.Parser().parse(writerJson), readerSchema)
+          })
+          dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+          val rec = reader.read(null, dec)
+          (id, schemaId, rec.get("payload").toString)
+        }
+      }
+      .toDF(idCol, "schema_id", "payload")
   }
 
   /** Decode (id, binary Avro) rows back to (id, payload-string) — the

@@ -245,7 +245,15 @@ object Similarity {
 
   /** [[ivfTopK]] with nLists set by [[autoNLists]] from a corpus count —
     * one cheap count action (parquet metadata for file sources), then the
-    * identical plan. The dial that must grow with the corpus now does. */
+    * identical plan. The dial that must grow with the corpus now does.
+    *
+    * CAVEAT — `corpus.count()` runs at CONSTRUCTION time. On a raw file
+    * source it is a metadata-only job, but on a DERIVED corpus (filters,
+    * joins, a cleaning pipeline upstream) it executes that whole subplan
+    * once here and again in the main query — Catalyst does not share
+    * subtrees across actions. For a derived corpus either pass a
+    * `.cache()`d DataFrame, or count it yourself once and call
+    * [[ivfTopK]] with `nLists = autoNLists(n)` directly. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   nProbe: Int = 4, lloydIters: Int = 1): DataFrame =
     ivfTopK(corpus, queries, k, autoNLists(corpus.count()), nProbe,
@@ -262,7 +270,15 @@ object Similarity {
     * joins are the cell-equi self-join (co-partitioned on cell — with
     * the √n dial, per-cell pair work is bounded near-linearly, see
     * SCALING.md round 11) and the per-vector top-k window, which Spark
-    * pre-prunes map-side via WindowGroupLimit. No all-pairs anywhere. */
+    * pre-prunes map-side via WindowGroupLimit. No all-pairs anywhere.
+    *
+    * CAVEAT — singleton-cell silence: a vector alone in its cell has no
+    * in-cell candidates and emits NO rows (it simply doesn't appear as a
+    * `vec_id` in the output), rather than appearing with null neighbors.
+    * With the √n dial, expected cell occupancy is ~√n, so singletons are
+    * rare outliers — but a consumer that requires every vector present
+    * should left-join the output back to the corpus ids (or lower
+    * nLists). The oracle mirrors the emit-nothing semantics. */
   def knnGraph(corpus: DataFrame, k: Int, nLists: Int = 16,
                lloydIters: Int = 1): DataFrame = {
     val local = collectCentroids(
@@ -288,7 +304,11 @@ object Similarity {
   /** [[knnGraph]] at the scale-aware √n dial ([[autoNLists]]) — the
     * configuration a corpus-sized graph build actually wants: cell size
     * ≈ √n bounds both the per-vector candidate list and the largest
-    * join group. */
+    * join group.
+    *
+    * Same construction-time `corpus.count()` caveat as [[ivfTopKAuto]]:
+    * metadata-cheap on a file source, a full extra subplan execution on a
+    * derived corpus — cache the corpus or pass `nLists` explicitly. */
   def knnGraphAuto(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
     knnGraph(corpus, k, autoNLists(corpus.count()), lloydIters)
 
