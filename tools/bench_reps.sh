@@ -7,23 +7,43 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N=${1:-3}
-# Cool-window guard: a set started on a loaded machine records ambient
+# Cool-window guard: a run started on a loaded machine records ambient
 # contention, not plan cost (round-11's committed set ran at loadavg
 # 0.25->4.52 and overstated totals ~10% vs the same-day cool set).
-# Refuse to start unless the 1-min loadavg is < 1.0; override consciously
-# with GRAFT_BENCH_ALLOW_HOT=1, which annotates every run as hot-window.
-LOAD1=$(cut -d' ' -f1 /proc/loadavg)
-if python3 -c "import sys; sys.exit(0 if float('$LOAD1') < 1.0 else 1)"; then
-  echo "[bench_reps] loadavg $LOAD1 < 1.0 — cool window, starting" >&2
+# EVERY run must start with 1-min loadavg < 1.0 — including runs 2..N,
+# whose predecessor's own work leaves loadavg elevated for minutes after
+# the JVM exits (the round-14 first attempt recorded before=2.62/4.97 on
+# runs 2-3 purely from run 1's wake). wait_cool blocks up to 15 min
+# between runs; the run-1 REFUSE (vs wait) is kept so a busy machine
+# fails fast. Override consciously with GRAFT_BENCH_ALLOW_HOT=1.
+# Threshold 0.7, not 1.0: the criterion is the loadavg Bench RECORDS, and
+# JVM launch + sbt classloading add ~0.1-0.2 to the 1-min value between
+# this check and Bench's sample (first attempt: script saw 0.99, Bench
+# recorded 1.15).
+load1() { cut -d' ' -f1 /proc/loadavg; }
+is_cool() { python3 -c "import sys; sys.exit(0 if float('$(load1)') < 0.7 else 1)"; }
+wait_cool() {
+  for _ in $(seq 1 30); do
+    is_cool && return 0
+    echo "[bench_reps] loadavg $(load1) >= 1.0 — waiting for cool window ..." >&2
+    sleep 30
+  done
+  return 1
+}
+if is_cool; then
+  echo "[bench_reps] loadavg $(load1) < 1.0 — cool window, starting" >&2
 elif [ "${GRAFT_BENCH_ALLOW_HOT:-0}" = "1" ]; then
-  echo "[bench_reps] WARNING: loadavg $LOAD1 >= 1.0 but GRAFT_BENCH_ALLOW_HOT=1 — runs will be annotated hot_window" >&2
+  echo "[bench_reps] WARNING: loadavg $(load1) >= 1.0 but GRAFT_BENCH_ALLOW_HOT=1 — runs will be annotated hot_window" >&2
 else
-  echo "[bench_reps] REFUSING: 1-min loadavg $LOAD1 >= 1.0. Wait for a cool window or set GRAFT_BENCH_ALLOW_HOT=1 (set will be annotated hot_window)." >&2
+  echo "[bench_reps] REFUSING: 1-min loadavg $(load1) >= 1.0. Wait for a cool window or set GRAFT_BENCH_ALLOW_HOT=1 (set will be annotated hot_window)." >&2
   exit 2
 fi
 mkdir -p bench_runs
 for i in $(seq 1 "$N"); do
-  echo "[bench_reps] run $i/$N ..." >&2
+  if [ "$i" -gt 1 ] && [ "${GRAFT_BENCH_ALLOW_HOT:-0}" != "1" ]; then
+    wait_cool || { echo "[bench_reps] gave up waiting for cool window before run $i" >&2; exit 2; }
+  fi
+  echo "[bench_reps] run $i/$N (loadavg $(load1)) ..." >&2
   # write to a temp file and require a parseable JSON object with a
   # "queries" map before installing it — a crashed/truncated run must
   # never overwrite a good run{i}.json with an empty file
