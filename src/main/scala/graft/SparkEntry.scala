@@ -2889,6 +2889,26 @@ object SparkEntry {
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms")))
     }),
 
+    // The flatMapGroupsWithState closed-session operator run in BATCH
+    // mode (state starts empty, event-time timeouts cannot fire): each
+    // user's history arrives as one group, so the state function emits
+    // every gap-closed session EXCEPT the user's trailing one — a
+    // deterministic theorem of the operator the oracle mirrors as
+    // "all sessions minus each user's last". Streaming closure-by-timeout
+    // semantics are pinned in StreamingSpec.
+    "q_stream_sessions_closed" -> ((s, dir) => {
+      import s.implicits._
+      val timed = Records.readEvents(s, dir)
+        .select(col("user_id").cast(StringType).as("user"), col("ts"))
+        .as[graft.streaming.EventTimeOps.TimedEvent]
+      graft.streaming.EventTimeOps.sessionizeClosed(timed, batchMode = true)
+        .toDF()
+        .select(col("user").cast("long").as("user_id"),
+          col("start").as("session_start"), col("end").as("session_end"),
+          col("events").as("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Batch run of the streaming first-wins content dedup (EventTimeOps
     // .streamingDedup's deterministic twin): earliest (timestamp, offset)
     // record per md5(value), one min_by(struct) groupBy.
@@ -2959,6 +2979,33 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts_ms) AS session_start,
         |       max(ts_ms) AS session_end, count(*) AS n_events
         |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // the batch-mode theorem: all gap-closed sessions minus each user's
+    // trailing (max-session_id) one — the q_sessionization chain + a
+    // per-user max window filter
+    "q_stream_sessions_closed" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+        |), s AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+        |), t AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_id, min(ts_ms) AS session_start,
+        |         max(ts_ms) AS session_end, count(*) AS n_events
+        |  FROM t GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, session_start, session_end, n_events FROM (
+        |  SELECT g.*, max(session_id) OVER (PARTITION BY user_id) AS mx
+        |  FROM g)
+        |WHERE session_id < mx
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -350,8 +350,9 @@ private[functions] final class VecMeanBuffer(
   * partial — and the mean divides by that DIMENSION's count (a ragged
   * corpus averages exactly like posexplode+avg, which only sees rows that
   * have the dimension). Output is `array<double>` of per-dim means;
-  * returns NULL for a group with no non-null vectors (posexplode of such
-  * a group emitted no rows at all). */
+  * returns NULL for a group that contributed no dimensions — no non-null
+  * vectors, or only zero-length ones (posexplode of such a group emitted
+  * no rows at all, so the replaced chain produced no entry either). */
 case class VectorMean(child: Expression,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)

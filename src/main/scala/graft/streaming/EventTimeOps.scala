@@ -112,6 +112,69 @@ object EventTimeOps {
       }
   }
 
+  final case class TimedEvent(user: String, ts: java.sql.Timestamp)
+
+  /** Streaming sessionization emitting CLOSED sessions exactly once
+    * (Append mode) — the production shape for feeding a downstream sink:
+    * `flatMapGroupsWithState` with `EventTimeTimeout`, so a session closes
+    * either when a later event for the same user arrives past the gap
+    * (emitted in that batch) or when the WATERMARK passes `last + gap`
+    * (emitted by the timeout callback — no per-user traffic needed). In
+    * contrast to [[sessionize]] (Update mode, running session snapshots),
+    * every output row here is final — safe to append to files/Kafka.
+    *
+    * State is one (start, last, events) triple per live user; the
+    * watermark bounds both late data and state lifetime. Late events
+    * inside the watermark that predate the open session's start are
+    * merged with `min(start, t)` — event-time, not arrival-order,
+    * semantics. */
+  /** `batchMode = true` runs the same state function on a BATCH Dataset
+    * (each user's full history arrives as one group; state starts empty,
+    * event-time timeouts cannot fire, so output is every session EXCEPT
+    * each user's trailing one — which streaming would close by timeout).
+    * Used by the oracle gate; streaming callers leave the default. */
+  def sessionizeClosed(events: Dataset[TimedEvent],
+                       gapMs: Long = SessionGapMs,
+                       watermarkDelay: String = "10 minutes",
+                       batchMode: Boolean = false)
+      : Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    val marked = if (batchMode) events
+      else events.withWatermark("ts", watermarkDelay)
+    marked
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, batch: Iterator[TimedEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOutput(user, s.start, s.last, s.events, closed = true))
+          } else {
+            val ts = batch.map(_.ts.getTime).toList.sorted
+            val closed = List.newBuilder[SessionOutput]
+            var open = state.getOption.map(s => (s.start, s.last, s.events))
+            for (t <- ts) open match {
+              case Some((s0, l0, n0)) if t - l0 <= gapMs =>
+                open = Some((math.min(s0, t), math.max(l0, t), n0 + 1))
+              case Some((s0, l0, n0)) =>
+                closed += SessionOutput(user, s0, l0, n0, closed = true)
+                open = Some((t, t, 1L))
+              case None =>
+                open = Some((t, t, 1L))
+            }
+            open.foreach { case (s0, l0, n0) =>
+              state.update(SessionState(s0, l0, n0))
+              // batch execution has no watermark to time out against
+              if (!batchMode) state.setTimeoutTimestamp(l0 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Batch-mode sessionization over the events table (same 30-minute-gap
     * semantics, pure DataFrame — lag + cumulative sum session ids, one
     * window pass per user). */

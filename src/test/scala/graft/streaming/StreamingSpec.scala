@@ -163,6 +163,49 @@ class StreamingSpec extends SparkSuite {
     assert(rows.exists(r => r.user == "u2" && r.events == 1L))
   }
 
+  test("flatMapGroupsWithState closed-session stream: intra-batch gaps " +
+    "close immediately, idle sessions close via event-time timeout, every " +
+    "row is final (Append mode)") {
+    import spark.implicits._
+    import EventTimeOps._
+    val stream = MemoryStream[TimedEvent](
+      org.apache.spark.sql.Encoders.product[TimedEvent], spark)
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val out = sessionizeClosed(stream.toDS(),
+      gapMs = 30 * 60 * 1000L, watermarkDelay = "5 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    // u1: two events 5 min apart (one open session); u3: a 31-min
+    // intra-batch gap — its first session must close within this batch,
+    // while the batch watermark (10:31 - 5 min = 10:26) stays BELOW u1's
+    // timeout (10:05 + 30 min = 10:35), so u1 must still be open
+    stream.addData(TimedEvent("u1", t("10:00")), TimedEvent("u1", t("10:05")),
+      TimedEvent("u3", t("10:00")), TimedEvent("u3", t("10:31")))
+    query.processAllAvailable()
+    val afterBatch1 = spark.table("closed_sessions").as[SessionOutput].collect()
+    assert(afterBatch1.toSet == Set(
+      SessionOutput("u3", t("10:00").getTime, t("10:00").getTime, 1L, closed = true)))
+    // advance the watermark far past u1's last+gap (10:35) via unrelated
+    // traffic; the event-time timeout then closes u1 (and u3's second
+    // session, last 10:31 + 30 min = 11:01 < new watermark 13:55)
+    stream.addData(TimedEvent("u2", t("14:00")))
+    query.processAllAvailable()
+    // one more batch so timeouts registered against the new watermark fire
+    stream.addData(TimedEvent("u2", t("14:01")))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("closed_sessions").as[SessionOutput].collect()
+    assert(rows.count(_ == SessionOutput(
+      "u1", t("10:00").getTime, t("10:05").getTime, 2L, closed = true)) == 1,
+      s"u1 session not closed exactly once: ${rows.mkString(", ")}")
+    assert(rows.count(r => r.user == "u3" &&
+      r.start == t("10:31").getTime && r.events == 1L) == 1,
+      s"u3 second session not closed exactly once: ${rows.mkString(", ")}")
+    assert(rows.forall(_.closed), "Append-mode rows must all be final")
+  }
+
   test("S3SinkPipeline.start wires the full pipeline with trigger + checkpoint") {
     implicit val enc = org.apache.spark.sql.Encoders.product[
       (String, Int, Long, java.sql.Timestamp, Array[Byte], Array[Byte])]
