@@ -1442,6 +1442,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
+    // int8 storage quantization (map-only, codegen; the persist-side
+    // compression step). The full per-vector code is hash-compared — the
+    // oracle mirrors the scale/round/clamp arithmetic digit-for-digit.
+    "embed_quantize_int8" -> ((s, dir) => {
+      graft.ops.Quantization.quantizeInt8(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))
+        .orderBy("vec_id")
+    }),
     // Scale path: LSH-bucketed ANN. Full SQL oracle — the LshBucketChain
     // CTEs reproduce the md5-derived hyperplanes and banded sign-bit
     // buckets symbolically, so the driver hash-compares this row.
@@ -1849,6 +1858,24 @@ object SparkEntry {
         |)
         |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
         |FROM knn WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+
+    // per-vector symmetric int8 code: same scale/round/clamp arithmetic;
+    // round-half-away-from-zero agrees between engines, and the clamped
+    // value is integral before the INT cast so DuckDB's round-on-cast vs
+    // Spark's truncate-on-cast can never diverge
+    "embed_quantize_int8" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, round(amax / 127.0, 6) AS scale,
+        |  CASE WHEN amax > 0 THEN
+        |    list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+        |      round(CAST(x AS DOUBLE) / (amax / 127.0)))) AS INT))
+        |  ELSE list_transform(embedding, x -> 0) END AS qvec
+        |FROM a ORDER BY vec_id""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH scored AS (

@@ -609,6 +609,35 @@ class OpsSpec extends SparkSuite {
       List((0L, List(3.0, 2.0, 3.0)), (1L, null)))
   }
 
+  test("int8 quantization: codes within [-127,127], per-element " +
+    "reconstruction error <= scale/2, zero vectors round-trip exactly") {
+    import graft.ops.Quantization
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .unionByName(Seq((-1L, Seq.fill(8)(0.0f)))
+        .toDF("vec_id", "embedding")) // adversarial all-zero vector
+    val q = Quantization.quantizeInt8(emb)
+    val back = Quantization.dequantizeInt8(q, "recon")
+      .select($"vec_id", $"embedding", $"scale", $"qvec", $"recon")
+      .collect()
+    assert(back.nonEmpty)
+    for (r <- back) {
+      val orig = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      val recon = r.getSeq[Float](4)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec ${r.getLong(0)}")
+      assert(orig.length == recon.length)
+      orig.zip(recon).foreach { case (o, c) =>
+        assert(math.abs(o - c) <= scale / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: |$o - $c| > scale/2 ($scale)")
+      }
+      if (r.getLong(0) == -1L) {
+        assert(scale == 0.0 && codes.forall(_ == 0) && recon.forall(_ == 0f))
+      }
+    }
+  }
+
   test("salted join equals the plain join exactly") {
     import graft.operators.SaltedJoin
     val big = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4)).toDF("k", "v")
