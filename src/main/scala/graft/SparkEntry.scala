@@ -1513,7 +1513,19 @@ object SparkEntry {
     // whole graph hash-compares.
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphAuto(
-        s.read.parquet(s"$dir/embeddings.parquet"), 3))
+        s.read.parquet(s"$dir/embeddings.parquet"), 3)),
+    // End-to-end quality gate for the int8 storage codes: recall@5 of
+    // exact top-k computed on the quantize→dequantize round-trip vs the
+    // float originals — pins how much ranking the 4× compression costs
+    // (data-derived on both sides; a code change that degrades the codes
+    // flips recall_ok in the committed result).
+    "sim_quantized_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) => {
+        def deq(df: DataFrame) = graft.ops.Quantization.dequantizeInt8(
+          graft.ops.Quantization.quantizeInt8(df))
+          .select(col("vec_id"), col("embedding"))
+        Similarity.bruteForceTopK(deq(c), deq(q), 5)
+      }))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1759,6 +1771,58 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // quantize→dequantize both sides, then the exact-vs-exact recall
+    // frame; recon elements FLOAT-narrowed exactly like Spark's
+    // (q*scale).cast("float")
+    "sim_quantized_recall" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), dq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0 THEN
+        |      list_transform(embedding, x -> CAST(
+        |        CAST(CAST(greatest(-127.0, least(127.0,
+        |          round(CAST(x AS DOUBLE) / (amax / 127.0)))) AS INT) AS DOUBLE)
+        |        * (amax / 127.0) AS FLOAT))
+        |    ELSE list_transform(embedding, x -> CAST(0.0 AS FLOAT)) END AS e
+        |  FROM a
+        |), qs AS (
+        |  SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(d.e AS DOUBLE[]), CAST(c.e AS DOUBLE[])) /
+        |          nullif(sqrt(list_dot_product(CAST(d.e AS DOUBLE[]), CAST(d.e AS DOUBLE[]))) *
+        |                 sqrt(list_dot_product(CAST(c.e AS DOUBLE[]), CAST(c.e AS DOUBLE[]))), 0), 6) AS cos
+        |  FROM dq d JOIN dq c ON d.vec_id <> c.vec_id
+        |  WHERE d.vec_id < 20
+        |), approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM qs) WHERE rank <= 5
+        |), es AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |          nullif(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |                 sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 0), 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20
+        |), exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM es) WHERE rank <= 5
+        |)
+        |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+        |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
+        |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
+        |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
+        |             (SELECT count(*) FROM exact e JOIN approx ap
+        |                USING (query_id, neighbor_id)) AS n_hit)""".stripMargin,
 
     "sim_ann_lsh_recall" -> ("WITH " + LshBucketChain +
       """, qprobe AS (
