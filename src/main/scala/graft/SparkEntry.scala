@@ -1525,7 +1525,20 @@ object SparkEntry {
           graft.ops.Quantization.quantizeInt8(df))
           .select(col("vec_id"), col("embedding"))
         Similarity.bruteForceTopK(deq(c), deq(q), 5)
-      }))
+      })),
+    // The composed storage story: IVF search over the int8-quantized
+    // corpus (quantize → dequantize → the standard cell chain) — what a
+    // 100 TB deployment actually runs, since the float corpus is never
+    // persisted. The full top-k hash-compares: the oracle runs the
+    // identical IvfChain over a dequantized CTE.
+    "sim_ann_ivf_quantized" -> ((s, dir) => {
+      val emb = graft.ops.Quantization.dequantizeInt8(
+        graft.ops.Quantization.quantizeInt8(
+          s.read.parquet(s"$dir/embeddings.parquet")))
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    })
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1650,12 +1663,13 @@ object SparkEntry {
       |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
-  private def ivfChain(nListsSql: String): String =
+  private def ivfChain(nListsSql: String,
+                       table: String = "embeddings"): String =
     s"""nrm AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                          CAST(embedding AS DOUBLE[]))) AS n
-        |  FROM embeddings
+        |  FROM $table
         |), seed AS (
         |  SELECT vec_id AS cell, embedding AS cvec, n AS cn FROM nrm
         |  WHERE vec_id < ($nListsSql)
@@ -1894,6 +1908,28 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "sim_ann_ivf_auto" -> ("WITH " + AutoIvfChain +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // the identical IvfChain run over a dequantized-int8 CTE — the
+    // composed storage+search path, top-k hash-compared end-to-end
+    "sim_ann_ivf_quantized" -> ("WITH qa AS (" +
+      """
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), dqe AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0 THEN
+        |      list_transform(embedding, x -> CAST(
+        |        CAST(CAST(greatest(-127.0, least(127.0,
+        |          round(CAST(x AS DOUBLE) / (amax / 127.0)))) AS INT) AS DOUBLE)
+        |        * (amax / 127.0) AS FLOAT))
+        |    ELSE list_transform(embedding, x -> CAST(0.0 AS FLOAT)) END AS embedding
+        |  FROM qa
+        |), """.stripMargin + ivfChain("16", "dqe") +
       """
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
