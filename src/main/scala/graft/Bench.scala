@@ -49,7 +49,7 @@ object Bench {
     // without hiding real cost. Caches are CLEARED after every timed rep:
     // a few operators (simhashPairs, connectedComponents) cache interior
     // tables for within-query reuse, and without clearing those entries
-    // accumulate across the warm pass + 61 queries x 3 reps in one JVM —
+    // accumulate across the warm pass + every query x 3 reps in one JVM —
     // measured +56% on the whole-suite total from storage/GC pressure —
     // while making later reps of the SAME query read leftover cached data
     // instead of doing the full scan the protocol promises.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Single-query micro-bench for iterating on one operator without paying
-  * for the whole 61-query suite: `QBench q1 q2 ...` times just those
+  * for the whole suite: `QBench q1 q2 ...` times just those
   * entries with the same warm-pass + median-of-3 + clearCache protocol as
   * [[Bench]], so its numbers are comparable to BENCH_r{N}.json medians. */
 object QBench {
