@@ -88,7 +88,12 @@ object Bench {
             if (err.isDefined) None else Some(dt)
           }
         }
-        val median = if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0
+        // err on ANY rep condemns the whole query to -1 — a median over
+        // the surviving reps would be the partial-timing laundering round
+        // 13 was eliminating, just one rep later.
+        val median =
+          if (err.isDefined || times.isEmpty) -1.0
+          else times.sorted.apply(times.size / 2)
         name -> QStat(median, times, gcMillis() - gc0, pos, err)
     }.toMap
     // Sink-writer throughput: the one genuinely custom write path

@@ -1445,10 +1445,14 @@ object SparkEntry {
     // int8 storage quantization (map-only, codegen; the persist-side
     // compression step). The full per-vector code is hash-compared — the
     // oracle mirrors the scale/round/clamp arithmetic digit-for-digit.
+    // The code array is emitted as an md5 over its comma-joined elements
+    // (not the raw array<int>): the driver's pandas harness cannot sort a
+    // list-typed column, and the digest compares the exact same content.
     "embed_quantize_int8" -> ((s, dir) => {
       graft.ops.Quantization.quantizeInt8(
         s.read.parquet(s"$dir/embeddings.parquet"))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          md5(concat_ws(",", col("qvec").cast("array<string>"))).as("qvec_md5"))
         .orderBy("vec_id")
     }),
     // Scale path: LSH-bucketed ANN. Full SQL oracle — the LshBucketChain
@@ -1535,6 +1539,21 @@ object SparkEntry {
       val emb = graft.ops.Quantization.dequantizeInt8(
         graft.ops.Quantization.quantizeInt8(
           s.read.parquet(s"$dir/embeddings.parquet")))
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+    // The managed storage path: codes come from the fingerprinted
+    // int8CodeStore (write-once parquet of (vec_id, scale, qvec) — the
+    // production artifact), NOT a per-query re-quantization; search is
+    // the identical dequantize → IVF chain, so the oracle SQL is the same
+    // as sim_ann_ivf_quantized. First execution builds the store; every
+    // later one reads it (the amortization SCALING.md measures).
+    "sim_ann_ivf_quantized_managed" -> ((s, dir) => {
+      val emb = graft.ops.Quantization.dequantizeInt8(
+        graft.ops.Quantization.int8CodeStore(
+          s, s.read.parquet(s"$dir/embeddings.parquet"),
+          s"$dir/embeddings.parquet", "registry"))
         .select(col("vec_id"), col("embedding"))
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -1934,6 +1953,29 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // managed variant: stored codes round-trip the inline arithmetic
+    // exactly (int codes + double scale survive parquet bit-for-bit), so
+    // the oracle is the identical dequantized IvfChain
+    "sim_ann_ivf_quantized_managed" -> ("WITH qa AS (" +
+      """
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings
+        |), dqe AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0 THEN
+        |      list_transform(embedding, x -> CAST(
+        |        CAST(CAST(greatest(-127.0, least(127.0,
+        |          round(CAST(x AS DOUBLE) / (amax / 127.0)))) AS INT) AS DOUBLE)
+        |        * (amax / 127.0) AS FLOAT))
+        |    ELSE list_transform(embedding, x -> CAST(0.0 AS FLOAT)) END AS embedding
+        |  FROM qa
+        |), """.stripMargin + ivfChain("16", "dqe") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "sim_ann_ivf_recall" -> ("WITH " + IvfChain + IvfRecallTail),
 
     "sim_ann_ivf_auto_recall" -> ("WITH " + AutoIvfChain + IvfRecallTail),
@@ -1962,7 +2004,9 @@ object SparkEntry {
     // per-vector symmetric int8 code: same scale/round/clamp arithmetic;
     // round-half-away-from-zero agrees between engines, and the clamped
     // value is integral before the INT cast so DuckDB's round-on-cast vs
-    // Spark's truncate-on-cast can never diverge
+    // Spark's truncate-on-cast can never diverge. The code array itself
+    // is compared as md5 over its comma-joined elements (list columns are
+    // not sortable by the driver's pandas harness).
     "embed_quantize_int8" ->
       """WITH a AS (
         |  SELECT vec_id, embedding,
@@ -1971,10 +2015,10 @@ object SparkEntry {
         |  FROM embeddings
         |)
         |SELECT vec_id, round(amax / 127.0, 6) AS scale,
-        |  CASE WHEN amax > 0 THEN
+        |  md5(array_to_string(CASE WHEN amax > 0 THEN
         |    list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
         |      round(CAST(x AS DOUBLE) / (amax / 127.0)))) AS INT))
-        |  ELSE list_transform(embedding, x -> 0) END AS qvec
+        |  ELSE list_transform(embedding, x -> 0) END, ',')) AS qvec_md5
         |FROM a ORDER BY vec_id""".stripMargin,
 
     "sim_topk_bruteforce" ->

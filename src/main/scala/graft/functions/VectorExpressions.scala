@@ -341,9 +341,14 @@ private[functions] final class VecMeanBuffer(
   *
   * The struct/array aggregation-buffer trap does not apply: a
   * TypedImperativeAggregate's buffer is an opaque JVM object in a
-  * BinaryType slot, which HashAggregate holds fine (this is how Spark's own
-  * percentile/count_min_sketch work) — it is DECLARATIVE array-typed
-  * buffers that force the SortAggregate fallback.
+  * BinaryType slot, which plans as ObjectHashAggregate (this is how
+  * Spark's own percentile/count_min_sketch work;
+  * `spark.sql.execution.useObjectHashAggregateExec`, falling back to
+  * SortAggregate only past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * in-memory groups) — it is DECLARATIVE array-typed buffers that force
+  * the SortAggregate fallback outright. The ObjectHashAggregate shape is
+  * pinned in PlanInvariantSpec.
   *
   * Parity with the replaced chain: per dimension the accumulation is the
   * same add-per-row in partition encounter order, merged per-partition

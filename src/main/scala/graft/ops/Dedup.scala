@@ -235,111 +235,26 @@ object Dedup {
     * rebuilt, instead of silently serving incompatible buckets. */
   val SigStoreVersion = "v2-mh8-b4-sh3"
 
-  /** Source-data fingerprint for the store key: md5 over the sorted
-    * (relative path, mtime, length) tuple of every file under `src`,
-    * via the Hadoop FileSystem API so it works identically on local
-    * files, HDFS, and s3a object listings. Hashing tuples (rather than
-    * summing per-file values) means no two changes can cancel out. */
-  private def sigStoreFingerprint(fs: org.apache.hadoop.fs.FileSystem,
-                                  src: org.apache.hadoop.fs.Path): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(p: org.apache.hadoop.fs.Path): Unit = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
-      else md.update(
-        s"${st.getPath.getName}|${st.getModificationTime}|${st.getLen}\n"
-          .getBytes("UTF-8"))
-    }
-    walk(src)
-    md.digest().map("%02x".format(_)).mkString.take(16)
-  }
-
   /** The fingerprinted store directory for (source, tag) under `root` —
     * exposed so callers (and tests) can locate a store without globbing. */
   def sigStorePath(spark: org.apache.spark.sql.SparkSession,
                    sourcePath: String, tag: String,
-                   storeRoot: String): org.apache.hadoop.fs.Path = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(sourcePath)
-    val srcFs = src.getFileSystem(hconf)
-    // a missing source must fail loudly — otherwise the fingerprint would
-    // degenerate to a constant and staleness invalidation go silently inert
-    require(srcFs.exists(src),
-      s"bandBucketStore: source path $sourcePath does not exist; " +
-        "the store key is derived from its mtime+length fingerprint")
-    new org.apache.hadoop.fs.Path(storeRoot,
-      s"graft_sigstore_${tag}_${SigStoreVersion}_" +
-        sigStoreFingerprint(srcFs, src))
-  }
+                   storeRoot: String): org.apache.hadoop.fs.Path =
+    FingerprintStore.storePath(spark, sourcePath, tag, SigStoreVersion,
+      storeRoot)
 
   /** Persistent band-bucket store for the incremental-dedup corpus side:
     * build the (doc_id, band, h1, h2) table once, write it to parquet, and
     * serve every later batch from the stored copy — the executable form of
-    * "signatures are computed once and stored".
-    *
-    * Cluster-safe by construction: the store root is shared storage
-    * (`storeRoot` param, else the `graft.sigstore.dir` Spark conf /
-    * system property — e.g. an s3a:// or hdfs:// URI on a real cluster;
-    * java.io.tmpdir only as the local-mode fallback), and both the
-    * source fingerprint and the build go through the Hadoop FileSystem
-    * API, so executors read the same store the driver keyed. The
-    * directory name embeds [[SigStoreVersion]] plus an md5 of the source
-    * listing, so neither a regenerated corpus nor an algorithm change can
-    * be served stale buckets. Builds land in a unique temp directory and
-    * rename into the final path (best-effort atomicity: a concurrent
-    * builder produces identical content; the rename loser deletes its
-    * temp and reads the winner's store). A store directory WITHOUT its
-    * `_SUCCESS` marker is a partial publish (a builder that crashed
-    * mid-write, or a non-atomic rename — s3a renames are copies) and is
-    * evicted and rebuilt on the next call rather than poisoning every
-    * later read.
-    *
-    * Concurrency contract: publishes are idempotent (every builder of the
-    * same fingerprint writes identical content), and concurrent BUILDERS
-    * are safe — each returns a complete store. The exists-check + rename
-    * pair is not atomic, though, so a third process reading the store
-    * directory DURING a concurrent publish could transiently list a
-    * losing builder's in-flight subdirectory before the loser evicts it.
-    * Deployments that cannot tolerate that window should serialize
-    * writers per store key (one builder job per corpus snapshot — the
-    * natural batch topology) or gate readers on `_SUCCESS` plus an exact
-    * file manifest instead of a directory listing. */
+    * "signatures are computed once and stored". Keying, staleness
+    * invalidation, atomic publish, and the concurrency contract are
+    * [[FingerprintStore]]'s (store key = [[SigStoreVersion]] + md5 of the
+    * source listing). */
   def bandBucketStore(spark: org.apache.spark.sql.SparkSession,
                       corpus: DataFrame, sourcePath: String, tag: String,
-                      storeRoot: Option[String] = None): DataFrame = {
-    val root = storeRoot
-      .orElse(spark.conf.getOption("graft.sigstore.dir"))
-      .orElse(sys.props.get("graft.sigstore.dir"))
-      .getOrElse(new java.io.File(sys.props("java.io.tmpdir")).toURI.toString)
-    val store = sigStorePath(spark, sourcePath, tag, root)
-    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val success = new org.apache.hadoop.fs.Path(store, "_SUCCESS")
-    if (!fs.exists(success)) {
-      val tmp = new org.apache.hadoop.fs.Path(store.getParent,
-        store.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-      bandBuckets(minhashSignature(corpus))
-        .write.mode("overwrite").parquet(tmp.toString)
-      // self-repair: a store dir without _SUCCESS is a partial publish
-      // (crashed builder / non-atomic s3a rename). Left in place it would
-      // skip the rename below and fail the completeness check — on this
-      // call and every later one — so evict it first; the freshly-built
-      // tmp then lands a complete store.
-      if (fs.exists(store) && !fs.exists(success)) fs.delete(store, true)
-      // publish: rename wins or a concurrent builder already did —
-      // either way a complete store exists at `store` afterwards.
-      // (Hadoop rename onto an existing dir moves src INTO it — if a
-      // concurrent builder won that race, evict the stray subdir so the
-      // parquet listing never sees doubled data.)
-      if (!fs.exists(store)) fs.rename(tmp, store)
-      val stray = new org.apache.hadoop.fs.Path(store, tmp.getName)
-      if (fs.exists(stray)) fs.delete(stray, true)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      require(fs.exists(success),
-        s"bandBucketStore: store publish failed for $store")
-    }
-    spark.read.parquet(store.toString)
-  }
+                      storeRoot: Option[String] = None): DataFrame =
+    FingerprintStore.getOrBuild(spark, sourcePath, tag, SigStoreVersion,
+      storeRoot)(bandBuckets(minhashSignature(corpus)))
 
   /** Jaccard similarity of two distinct-element arrays, rounded to 6 with
     * the boundary-safe [[TextAnalysis.round6]] (int ratios hit exact .5
@@ -738,11 +653,16 @@ object Dedup {
     * ([[Similarity.autoNLists]]) from a cheap parquet-metadata count of
     * the corpus — the 10× scale probe's only super-linear growth was
     * FIXED-nLists cell occupancy (Σ cell² pair work), and this variant
-    * turns that knob automatically. Same cache note as the facade. */
+    * turns that knob automatically. Same cache note as the facade, and
+    * the same construction-time count caveat as
+    * [[Similarity.ivfTopKAuto]]: on a DERIVED corpus pass
+    * `corpusRows = Some(n)` so the upstream subplan is not executed an
+    * extra time just to size the dial. */
   def semanticDedupAuto(emb: DataFrame, threshold: Double,
-                        lloydIters: Int = 1): DataFrame =
-    semanticDedup(emb, threshold, Similarity.autoNLists(emb.count()),
-      lloydIters)
+                        lloydIters: Int = 1,
+                        corpusRows: Option[Long] = None): DataFrame =
+    semanticDedup(emb, threshold,
+      Similarity.autoNLists(corpusRows.getOrElse(emb.count())), lloydIters)
 
   /** As [[semanticDedup]], plus a cleanup thunk that unpersists the
     * interior assignment cache (the [[simhashPairsManaged]] pattern).

@@ -39,4 +39,32 @@ object Quantization {
   def dequantizeInt8(df: DataFrame, outCol: String = "embedding"): DataFrame =
     df.withColumn(outCol,
       transform(col("qvec"), q => (q.cast("double") * col("scale")).cast("float")))
+
+  /** Code-scheme version baked into every store directory name. Bump
+    * whenever [[quantizeInt8]]'s arithmetic changes (symmetric range,
+    * clamp bounds, rounding) — an on-disk store written by an older scheme
+    * then simply misses the new name and is rebuilt, instead of silently
+    * serving incompatible codes. */
+  val CodeStoreVersion = "v1-int8-sym127"
+
+  /** Persistent int8 code store — the write-once/read-many shape a 100 TB
+    * deployment actually runs: quantize the float corpus ONCE, persist
+    * only `(id, scale, qvec)` (4× smaller than float32), and serve every
+    * later search from the stored codes; the float embeddings are never
+    * re-read. Keying, staleness invalidation, atomic publish, and the
+    * concurrency contract are [[FingerprintStore]]'s (store key =
+    * [[CodeStoreVersion]] + md5 of the source listing).
+    *
+    * `idCols` names the identity columns carried alongside the code
+    * (default `vec_id`); everything else — the float vector above all —
+    * is dropped from the stored artifact. */
+  def int8CodeStore(spark: org.apache.spark.sql.SparkSession,
+                    embeddings: DataFrame, sourcePath: String, tag: String,
+                    storeRoot: Option[String] = None,
+                    vecCol: String = "embedding",
+                    idCols: Seq[String] = Seq("vec_id")): DataFrame =
+    FingerprintStore.getOrBuild(spark, sourcePath, tag, CodeStoreVersion,
+      storeRoot)(
+      quantizeInt8(embeddings, vecCol)
+        .select((idCols :+ "scale" :+ "qvec").map(col): _*))
 }

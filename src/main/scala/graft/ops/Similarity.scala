@@ -247,17 +247,19 @@ object Similarity {
     * one cheap count action (parquet metadata for file sources), then the
     * identical plan. The dial that must grow with the corpus now does.
     *
-    * CAVEAT — `corpus.count()` runs at CONSTRUCTION time. On a raw file
-    * source it is a metadata-only job, but on a DERIVED corpus (filters,
-    * joins, a cleaning pipeline upstream) it executes that whole subplan
-    * once here and again in the main query — Catalyst does not share
-    * subtrees across actions. For a derived corpus either pass a
-    * `.cache()`d DataFrame, or count it yourself once and call
-    * [[ivfTopK]] with `nLists = autoNLists(n)` directly. */
+    * CAVEAT — without `corpusRows`, `corpus.count()` runs at CONSTRUCTION
+    * time. On a raw file source it is a metadata-only job, but on a
+    * DERIVED corpus (filters, joins, a cleaning pipeline upstream) it
+    * executes that whole subplan once here and again in the main query —
+    * Catalyst does not share subtrees across actions. For a derived
+    * corpus pass `corpusRows = Some(n)` from a count you already have (or
+    * a `.cache()`d DataFrame); the skipped-count shape is pinned in
+    * PlanInvariantSpec. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
-                  nProbe: Int = 4, lloydIters: Int = 1): DataFrame =
-    ivfTopK(corpus, queries, k, autoNLists(corpus.count()), nProbe,
-      lloydIters)
+                  nProbe: Int = 4, lloydIters: Int = 1,
+                  corpusRows: Option[Long] = None): DataFrame =
+    ivfTopK(corpus, queries, k,
+      autoNLists(corpusRows.getOrElse(corpus.count())), nProbe, lloydIters)
 
   /** Corpus-wide k-nearest-neighbor graph, IVF-cell-blocked: every vector
     * is a query (the k-NN-graph build a SemDeDup-style pipeline runs for
@@ -308,9 +310,12 @@ object Similarity {
     *
     * Same construction-time `corpus.count()` caveat as [[ivfTopKAuto]]:
     * metadata-cheap on a file source, a full extra subplan execution on a
-    * derived corpus — cache the corpus or pass `nLists` explicitly. */
-  def knnGraphAuto(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
-    knnGraph(corpus, k, autoNLists(corpus.count()), lloydIters)
+    * derived corpus — pass `corpusRows = Some(n)` from a count you
+    * already have (or cache the corpus). */
+  def knnGraphAuto(corpus: DataFrame, k: Int, lloydIters: Int = 1,
+                   corpusRows: Option[Long] = None): DataFrame =
+    knnGraph(corpus, k, autoNLists(corpusRows.getOrElse(corpus.count())),
+      lloydIters)
 
   /** Deterministic seed centroids: the first `nLists` corpus vectors. */
   def seedCentroids(corpus: DataFrame, nLists: Int): DataFrame =

@@ -125,9 +125,12 @@ object EventTimeOps {
     *
     * State is one (start, last, events) triple per live user; the
     * watermark bounds both late data and state lifetime. Late events
-    * inside the watermark that predate the open session's start are
-    * merged with `min(start, t)` — event-time, not arrival-order,
-    * semantics. */
+    * inside the watermark follow batch gap semantics: one within `gap` of
+    * the open session (including inside it) merges; one more than `gap`
+    * BEFORE the session's start becomes its own closed session — the open
+    * state and the batch's events are merged as sorted intervals, so a
+    * `watermarkDelay` larger than the gap cannot glue a too-old event
+    * onto the open session via an unconditional `min(start, t)`. */
   /** `batchMode = true` runs the same state function on a BATCH Dataset
     * (each user's full history arrives as one group; state starts empty,
     * event-time timeouts cannot fire, so output is every session EXCEPT
@@ -153,17 +156,27 @@ object EventTimeOps {
             Iterator.single(
               SessionOutput(user, s.start, s.last, s.events, closed = true))
           } else {
-            val ts = batch.map(_.ts.getTime).toList.sorted
+            // Merge the open-session interval with this batch's events as
+            // SORTED intervals — not "fold each event into the open state".
+            // The fold's `t - l0 <= gapMs` guard is vacuously true for any
+            // event at or before l0, so with watermarkDelay > gap an
+            // admitted event older than the session start by more than the
+            // gap would be glued on via min(start, t); interval-merge gives
+            // it its own (closed) session, matching batch gap semantics.
+            val intervals =
+              (state.getOption.map(s => (s.start, s.last, s.events)).toList
+                ++ batch.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+                .sortBy(iv => (iv._1, iv._2))
             val closed = List.newBuilder[SessionOutput]
-            var open = state.getOption.map(s => (s.start, s.last, s.events))
-            for (t <- ts) open match {
-              case Some((s0, l0, n0)) if t - l0 <= gapMs =>
-                open = Some((math.min(s0, t), math.max(l0, t), n0 + 1))
+            var open: Option[(Long, Long, Long)] = None
+            for ((s1, l1, n1) <- intervals) open match {
+              case Some((s0, l0, n0)) if s1 - l0 <= gapMs =>
+                open = Some((s0, math.max(l0, l1), n0 + n1))
               case Some((s0, l0, n0)) =>
                 closed += SessionOutput(user, s0, l0, n0, closed = true)
-                open = Some((t, t, 1L))
+                open = Some((s1, l1, n1))
               case None =>
-                open = Some((t, t, 1L))
+                open = Some((s1, l1, n1))
             }
             open.foreach { case (s0, l0, n0) =>
               state.update(SessionState(s0, l0, n0))

@@ -106,6 +106,71 @@ class PlanInvariantSpec extends SparkSuite {
       "q5 does not broadcast dimension tables")
   }
 
+  test("int8 quantize/dequantize is map-only: no Exchange of any kind in " +
+    "the storage path") {
+    // asserted on the ops directly (the registry query appends an output
+    // orderBy whose range exchange is presentation, not operator cost)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = graft.ops.Quantization.quantizeInt8(emb)
+    val rt = graft.ops.Quantization.dequantizeInt8(q.drop("embedding"))
+    for ((df, name) <- Seq((q, "quantizeInt8"), (rt, "round-trip"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name shuffles: the int8 storage path must stay map-only")
+    }
+  }
+
+  test("vecMean plans as ObjectHashAggregate (TypedImperativeAggregate " +
+    "buffer), not a SortAggregate fallback") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = emb.groupBy(col("vec_id") % 7)
+      .agg(graft.functions.VectorExpressions.vecMean(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      "vecMean lost the ObjectHashAggregate plan shape")
+    assert(!p.contains("SortAggregate"),
+      "vecMean fell back to SortAggregate")
+  }
+
+  test("ivfTopKAuto with a corpusRows hint runs no more construction jobs " +
+    "than explicit-nLists construction (derived-corpus count trap closed)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    // count jobs started while constructing the operator (centroid
+    // collects are construction-time jobs; the auto count must not add
+    // one when the hint is given). Listener delivery is async — settle
+    // until the count is stable.
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var last = -1
+        var settle = 0
+        while (settle < 20 && n.get() != last) {
+          last = n.get(); Thread.sleep(100); settle += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val rows = emb.count()
+    val nLists = graft.ops.Similarity.autoNLists(rows)
+    val explicit = jobsDuring {
+      graft.ops.Similarity.ivfTopK(emb, q, 5, nLists) }
+    val hinted = jobsDuring {
+      graft.ops.Similarity.ivfTopKAuto(emb, q, 5, corpusRows = Some(rows)) }
+    assert(hinted == explicit,
+      s"corpusRows hint still pays a construction count job " +
+        s"($hinted vs $explicit explicit)")
+  }
+
   test("LSH bucket joins carry ids only - embeddings do not ride the " +
     "bucket explode") {
     for (q <- Seq("sim_ann_lsh", "dedup_embedding_lsh")) {

@@ -20,22 +20,23 @@ N=${1:-3}
 # JVM launch + sbt classloading add ~0.1-0.2 to the 1-min value between
 # this check and Bench's sample (first attempt: script saw 0.99, Bench
 # recorded 1.15).
+THRESH=0.7
 load1() { cut -d' ' -f1 /proc/loadavg; }
-is_cool() { python3 -c "import sys; sys.exit(0 if float('$(load1)') < 0.7 else 1)"; }
+is_cool() { python3 -c "import sys; sys.exit(0 if float('$(load1)') < $THRESH else 1)"; }
 wait_cool() {
   for _ in $(seq 1 30); do
     is_cool && return 0
-    echo "[bench_reps] loadavg $(load1) >= 1.0 — waiting for cool window ..." >&2
+    echo "[bench_reps] loadavg $(load1) >= $THRESH — waiting for cool window ..." >&2
     sleep 30
   done
   return 1
 }
 if is_cool; then
-  echo "[bench_reps] loadavg $(load1) < 1.0 — cool window, starting" >&2
+  echo "[bench_reps] loadavg $(load1) < $THRESH — cool window, starting" >&2
 elif [ "${GRAFT_BENCH_ALLOW_HOT:-0}" = "1" ]; then
-  echo "[bench_reps] WARNING: loadavg $(load1) >= 1.0 but GRAFT_BENCH_ALLOW_HOT=1 — runs will be annotated hot_window" >&2
+  echo "[bench_reps] WARNING: loadavg $(load1) >= $THRESH but GRAFT_BENCH_ALLOW_HOT=1 — runs will be annotated hot_window" >&2
 else
-  echo "[bench_reps] REFUSING: 1-min loadavg $(load1) >= 1.0. Wait for a cool window or set GRAFT_BENCH_ALLOW_HOT=1 (set will be annotated hot_window)." >&2
+  echo "[bench_reps] REFUSING: 1-min loadavg $(load1) >= $THRESH. Wait for a cool window or set GRAFT_BENCH_ALLOW_HOT=1 (set will be annotated hot_window)." >&2
   exit 2
 fi
 mkdir -p bench_runs
