@@ -2076,6 +2076,28 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           md5(col("payload")).as("resized_md5"))
         .orderBy("media_id")
+    }),
+
+    // REAL decode — no stub: the lake synthesizes genuine BMP files
+    // (deterministic pixels), ImageIO decodes actual pixels back, and the
+    // oracle recomputes the expected pixel sequence symbolically. A codec
+    // bug on either side (encoder layout, decoder channel order, row
+    // direction) breaks the digest.
+    "mm_decode" -> ((s, dir) => {
+      Multimodal.decodeImages(Multimodal.syntheticImageLake(s, dir)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("ok"),
+          md5(concat_ws(",", col("gray").cast("array<string>"))).as("gray_md5"))
+        .orderBy("media_id")
+    }),
+    // REAL resize: ImageIO decode + nearest-neighbor resample to 5x3 —
+    // deliberately non-integer ratios (12/5, 8/3) so the floor arithmetic
+    // is exercised; the oracle mirrors out(x,y) = in(y*H/h, x*W/w)
+    // symbolically.
+    "mm_resize_real" -> ((s, dir) => {
+      Multimodal.resizeImages(Multimodal.syntheticImageLake(s, dir), 5, 3).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("ok"),
+          md5(concat_ws(",", col("gray").cast("array<string>"))).as("gray_md5"))
+        .orderBy("media_id")
     })
   )
 
@@ -2122,7 +2144,27 @@ object SparkEntry {
         |  md5(substr(repeat(props,
         |    CAST(ceil(32.0 / length(props)) AS INT)), 1, 32)) AS resized_md5
         |FROM events WHERE length(props) > 0
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // the synthesized 12x8 BMP's pixel i = (doc_id*31 + i) % 256 — the
+    // Spark side goes through a REAL BMP encode + ImageIO decode; the
+    // oracle regenerates the sequence directly, so only a faithful
+    // encode→decode round trip matches
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, 12 AS width, 8 AS height, true AS ok,
+        |  md5(array_to_string(list_transform(range(0, 96),
+        |    i -> CAST((doc_id * 31 + i) % 256 AS INT)), ',')) AS gray_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // nearest-neighbor 12x8 -> 5x3: out j (x=j%5, y=j//5) samples source
+    // index (y*8//3)*12 + x*12//5 of the same synthesized pixel sequence
+    "mm_resize_real" ->
+      """SELECT doc_id AS media_id, 5 AS width, 3 AS height, true AS ok,
+        |  md5(array_to_string(list_transform(range(0, 15),
+        |    j -> CAST((doc_id * 31 +
+        |      ((j // 5) * 8 // 3) * 12 + ((j % 5) * 12 // 5)) % 256 AS INT)),
+        |    ',')) AS gray_md5
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 
   // ------------------------------------------------------ relational family

@@ -177,6 +177,11 @@ object Multimodal {
       * undecodable payloads — the caller maps that to ok=false rather
       * than failing the partition (one corrupt asset must not kill a
       * 100 TB scan). */
+    // keep ImageIO's stream wrapper in-memory: the default disk-backed
+    // cache writes a temp file per read — pure overhead for byte-array
+    // payloads, and a nuisance on diskless executors
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
       if (payload == null) return None
       try {

@@ -23,26 +23,38 @@ import graft.template.Template
   */
 object S3SinkPipeline {
 
+  /** The exact option map the Kafka DataSource receives — the O1 wiring
+    * as a pure function, exposed so the subscribe-vs-subscribePattern
+    * precedence, header inclusion, and retry-backoff passthrough are
+    * unit-testable in this container (the kafka datasource jars are
+    * absent offline, so `load()` itself cannot resolve here; the mapping
+    * is everything this side of the DataSource boundary). */
+  def kafkaOptions(config: SinkConfig,
+                   bootstrapServers: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers,
+      "includeHeaders" -> "true") ++
+      (config.topicsRegex match {
+        case Some(re) => Map("subscribePattern" -> re)
+        case None     => Map("subscribe" -> config.topics.mkString(","))
+      }) ++
+      config.kafkaRetryBackoffMs.map(ms =>
+        "kafka.retry.backoff.ms" -> ms.toString)
+
   /** O1 — the Kafka source, `includeHeaders=true` delivering the canonical
     * record schema (SURVEY.md §1.4). Not executable in this offline test
-    * container (no Kafka jars/broker); the rest of the pipeline is
+    * container (no Kafka jars/broker); the option mapping is
+    * [[kafkaOptions]] (unit-tested), and the rest of the pipeline is
     * source-agnostic and tested with file/memory streams of the same shape.
     */
   def kafkaReader(spark: SparkSession, config: SinkConfig,
-                  bootstrapServers: String): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("includeHeaders", "true")
-    val subscribed = config.topicsRegex match {
-      case Some(re) => base.option("subscribePattern", re)
-      case None     => base.option("subscribe", config.topics.mkString(","))
-    }
-    config.kafkaRetryBackoffMs.foreach(ms =>
-      subscribed.option("kafka.retry.backoff.ms", ms.toString))
-    subscribed.load()
+                  bootstrapServers: String): DataFrame =
+    kafkaOptions(config, bootstrapServers)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load()
       .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
         col("key"), col("value"), col("headers"))
-  }
 
   /** CSV schema strictness (SURVEY.md §7.4 item 4): the reference's CSV
     * writer accepts BYTES ONLY — even STRING values throw, with the

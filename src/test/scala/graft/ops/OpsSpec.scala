@@ -834,4 +834,43 @@ class OpsSpec extends SparkSuite {
     assert(feats(0).feature.length == FeatureDim)
     assert(!feats(2).ok && feats(2).feature.forall(_ == 0f)) // null payload
   }
+
+  test("real image codec: BMP encode -> ImageIO decode round-trips pixels " +
+    "exactly; corrupt payloads survive as ok=false") {
+    import graft.ops.Multimodal._
+    val w = 7; val h = 5 // odd width exercises BMP row padding (21 -> 24)
+    val gray = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val bmp = ImageCodec.encodeGrayBmp(w, h, gray)
+    // a real decoder, not our own parser, reads the bytes back
+    val Some((dw, dh, dg)) = ImageCodec.decodeGray(bmp)
+    assert((dw, dh) == (w, h))
+    assert(dg.toSeq == gray.toSeq, "decoded pixels differ from encoded")
+    // undecodable payloads: None, never a throw
+    assert(ImageCodec.decodeGray(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.decodeGray(null).isEmpty)
+    // dataset path: decode + ok flag through mapPartitions
+    val media = Seq(
+      MediaRecord(0L, "image", "bmp", bmp, bmp.length.toLong),
+      MediaRecord(1L, "image", "bmp", Array[Byte](9, 9), 2L)).toDS()
+    val dec = decodeImages(media).collect().sortBy(_.media_id)
+    assert(dec(0).ok && dec(0).gray.toSeq == gray.toSeq)
+    assert(!dec(1).ok && dec(1).gray.isEmpty)
+  }
+
+  test("nearest-neighbor resize matches the index formula and is exact on " +
+    "integer downscale") {
+    import graft.ops.Multimodal._
+    val gray = Array.tabulate(12 * 8)(i => i % 256)
+    // 2x downscale: out(x,y) = in(2x, 2y)
+    val half = ImageCodec.resizeNearest(12, 8, gray, 6, 4)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert(half(y * 6 + x) == gray(2 * y * 12 + 2 * x))
+    // non-integer ratios follow the floor formula
+    val odd = ImageCodec.resizeNearest(12, 8, gray, 5, 3)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(odd(y * 5 + x) == gray((y * 8 / 3) * 12 + x * 12 / 5))
+    // upscale replicates source pixels, never reads out of bounds
+    val up = ImageCodec.resizeNearest(2, 2, Array(1, 2, 3, 4), 5, 5)
+    assert(up.length == 25 && up.forall(Set(1, 2, 3, 4)))
+  }
 }

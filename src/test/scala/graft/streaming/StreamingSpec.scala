@@ -117,6 +117,30 @@ class StreamingSpec extends SparkSuite {
       == List("v5", "v6"))
   }
 
+  test("O1 kafka option mapping: subscribe vs subscribePattern precedence, " +
+    "headers on, retry backoff passthrough (pure — no datasource needed)") {
+    def cfg(m: Map[String, String]) = SinkConfig.parse(
+      Map("aws.s3.bucket.name" -> "b") ++ m).toOption.get
+    // plain topic list -> subscribe, comma-joined, headers always on
+    val plain = S3SinkPipeline.kafkaOptions(
+      cfg(Map("topics" -> "t1,t2")), "broker:9092")
+    assert(plain("kafka.bootstrap.servers") == "broker:9092")
+    assert(plain("subscribe") == "t1,t2")
+    assert(plain("includeHeaders") == "true")
+    assert(!plain.contains("subscribePattern"))
+    assert(!plain.contains("kafka.retry.backoff.ms"))
+    // regex subscription wins over a topic list and maps to subscribePattern
+    val re = S3SinkPipeline.kafkaOptions(
+      cfg(Map("topics.regex" -> "logs-.*")), "broker:9092")
+    assert(re("subscribePattern") == "logs-.*")
+    assert(!re.contains("subscribe"))
+    // backoff flows through under the kafka. consumer-config prefix
+    val backoff = S3SinkPipeline.kafkaOptions(
+      cfg(Map("topics" -> "t", "kafka.retry.backoff.ms" -> "350")),
+      "broker:9092")
+    assert(backoff("kafka.retry.backoff.ms") == "350")
+  }
+
   test("O1 kafka source wiring executes when kafka datasource jars are " +
     "present (skipped with an explicit note otherwise — this container " +
     "ships no kafka jars)") {
