@@ -1557,7 +1557,52 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-    })
+    }),
+    // Product quantization (spherical PQ, m=16 × k=32 over 64 dims): the
+    // storage step beyond int8 — 16 5-bit codes per vector, 25× smaller
+    // than float32 bit-packed (16 bytes as stored ints). Codes
+    // hash-compare as a digest (the harness cannot sort list columns);
+    // the oracle re-trains all 16 subspace codebooks symbolically through
+    // the same seed→Lloyd→argmax chain as IvfChain, on array slices. The
+    // (16, 32, rerank=50) dials are PqSweep-measured: recall@5 0.95 /
+    // 0.93 at sf0.01 / sf0.1 for the reranked path.
+    "embed_pq_encode" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.encode(emb,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+        .select(col("vec_id"),
+          md5(concat_ws(",", col("pq_code").cast("array<string>")))
+            .as("pq_md5"))
+        .orderBy("vec_id")
+    }),
+    // ADC search over the PQ codes: the query stays float, the corpus is
+    // scored through a broadcast per-query lookup table of subspace dot
+    // products — the corpus vectors are never reconstructed. Full top-5
+    // hash-compares.
+    "sim_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.adcTopK(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    // Quality gate for the raw ADC ranking: recall@5 vs the exact float
+    // top-5. Raw ADC is the CANDIDATE GENERATOR, not the final ranking —
+    // on these unclustered synthetic embeddings it measures 0.53 / 0.37
+    // (sf0.01 / sf0.1), so the bar pins the regression floor at 0.3: an
+    // arithmetic break collapses recall to ~k/n ≈ 0.01, far below it.
+    "sim_pq_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.adcTopK(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64))),
+        bar = 0.3)),
+    // The production two-stage shape: ADC candidates (top-50), exact
+    // rerank of only those, top-5 out — FAISS's PQ-scan + refine. Holds
+    // the standard 0.8 bar at both gate scales.
+    "sim_pq_rerank_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.adcTopK(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
+          rerank = 50)))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1572,7 +1617,8 @@ object SparkEntry {
     * boundary-safe [[graft.ops.TextAnalysis.round6]] (int/int ratio —
     * the exact cross-engine HALF_UP divergence class). */
   private def annRecall(s: SparkSession, dir: String,
-      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      ann: (DataFrame, DataFrame) => DataFrame,
+      bar: Double = 0.8): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
     val approx = ann(emb, q)
@@ -1584,7 +1630,7 @@ object SparkEntry {
       .select(col("n_exact"), col("n_hit"),
         graft.ops.TextAnalysis
           .round6(col("n_hit").cast("double") / col("n_exact")).as("recall"),
-        (col("n_hit").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+        (col("n_hit").cast("double") / col("n_exact") >= bar).as("recall_ok"))
   }
 
   /** Hyperplane-LSH bucket CTE chain (no leading WITH): reproduces
@@ -1634,12 +1680,14 @@ object SparkEntry {
 
   private val AutoIvfChain = ivfChain(AutoNListsSql)
 
-  /** Recall-gate tail over an IvfChain's `ranked`/`nrm` CTEs: recall@5 of
-    * the IVF top-5 against the exact brute-force top-5, with the >= 0.8
-    * flag (shared by sim_ann_ivf_recall and its auto-dial twin). */
-  private val IvfRecallTail =
-    """, approx AS (
-      |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+  /** Recall-gate tail over `ranked`/`nrm` CTEs: recall@5 of an
+    * approximate top-5 (read from `src`, default the `ranked` CTE)
+    * against the exact brute-force top-5, with a >= `bar` flag. The 0.8
+    * instance is [[IvfRecallTail]]; the PQ gates parameterize both knobs
+    * (raw-ADC bar 0.3, reranked source `rranked`). */
+  private def recallTail(bar: Double, src: String = "ranked"): String =
+    s""", approx AS (
+      |  SELECT query_id, neighbor_id FROM $src WHERE rank <= 5
       |), ex_scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
@@ -1657,11 +1705,138 @@ object SparkEntry {
       |)
       |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
       |  floor((n_hit * 1.0 / n_exact) * 1000000 + 0.5) / 1000000 AS recall,
-      |  n_hit * 1.0 / n_exact >= 0.8 AS recall_ok
+      |  n_hit * 1.0 / n_exact >= $bar AS recall_ok
       |FROM (SELECT (SELECT count(*) FROM exact) AS n_exact,
       |             (SELECT count(*) FROM exact e
       |              JOIN approx a ON e.query_id = a.query_id
       |                AND e.neighbor_id = a.neighbor_id) AS n_hit)""".stripMargin
+
+  private val IvfRecallTail = recallTail(0.8)
+
+  /** Per-subspace PQ codebook chains (no leading WITH): for each of the
+    * `m` subspaces this is the IvfChain recipe — deterministic seeds
+    * (vec_id < k), one Lloyd iteration, argmax-cosine assignment — on the
+    * array SLICE `embedding[lo:hi]`, ending in `cd$i(vec_id, code)` and
+    * `cn$i(cell, cvec, cn)`. Plus the long-form unions the ADC tail
+    * consumes (`cl` codes, `ctl` centroid lookup with |c|², `ql` query
+    * slices) and the full-vector `nrm` the recall tails need. Mirrors
+    * [[graft.ops.ProductQuantization]] digit-for-digit. */
+  private def pqChains(m: Int, k: Int, subDim: Int): String = {
+    val per = (0 until m).map { i =>
+      val lo = i * subDim + 1
+      val hi = (i + 1) * subDim
+      s"""s$i AS (
+         |  SELECT vec_id, embedding[$lo:$hi] AS e,
+         |    sqrt(list_dot_product(CAST(embedding[$lo:$hi] AS DOUBLE[]),
+         |                          CAST(embedding[$lo:$hi] AS DOUBLE[]))) AS n
+         |  FROM embeddings
+         |), sd$i AS (
+         |  SELECT vec_id AS cell, e AS cvec, n AS cn FROM s$i WHERE vec_id < $k
+         |), a0$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, s.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(CAST(v.e AS DOUBLE[]),
+         |                         CAST(s.cvec AS DOUBLE[])) / nullif(v.n * s.cn, 0) DESC,
+         |        s.cell) AS rn
+         |    FROM s$i v CROSS JOIN sd$i s) t
+         |  WHERE rn = 1
+         |), ct$i AS (
+         |  SELECT cell,
+         |    list_transform(list_sort(list(struct_pack(i := i, m := m))),
+         |      x -> CAST(x.m AS REAL)) AS cvec
+         |  FROM (
+         |    SELECT a.cell, g.i, avg(CAST(v.e[g.i] AS DOUBLE)) AS m
+         |    FROM a0$i a JOIN s$i v ON v.vec_id = a.vec_id,
+         |    LATERAL (SELECT unnest(generate_series(1, len(v.e))) AS i) g
+         |    GROUP BY a.cell, g.i) d
+         |  GROUP BY cell
+         |), cn$i AS (
+         |  SELECT cell, cvec,
+         |    sqrt(list_dot_product(CAST(cvec AS DOUBLE[]),
+         |                          CAST(cvec AS DOUBLE[]))) AS cn
+         |  FROM ct$i
+         |), cd$i AS (
+         |  SELECT vec_id, cell AS code FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(CAST(v.e AS DOUBLE[]),
+         |                         CAST(c.cvec AS DOUBLE[])) / nullif(v.n * c.cn, 0) DESC,
+         |        c.cell) AS rn
+         |    FROM s$i v CROSS JOIN cn$i c) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val cl = (0 until m)
+      .map(i => s"SELECT $i AS sub, vec_id, code FROM cd$i")
+      .mkString("\n  UNION ALL ")
+    val ctl = (0 until m)
+      .map(i => s"SELECT $i AS sub, cell AS code, cvec, cn * cn AS cn2 FROM cn$i")
+      .mkString("\n  UNION ALL ")
+    val ql = (0 until m)
+      .map(i => s"SELECT $i AS sub, vec_id AS query_id, e FROM s$i WHERE vec_id < 20")
+      .mkString("\n  UNION ALL ")
+    s"""$per, cl AS (
+       |  $cl
+       |), ctl AS (
+       |  $ctl
+       |), ql AS (
+       |  $ql
+       |), nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings
+       |)""".stripMargin
+  }
+
+  /** ADC scoring tail over [[pqChains]]' CTEs, ending in
+    * `ranked(query_id, neighbor_id, a, rank)` — rank by the UNROUNDED
+    * approximate cosine, exactly as `ProductQuantization.adcTopK`. */
+  private val PqAdcTail: String =
+    """, parts AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(q.e AS DOUBLE[]),
+      |                     CAST(t.cvec AS DOUBLE[])) AS d,
+      |    t.cn2
+      |  FROM cl c JOIN ctl t ON t.sub = c.sub AND t.code = c.code
+      |  JOIN ql q ON q.sub = c.sub AND q.query_id <> c.vec_id
+      |), sc AS (
+      |  SELECT query_id, neighbor_id, sum(d) AS sd, sum(cn2) AS rn2
+      |  FROM parts GROUP BY 1, 2
+      |), adc AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    s.sd / nullif(sqrt(s.rn2) * q.n, 0) AS a
+      |  FROM sc s JOIN nrm q ON q.vec_id = s.query_id
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, a,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY a DESC, neighbor_id) AS rank
+      |  FROM adc
+      |)""".stripMargin
+
+  /** Exact-rerank tail: ADC top-`rerank` candidates rescored exactly
+    * (rounded cosine, ties by neighbor id), ending in `rranked` — the
+    * `rerank > 0` branch of `ProductQuantization.adcTopK`. */
+  private def pqRerankTail(rerank: Int): String =
+    s""", cand AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $rerank
+       |), rr AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |                           CAST(ce.embedding AS DOUBLE[])) /
+       |          nullif(qe.n * ce.n, 0), 6) AS cos
+       |  FROM cand c
+       |  JOIN nrm qe ON qe.vec_id = c.query_id
+       |  JOIN nrm ce ON ce.vec_id = c.neighbor_id
+       |), rranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rr
+       |)""".stripMargin
+
+  private val PqChain = pqChains(16, 32, 4)
 
   /** SemDeDup keep-list tail over an IvfChain's `assigned`/`nrm` CTEs:
     * a vector is dropped iff a lower-id vector in its cell scores cosine
@@ -2035,7 +2210,32 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ codes: 16-way join of the per-subspace assignment chains, the
+    // concatenated code digest-compared (list columns are not
+    // harness-sortable — the embed_quantize_int8 rule).
+    "embed_pq_encode" -> ("WITH " + PqChain + ", codes AS (\n" +
+      "  SELECT c0.vec_id, list_value(" +
+      (0 until 16).map(i => s"c$i.code").mkString(", ") + ") AS pq\n" +
+      "  FROM cd0 c0 " +
+      (1 until 16).map(i => s"JOIN cd$i c$i USING (vec_id)").mkString(" ") +
+      "\n)\n" +
+      """SELECT vec_id, md5(array_to_string(pq, ',')) AS pq_md5
+        |FROM codes ORDER BY vec_id""".stripMargin),
+
+    "sim_pq_adc" -> ("WITH " + PqChain + PqAdcTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Raw-ADC quality floor (see the queries-side comment for the 0.3
+    // rationale: candidate generator, not final ranking).
+    "sim_pq_recall" -> ("WITH " + PqChain + PqAdcTail + recallTail(0.3)),
+
+    // PQ-scan + exact-refine, the production shape, at the standard bar.
+    "sim_pq_rerank_recall" -> ("WITH " + PqChain + PqAdcTail +
+      pqRerankTail(50) + recallTail(0.8, "rranked"))
   )
 
   // ------------------------------------------------------ multimodal family

@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the FAISS-family vector-compression step
+  * beyond [[Quantization int8]]: split each d-dim embedding into `m`
+  * contiguous subvectors of d/m dims, train a tiny per-subspace codebook
+  * (k centroids each), and store each vector as its `m` centroid ids —
+  * m·log2(k) bits instead of 4·d bytes (64-dim float32 → 8 nibbles: 64×
+  * smaller). Search never reconstructs the corpus: ADC (asymmetric
+  * distance computation) scores a FLOAT query against the CODES through a
+  * per-query lookup table of subspace dot products.
+  *
+  * This is the spherical-PQ variant: subspace assignment is argmax-COSINE
+  * against the codebook (not argmin-L2) so it shares bit-for-bit
+  * machinery — and therefore the DuckDB oracle chain — with the IVF
+  * coarse quantizer ([[Similarity.seedCentroids]] deterministic seeds +
+  * [[Similarity.refineCentroids]] Lloyd refinement +
+  * [[graft.functions.NearestCentroid]] map-only assignment). The engine's
+  * similarity metric is cosine throughout, which is exactly the regime
+  * where spherical k-means codebooks are the published choice.
+  *
+  * Scale shape (the reason PQ exists at 100 TB):
+  *   - training touches the corpus m×(lloydIters+1) times but collects
+  *     only m·k centroid rows (k·d floats total — kilobytes) to the
+  *     driver, the same always-collectable coarse-quantizer shape as IVF;
+  *   - [[encode]] is a pure map: m [[graft.functions.NearestCentroid]]
+  *     kernels over array slices, no shuffle, no join, no expansion —
+  *     pinned shuffle-free in PlanInvariantSpec;
+  *   - [[adcTopK]] explodes only (vec_id, sub, code) — ids and two small
+  *     ints, never the vectors — and joins that against a BROADCAST
+  *     per-query LUT of m·k dot products, then partial-aggregates the m
+  *     parts per (query, vector). The corpus-sized side stays narrow the
+  *     whole way; the float corpus is read only by `encode`, once.
+  *
+  * Reference surface: the reference connector has no vector ops — this is
+  * part of the beyond-parity training-data engine (SURVEY §2 "LLM-data"
+  * rows), mirroring the IVF/LSH families' design contract.
+  */
+object ProductQuantization {
+
+  /** Trained per-subspace codebooks. `subs(i)` holds subspace i's
+    * centroid ids (= seed vec_ids, ascending), vectors and norms. */
+  final case class Codebooks(m: Int, subDim: Int, k: Int,
+      subs: IndexedSeq[Similarity.LocalCentroids])
+
+  /** Scheme version for [[pqCodeStore]] — bump on any arithmetic change
+    * (seeding, metric, refinement) so stale stores rebuild by key-miss. */
+  val CodeStoreVersion = "v1-pq-cos"
+
+  /** Train `m` codebooks of `k` centroids each over contiguous subvector
+    * slices. Deterministic: seeds are the first `k` corpus vectors'
+    * slices (the [[Similarity.seedCentroids]] rule applied per subspace),
+    * refined by `lloydIters` Lloyd iterations. `dim` must be divisible by
+    * `m`.
+    *
+    * ALL m subspaces train in the same jobs — never m separate passes:
+    * the k seed rows are collected once and sliced driver-side, and each
+    * Lloyd iteration is ONE corpus pass (m map-only
+    * [[graft.functions.NearestCentroid]] assignments, `inline`-stacked to
+    * (sub, cell, slice) rows, one groupBy(sub, cell) through the
+    * [[graft.functions.VectorMean]] primitive-buffer aggregate) followed
+    * by one m·k-row collect. At 100 TB the per-iteration cost is a single
+    * narrow shuffle of (two ints, subDim floats) rows — independent of m
+    * in pass count.
+    *
+    * Means, float narrowing, and norms reproduce
+    * [[Similarity.refineCentroids]] exactly (double per-dim mean → float
+    * cast → in-order double norm), so the per-subspace DuckDB oracle
+    * chain is the IvfChain recipe on array slices. Cells that lose every
+    * member during refinement drop out, ascending cell order throughout.
+    *
+    * `dimHint` spares the 1-row head job that otherwise reads the
+    * dimension off the first vector — pass it when the corpus is a
+    * derived frame (the [[Similarity.ivfTopKAuto]] corpusRows
+    * precedent). */
+  def train(corpus: DataFrame, m: Int = 16, k: Int = 32, lloydIters: Int = 1,
+            vecCol: String = "embedding", dimHint: Option[Int] = None): Codebooks = {
+    val dim = dimHint.getOrElse(
+      corpus.select(size(col(vecCol)).as("d")).head().getInt(0))
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    def sliceBook(rows: Seq[(Long, Array[Float])]): IndexedSeq[Similarity.LocalCentroids] =
+      (0 until m).map { i =>
+        val sorted = rows.sortBy(_._1)
+        val vecs = sorted.map(_._2.slice(i * subDim, (i + 1) * subDim)).toArray
+        Similarity.LocalCentroids(sorted.map(_._1).toArray, vecs,
+          vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+      }
+    val seeds = sliceBook(
+      corpus.where(col("vec_id") < k).select(col("vec_id"), col(vecCol))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    val subs = (1 to lloydIters).foldLeft(seeds) { (books, _) =>
+      val stacked = corpus.select(inline(array((0 until m).map { i =>
+        val sv = slice(col(vecCol), i * subDim + 1, subDim)
+        struct(lit(i).as("sub"),
+          graft.functions.VectorExpressions.nearestCentroid(
+            sv, sqrt(Similarity.dot(sv, sv)),
+            books(i).cells, books(i).vecs, books(i).norms).as("cell"),
+          sv.as("sv"))
+      }: _*)))
+      val means = stacked.groupBy("sub", "cell")
+        .agg(graft.functions.VectorExpressions.vecMean(col("sv")).as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2).map(_.toFloat).toArray))
+      (0 until m).map { i =>
+        val rows = means.filter(_._1 == i).sortBy(_._2)
+        val vecs = rows.map(_._3)
+        Similarity.LocalCentroids(rows.map(_._2), vecs,
+          vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+      }
+    }
+    Codebooks(m, subDim, k, subs)
+  }
+
+  /** Append `pq_code` (array<int>, length m) — subspace-wise nearest
+    * codebook entry. Pure map: m codegen kernels over slices, no shuffle
+    * (zero-norm slice → lowest cell, the kernel's documented tie rule). */
+  def encode(df: DataFrame, cb: Codebooks,
+             vecCol: String = "embedding"): DataFrame = {
+    val codes = (0 until cb.m).map { i =>
+      val sv = slice(col(vecCol), i * cb.subDim + 1, cb.subDim)
+      graft.functions.VectorExpressions.nearestCentroid(
+        sv, sqrt(Similarity.dot(sv, sv)),
+        cb.subs(i).cells, cb.subs(i).vecs, cb.subs(i).norms).cast("int")
+    }
+    df.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** The codebooks as a long-form literal relation
+    * (sub, code, cvec, cn2=|c|²) — the ADC join side; m·k rows, always
+    * broadcastable. */
+  private def centroidsLong(spark: SparkSession, cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    (for {
+      i <- 0 until cb.m
+      j <- cb.subs(i).cells.indices
+    } yield (i, cb.subs(i).cells(j).toInt, cb.subs(i).vecs(j).toSeq,
+        cb.subs(i).norms(j) * cb.subs(i).norms(j)))
+      .toDF("sub", "code", "cvec", "cn2")
+  }
+
+  /** ADC approximate top-k by cosine: score(q, x) ≈
+    * Σ_i dot(q_i, c_{i,code_i(x)}) / (|q| · |x̂|), with |x̂|² = Σ_i |c|²
+    * read off the same lookup rows — the reconstruction is never
+    * materialized. Corpus side: encode (map) → posexplode of the m-int
+    * code (ids only) → broadcast-join the per-query LUT (queries × m·k
+    * dot products) → partial-agg sum of the m parts. Self-pairs excluded;
+    * ties break on neighbor id; zero norms rank last (null score).
+    *
+    * `rerank` > 0 switches to the production two-stage shape: take the
+    * ADC top-`rerank` candidates per query, score exactly ONLY those
+    * against the float corpus, return the exact top-k (column `cos`).
+    * With rerank = 0 the ADC score itself is returned (column `adc`). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
+              rerank: Int = 0, vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroidsLong(spark, cb)
+    val expl = encode(corpus, cb, vecCol)
+      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
+    val lut = qn.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("code"),
+        Similarity.dot(
+          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("cvec")).as("_d"),
+        col("cn2"), col("_qn"))
+    val scored = expl.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("_d")).as("_sd"), sum(col("cn2")).as("_rn2"),
+        first(col("_qn")).as("_qn"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosFromDot(col("_sd"), sqrt(col("_rn2")), col("_qn"))
+          .as("_adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("_adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
+    } else {
+      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      val cand = scored.withColumn("_r", row_number().over(w))
+        .where(col("_r") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
+      val exact = cand
+        .join(qn, "query_id").join(c, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
+            col("_qn"), col("_cn")), 6).as("cos"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  /** Persistent PQ code store: train + encode ONCE, persist only
+    * (id, pq_code) — the [[Quantization.int8CodeStore]] contract at 64×
+    * compression (store key = [[CodeStoreVersion]] + source listing). */
+  def pqCodeStore(spark: SparkSession, embeddings: DataFrame,
+                  sourcePath: String, tag: String,
+                  storeRoot: Option[String] = None, m: Int = 8, k: Int = 16,
+                  vecCol: String = "embedding",
+                  idCols: Seq[String] = Seq("vec_id")): DataFrame =
+    FingerprintStore.getOrBuild(spark, sourcePath, tag,
+      s"$CodeStoreVersion-m$m-k$k", storeRoot)(
+      encode(embeddings, train(embeddings, m, k, vecCol = vecCol), vecCol)
+        .select((idCols :+ "pq_code").map(col): _*))
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook shape/determinism, encode semantics,
+  * ADC + rerank behavior, and the persisted code store round-trip. The
+  * cross-engine arithmetic parity is gated by the embed_pq_encode /
+  * sim_pq_* oracle rows; these tests pin the operator-level contract. */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  // dim 8, m=4 → subDim 2; two tight clusters per subspace so one Lloyd
+  // iteration is stable
+  private def corpus = Seq(
+    (0L, Array(1.0f, 0.1f, 0.9f, 0.0f, 1.0f, 0.0f, 0.5f, 0.5f)),
+    (1L, Array(0.1f, 1.0f, 0.0f, 0.9f, 0.0f, 1.0f, 0.5f, 0.4f)),
+    (2L, Array(0.9f, 0.2f, 1.0f, 0.1f, 0.9f, 0.1f, 0.6f, 0.5f)),
+    (3L, Array(0.2f, 0.9f, 0.1f, 1.0f, 0.1f, 0.9f, 0.4f, 0.5f)),
+    (4L, Array(1.0f, 0.1f, 0.9f, 0.0f, 1.0f, 0.0f, 0.5f, 0.5f)), // dup of 0
+    (5L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f))) // zero vec
+    .toDF("vec_id", "embedding")
+
+  test("train: m codebooks of subDim-wide centroids, cells ascending, " +
+    "deterministic across runs") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    assert(cb.m == 4 && cb.subDim == 2 && cb.subs.length == 4)
+    for (b <- cb.subs) {
+      assert(b.cells.sameElements(b.cells.sorted))
+      assert(b.cells.forall(c => c >= 0 && c < 2)) // seed ids survive Lloyd
+      assert(b.vecs.forall(_.length == 2))
+      assert(b.cells.length == b.vecs.length && b.cells.length == b.norms.length)
+    }
+    val cb2 = ProductQuantization.train(corpus, m = 4, k = 2)
+    for ((a, b) <- cb.subs.zip(cb2.subs)) {
+      assert(a.cells.sameElements(b.cells))
+      assert(a.vecs.zip(b.vecs).forall { case (x, y) => x.sameElements(y) })
+    }
+  }
+
+  test("encode: m codes per row, codes come from the codebook cells, " +
+    "identical vectors get identical codes") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val codes = ProductQuantization.encode(corpus, cb)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 6 && codes.values.forall(_.length == 4))
+    for ((sub, i) <- cb.subs.zipWithIndex; c <- codes.values)
+      assert(sub.cells.contains(c(i).toLong), s"code ${c(i)} not a cell of subspace $i")
+    assert(codes(0L) == codes(4L)) // bitwise-identical vectors
+  }
+
+  test("adcTopK(rerank): the cosines it reports are the exact brute-force " +
+    "cosines for those pairs; rerank < k rejected") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val nonzero = corpus.where(col("vec_id") < 5)
+    val q = nonzero.where(col("vec_id") < 2)
+    val rr = ProductQuantization.adcTopK(nonzero, q, 2, cb, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // bruteForceTopK emits (query_id, neighbor_id, cos, rank)
+    val exact = Similarity.bruteForceTopK(nonzero, q, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rr.nonEmpty)
+    for ((pair, cos) <- rr) assert(exact(pair) == cos, s"rerank cos drifted on $pair")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.adcTopK(nonzero, q, 5, cb, rerank = 2)
+    }
+  }
+
+  test("adcTopK: duplicate pair ranks top-1 for raw ADC; a zero-norm " +
+    "query emits rows with null score instead of crashing") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val adc = ProductQuantization.adcTopK(
+      corpus, corpus.where(col("vec_id") === 0L || col("vec_id") === 5L),
+      2, cb).collect()
+    val top0 = adc.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(top0.getLong(2) == 4L, "duplicate of query 0 is not ADC top-1")
+    val zeroRows = adc.filter(_.getLong(0) == 5L)
+    assert(zeroRows.nonEmpty && zeroRows.forall(_.isNullAt(3)))
+  }
+
+  test("train rejects a dimension not divisible by m") {
+    intercept[IllegalArgumentException] {
+      ProductQuantization.train(corpus, m = 3, k = 2)
+    }
+  }
+
+  test("pqCodeStore: build-once/read-many round trip is stable and " +
+    "reuses the published store") {
+    val src = tmpDir("pq-src") + "/embeddings.parquet"
+    corpus.write.parquet(src)
+    val emb = spark.read.parquet(src)
+    val root = tmpDir("pq-store")
+    def read() = ProductQuantization
+      .pqCodeStore(spark, emb, src, "t", Some(root), m = 4, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val first = read()
+    val again = read()
+    assert(first == again && first.size == 6)
+    val stores = new java.io.File(root).listFiles()
+    assert(stores != null && stores.exists(_.getName.contains("v1-pq-cos")))
+  }
+}

@@ -120,6 +120,24 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("PQ encode is map-only (no Exchange) and ADC joins broadcast — " +
+    "the corpus side never sort-merge-joins or cartesians") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64))
+    val enc = graft.ops.ProductQuantization.encode(emb, cb)
+      .queryExecution.executedPlan.toString
+    assert(!enc.contains("Exchange"),
+      "PQ encode shuffles: the storage path must stay map-only")
+    val adc = graft.ops.ProductQuantization
+      .adcTopK(emb, emb.where(col("vec_id") < 5), 3, cb)
+      .queryExecution.executedPlan.toString
+    assert(adc.contains("BroadcastHashJoin"),
+      "ADC lost the broadcast LUT join")
+    assert(!adc.contains("SortMergeJoin") && !adc.contains("CartesianProduct"),
+      "ADC corpus side must never sort-merge-join or cartesian")
+  }
+
   test("vecMean plans as ObjectHashAggregate (TypedImperativeAggregate " +
     "buffer), not a SortAggregate fallback") {
     import org.apache.spark.sql.functions.col
