@@ -33,6 +33,18 @@ object PqSweep {
       val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
       println(f"m=$m%-3d k=$k%-3d rerank=$rerank%-3d recall@5 = ${hit.toDouble / nExact}%.3f")
     }
+    // the composed IVF-PQ path: coarse cells bound candidates, ADC ranks
+    for {
+      nProbe <- Seq(4, 6)
+      rerank <- Seq(0, 50)
+    } {
+      val cb = graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64))
+      val approx = graft.ops.ProductQuantization
+        .ivfPqTopK(emb, q, 5, cb, nLists = 16, nProbe = nProbe, rerank = rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+      println(f"ivfpq nProbe=$nProbe%-2d rerank=$rerank%-3d recall@5 = ${hit.toDouble / nExact}%.3f")
+    }
     spark.stop()
   }
 }

@@ -1602,6 +1602,38 @@ object SparkEntry {
       annRecall(s, dir, (c, q) =>
         graft.ops.ProductQuantization.adcTopK(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
+          rerank = 50))),
+    // The managed PQ path: codebooks AND codes come from the
+    // fingerprinted pqStore (write-once parquet pair — the production
+    // artifacts), search runs entirely from stored state; the float
+    // corpus feeds only the query side. Same oracle as sim_pq_adc: a
+    // stored codebook is bit-indistinguishable from a fresh one.
+    "sim_pq_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (codes, cb) = graft.ops.ProductQuantization.pqStore(
+        s, emb, s"$dir/embeddings.parquet", "registry")
+      graft.ops.ProductQuantization.adcSearch(codes, cb,
+        emb.where(col("vec_id") < 20), 5)
+    }),
+    // The composed FAISS architecture: IVF coarse cells bound each
+    // query's candidates (same chain/dials as sim_ann_ivf), ADC over the
+    // PQ codes scores only those — per query O(n·nProbe/nLists · m)
+    // int lookups, 16 B/vector. Full top-5 hash-compares against the
+    // two chains composed in SQL.
+    "sim_ann_ivf_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.ivfPqTopK(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    // IVFPQ + exact refine (rerank=50): the production pipeline, holding
+    // the standard 0.8 bar (PqSweep-measured 0.82 / 0.91 at
+    // sf0.01 / sf0.1 — the cell restriction costs ~nothing once the
+    // refine stage reorders).
+    "sim_ann_ivf_pq_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqTopK(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
           rerank = 50)))
   )
 
@@ -1721,7 +1753,8 @@ object SparkEntry {
     * consumes (`cl` codes, `ctl` centroid lookup with |c|², `ql` query
     * slices) and the full-vector `nrm` the recall tails need. Mirrors
     * [[graft.ops.ProductQuantization]] digit-for-digit. */
-  private def pqChains(m: Int, k: Int, subDim: Int): String = {
+  private def pqChains(m: Int, k: Int, subDim: Int,
+                       includeNrm: Boolean = true): String = {
     val per = (0 until m).map { i =>
       val lo = i * subDim + 1
       val hi = (i + 1) * subDim
@@ -1776,18 +1809,21 @@ object SparkEntry {
     val ql = (0 until m)
       .map(i => s"SELECT $i AS sub, vec_id AS query_id, e FROM s$i WHERE vec_id < 20")
       .mkString("\n  UNION ALL ")
+    val nrm = if (includeNrm)
+      s""", nrm AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS n
+         |  FROM embeddings
+         |)""".stripMargin
+    else ""
     s"""$per, cl AS (
        |  $cl
        |), ctl AS (
        |  $ctl
        |), ql AS (
        |  $ql
-       |), nrm AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                          CAST(embedding AS DOUBLE[]))) AS n
-       |  FROM embeddings
-       |)""".stripMargin
+       |)""".stripMargin + nrm
   }
 
   /** ADC scoring tail over [[pqChains]]' CTEs, ending in
@@ -1815,12 +1851,13 @@ object SparkEntry {
       |  FROM adc
       |)""".stripMargin
 
-  /** Exact-rerank tail: ADC top-`rerank` candidates rescored exactly
-    * (rounded cosine, ties by neighbor id), ending in `rranked` — the
-    * `rerank > 0` branch of `ProductQuantization.adcTopK`. */
-  private def pqRerankTail(rerank: Int): String =
+  /** Exact-rerank tail: ADC top-`rerank` candidates (from the `src`
+    * ranking CTE) rescored exactly (rounded cosine, ties by neighbor
+    * id), ending in `rranked` — the `rerank > 0` branch of
+    * `ProductQuantization.adcTopK` / `ivfPqTopK`. */
+  private def pqRerankTail(rerank: Int, src: String = "ranked"): String =
     s""", cand AS (
-       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $rerank
+       |  SELECT query_id, neighbor_id FROM $src WHERE rank <= $rerank
        |), rr AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
@@ -1837,6 +1874,38 @@ object SparkEntry {
        |)""".stripMargin
 
   private val PqChain = pqChains(16, 32, 4)
+
+  /** ADC-within-probed-cells tail over IvfChain's `probes`/`assigned`
+    * plus the (nrm-free) PQ chains — `ProductQuantization.ivfPqTopK` in
+    * SQL, ending in `pranked` (names prefixed: IvfChain already owns
+    * `scored`/`ranked`). */
+  private val IvfPqTail: String =
+    """, pcand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |), pparts AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |    list_dot_product(CAST(q.e AS DOUBLE[]),
+      |                     CAST(t.cvec AS DOUBLE[])) AS dd,
+      |    t.cn2
+      |  FROM pcand d
+      |  JOIN cl c ON c.vec_id = d.neighbor_id
+      |  JOIN ctl t ON t.sub = c.sub AND t.code = c.code
+      |  JOIN ql q ON q.sub = c.sub AND q.query_id = d.query_id
+      |), psc AS (
+      |  SELECT query_id, neighbor_id, sum(dd) AS sd, sum(cn2) AS rn2
+      |  FROM pparts GROUP BY 1, 2
+      |), padc AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    s.sd / nullif(sqrt(s.rn2) * q.n, 0) AS a
+      |  FROM psc s JOIN nrm q ON q.vec_id = s.query_id
+      |), pranked AS (
+      |  SELECT query_id, neighbor_id, a,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY a DESC, neighbor_id) AS rank
+      |  FROM padc
+      |)""".stripMargin
 
   /** SemDeDup keep-list tail over an IvfChain's `assigned`/`nrm` CTEs:
     * a vector is dropped iff a lower-id vector in its cell scores cosine
@@ -2235,7 +2304,25 @@ object SparkEntry {
 
     // PQ-scan + exact-refine, the production shape, at the standard bar.
     "sim_pq_rerank_recall" -> ("WITH " + PqChain + PqAdcTail +
-      pqRerankTail(50) + recallTail(0.8, "rranked"))
+      pqRerankTail(50) + recallTail(0.8, "rranked")),
+
+    // Managed = stored codebooks/codes, which are bit-identical to a
+    // fresh train+encode — the oracle is sim_pq_adc's verbatim.
+    "sim_pq_managed" -> ("WITH " + PqChain + PqAdcTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // IVF coarse chain + nrm-free PQ chains + ADC-within-cells tail.
+    "sim_ann_ivf_pq" -> ("WITH " + IvfChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_pq_recall" -> ("WITH " + IvfChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      pqRerankTail(50, "pranked") + recallTail(0.8, "rranked"))
   )
 
   // ------------------------------------------------------ multimodal family

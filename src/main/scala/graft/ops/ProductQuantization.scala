@@ -157,10 +157,24 @@ object ProductQuantization {
     * against the float corpus, return the exact top-k (column `cos`).
     * With rerank = 0 the ADC score itself is returned (column `adc`). */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
-              rerank: Int = 0, vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+              rerank: Int = 0, vecCol: String = "embedding"): DataFrame =
+    adcSearch(encode(corpus, cb, vecCol).select(col("vec_id"), col("pq_code")),
+      cb, queries, k, rerank,
+      rerankCorpus = if (rerank > 0) Some(corpus) else None, vecCol = vecCol)
+
+  /** [[adcTopK]] over PRE-BUILT codes — the managed path: `codes` is
+    * (vec_id, pq_code) (e.g. read from [[pqStore]]), so the float corpus
+    * is touched only by the optional exact-rerank stage
+    * (`rerankCorpus`, required when `rerank > 0` — at scale that stage
+    * reads `rerank` vectors per query, not the corpus). */
+  def adcSearch(codes: DataFrame, cb: Codebooks, queries: DataFrame, k: Int,
+                rerank: Int = 0, rerankCorpus: Option[DataFrame] = None,
+                vecCol: String = "embedding"): DataFrame = {
+    require(rerank <= 0 || rerankCorpus.nonEmpty,
+      "rerank > 0 needs rerankCorpus (the float vectors to rescore)")
+    val spark = codes.sparkSession
     val cents = centroidsLong(spark, cb)
-    val expl = encode(corpus, cb, vecCol)
+    val expl = codes
       .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
     val qn = queries.select(col("vec_id").as("query_id"),
       col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
@@ -178,6 +192,18 @@ object ProductQuantization {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.cosFromDot(col("_sd"), sqrt(col("_rn2")), col("_qn"))
           .as("_adc"))
+    finishAdc(scored, qn, k, rerank, rerankCorpus, vecCol)
+  }
+
+  /** Shared ADC tail: rank `scored(query_id, neighbor_id, _adc)` per
+    * query (UNROUNDED score desc, neighbor id asc) and emit the top-k
+    * `adc` — or, with `rerank > 0`, rescore the ADC top-`rerank`
+    * candidates exactly against `rerankCorpus` (reads `rerank` float
+    * vectors per query, never the corpus) and emit the exact top-k
+    * `cos`, re-ranked on the ROUNDED cosine. */
+  private def finishAdc(scored: DataFrame, qn: DataFrame, k: Int,
+                        rerank: Int, rerankCorpus: Option[DataFrame],
+                        vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id"))
     if (rerank <= 0) {
@@ -191,7 +217,7 @@ object ProductQuantization {
       val cand = scored.withColumn("_r", row_number().over(w))
         .where(col("_r") <= rerank)
         .select(col("query_id"), col("neighbor_id"))
-      val c = corpus.select(col("vec_id").as("neighbor_id"),
+      val c = rerankCorpus.get.select(col("vec_id").as("neighbor_id"),
         col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
       val exact = cand
         .join(qn, "query_id").join(c, "neighbor_id")
@@ -207,16 +233,121 @@ object ProductQuantization {
     }
   }
 
-  /** Persistent PQ code store: train + encode ONCE, persist only
-    * (id, pq_code) — the [[Quantization.int8CodeStore]] contract at 64×
-    * compression (store key = [[CodeStoreVersion]] + source listing). */
+  /** IVF-PQ — the composed FAISS shape: the IVF coarse quantizer
+    * ([[Similarity.seedCentroids]] + Lloyd refinement, identical chain to
+    * [[Similarity.ivfTopK]]) bounds each query's candidate set to its
+    * `nProbe` nearest cells, and ADC over the PQ codes scores ONLY those
+    * candidates — per query O(n·nProbe/nLists · m) int-keyed lookups
+    * instead of an exhaustive code scan, reading 16 B/vector instead of
+    * 256 B. `rerank > 0` adds the exact-refine stage on the float
+    * vectors of the surviving candidates (the IVFPQ+refine production
+    * pipeline).
+    *
+    * Plan shape: corpus assigned map-only (NearestCentroid kernel), the
+    * candidate join is cell-equi (probes × assigned — the standard IVF
+    * join), the code rows join candidates on neighbor id, and the
+    * per-query LUT joins on (query, sub, code); one partial-agg shuffle
+    * sums the m parts. Never all-pairs, never a corpus-side cartesian. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                cb: Codebooks, nLists: Int = 16, nProbe: Int = 4,
+                lloydIters: Int = 1, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val local = Similarity.collectCentroids(
+      (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
+        (c, _) => Similarity.refineCentroids(corpus, c)
+      })
+    val assigned = Similarity.assignCells(
+      corpus.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("_n")), local)
+      .select(col("vec_id"), col("cell"))
+    val cent = Similarity.centroidsDf(spark, local)
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("cell"))
+    val probes = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        Similarity.cosFromDot(Similarity.dot(col("_qe"), col("cvec")),
+          col("_qn"), col("cn")).as("_sim"),
+        col("cell"))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val expl = encode(corpus, cb)
+      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+    val cents = centroidsLong(spark, cb)
+    val lut = qn.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("code"),
+        Similarity.dot(
+          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("cvec")).as("_d"),
+        col("cn2"), col("_qn"))
+    val scored = cand.join(expl, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("_d")).as("_sd"), sum(col("cn2")).as("_rn2"),
+        first(col("_qn")).as("_qn"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosFromDot(col("_sd"), sqrt(col("_rn2")), col("_qn"))
+          .as("_adc"))
+    finishAdc(scored, qn, k, rerank,
+      if (rerank > 0) Some(corpus) else None, "embedding")
+  }
+
+  /** Persistent PQ store: train + encode ONCE, persist TWO artifacts
+    * under the [[FingerprintStore]] contract (version-keyed by scheme +
+    * dials, staleness by source listing, atomic publish) — the codebooks
+    * as long-form (sub, cell, cvec) rows and the codes as
+    * (id, pq_code). Returns (codes, codebooks) so a caller can run
+    * [[adcSearch]] without ever re-reading the float corpus: on a warm
+    * store this costs one m·k-row collect plus the codes scan.
+    *
+    * Build order matters: books first (one [[train]]), then codes encode
+    * with THOSE books — a cold store trains exactly once. Norms are
+    * recomputed on read with the same in-order driver fold [[train]]
+    * uses; float parquet round-trips bit-exactly, so a stored codebook is
+    * indistinguishable from a fresh one. */
+  def pqStore(spark: SparkSession, embeddings: DataFrame,
+              sourcePath: String, tag: String,
+              storeRoot: Option[String] = None, m: Int = 16, k: Int = 32,
+              vecCol: String = "embedding",
+              idCols: Seq[String] = Seq("vec_id")): (DataFrame, Codebooks) = {
+    import spark.implicits._
+    val version = s"$CodeStoreVersion-m$m-k$k"
+    val booksDf = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-books", version, storeRoot) {
+      val cb = train(embeddings, m, k, vecCol = vecCol)
+      (for {
+        i <- 0 until m
+        j <- cb.subs(i).cells.indices
+      } yield (i, cb.subs(i).cells(j), cb.subs(i).vecs(j).toSeq))
+        .toDF("sub", "cell", "cvec")
+    }
+    val rows = booksDf.select(col("sub"), col("cell"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val subDim = rows.head._3.length
+    val cb = Codebooks(m, subDim, k, (0 until m).map { i =>
+      val sub = rows.filter(_._1 == i).sortBy(_._2)
+      val vecs = sub.map(_._3)
+      Similarity.LocalCentroids(sub.map(_._2), vecs,
+        vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+    })
+    val codes = FingerprintStore.getOrBuild(spark, sourcePath, tag, version,
+      storeRoot)(
+      encode(embeddings, cb, vecCol).select((idCols :+ "pq_code").map(col): _*))
+    (codes, cb)
+  }
+
+  /** Code-only view of [[pqStore]] (the [[Quantization.int8CodeStore]]
+    * signature twin). */
   def pqCodeStore(spark: SparkSession, embeddings: DataFrame,
                   sourcePath: String, tag: String,
                   storeRoot: Option[String] = None, m: Int = 8, k: Int = 16,
                   vecCol: String = "embedding",
                   idCols: Seq[String] = Seq("vec_id")): DataFrame =
-    FingerprintStore.getOrBuild(spark, sourcePath, tag,
-      s"$CodeStoreVersion-m$m-k$k", storeRoot)(
-      encode(embeddings, train(embeddings, m, k, vecCol = vecCol), vecCol)
-        .select((idCols :+ "pq_code").map(col): _*))
+    pqStore(spark, embeddings, sourcePath, tag, storeRoot, m, k, vecCol,
+      idCols)._1
 }

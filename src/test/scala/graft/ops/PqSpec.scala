@@ -79,9 +79,57 @@ class PqSpec extends SparkSuite {
     assert(zeroRows.nonEmpty && zeroRows.forall(_.isNullAt(3)))
   }
 
+  test("ivfPqTopK: probing every cell with full rerank IS exact search; " +
+    "fewer probes yield a subset of the candidate pairs") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val nonzero = corpus.where(col("vec_id") < 5)
+    val q = nonzero.where(col("vec_id") < 2)
+    def pairsOf(nProbe: Int) = ProductQuantization
+      .ivfPqTopK(nonzero, q, 4, cb, nLists = 2, nProbe = nProbe, rerank = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1), r.getDouble(3)))
+    val full = pairsOf(2)
+    val one = pairsOf(1)
+    assert(one.map(_._1).toSet.subsetOf(full.map(_._1).toSet),
+      "nProbe=1 found a pair nProbe=2 did not")
+    // bruteForceTopK emits (query_id, neighbor_id, cos, rank)
+    val bf = Similarity.bruteForceTopK(nonzero, q, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getDouble(2)))
+    assert(full.sortBy(_._1) sameElements bf.sortBy(_._1),
+      "all-cells + full-rerank IVFPQ must equal exact brute force")
+  }
+
   test("train rejects a dimension not divisible by m") {
     intercept[IllegalArgumentException] {
       ProductQuantization.train(corpus, m = 3, k = 2)
+    }
+  }
+
+  test("pqStore + adcSearch: stored codebooks/codes search identically " +
+    "to a fresh train+encode, without re-reading the float corpus") {
+    val src = tmpDir("pq-managed-src") + "/embeddings.parquet"
+    corpus.write.parquet(src)
+    val emb = spark.read.parquet(src)
+    val root = tmpDir("pq-managed-store")
+    val q = emb.where(col("vec_id") < 2)
+    val fresh = ProductQuantization
+      .adcTopK(emb, q, 2, ProductQuantization.train(emb, m = 4, k = 2))
+      .collect().map(_.toSeq).toSeq
+    // second call serves both artifacts from the published store
+    for (_ <- 1 to 2) {
+      val (codes, cb) = ProductQuantization.pqStore(
+        spark, emb, src, "t", Some(root), m = 4, k = 2)
+      val managed = ProductQuantization.adcSearch(codes, cb, q, 2)
+        .collect().map(_.toSeq).toSeq
+      assert(managed == fresh)
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("graft_sigstore_t")) == 2,
+      s"expected the books + codes artifact pair, got ${names.mkString(", ")}")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.adcSearch(
+        ProductQuantization.encode(emb,
+          ProductQuantization.train(emb, m = 4, k = 2)),
+        ProductQuantization.train(emb, m = 4, k = 2), q, 2, rerank = 3)
     }
   }
 

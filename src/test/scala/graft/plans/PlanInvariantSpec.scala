@@ -136,6 +136,11 @@ class PlanInvariantSpec extends SparkSuite {
       "ADC lost the broadcast LUT join")
     assert(!adc.contains("SortMergeJoin") && !adc.contains("CartesianProduct"),
       "ADC corpus side must never sort-merge-join or cartesian")
+    val ivfpq = graft.ops.ProductQuantization
+      .ivfPqTopK(emb, emb.where(col("vec_id") < 5), 3, cb)
+      .queryExecution.executedPlan.toString
+    assert(!ivfpq.contains("CartesianProduct"),
+      "IVF-PQ planned a cartesian — the cell/code joins must stay equi")
   }
 
   test("vecMean plans as ObjectHashAggregate (TypedImperativeAggregate " +
