@@ -33,17 +33,28 @@ object PqSweep {
       val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
       println(f"m=$m%-3d k=$k%-3d rerank=$rerank%-3d recall@5 = ${hit.toDouble / nExact}%.3f")
     }
-    // the composed IVF-PQ path: coarse cells bound candidates, ADC ranks
-    for {
-      nProbe <- Seq(4, 6)
-      rerank <- Seq(0, 50)
-    } {
+    // the composed IVF-PQ path: coarse cells bound candidates, ADC ranks.
+    // With args: `PqSweep <nLists> <nProbe> <rerank>` measures ONE
+    // explicit dial point with median-of-3 wall time — the scale-probe
+    // instrument (e.g. nLists=ceil(sqrt(n)) at the 100x corpus).
+    val dials: Seq[(Int, Int, Int)] =
+      if (args.length == 3) Seq((args(0).toInt, args(1).toInt, args(2).toInt))
+      else Seq((16, 4, 0), (16, 4, 50), (16, 6, 0), (16, 6, 50))
+    for ((nLists, nProbe, rerank) <- dials) {
       val cb = graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64))
-      val approx = graft.ops.ProductQuantization
-        .ivfPqTopK(emb, q, 5, cb, nLists = 16, nProbe = nProbe, rerank = rerank)
+      def run() = graft.ops.ProductQuantization
+        .ivfPqTopK(emb, q, 5, cb, nLists = nLists, nProbe = nProbe,
+          rerank = rerank)
         .select(col("query_id"), col("neighbor_id"))
-      val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
-      println(f"ivfpq nProbe=$nProbe%-2d rerank=$rerank%-3d recall@5 = ${hit.toDouble / nExact}%.3f")
+      val hit = exact.join(run(), Seq("query_id", "neighbor_id")).count()
+      val times = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        run().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"ivfpq nLists=$nLists%-4d nProbe=$nProbe%-3d rerank=$rerank%-3d " +
+        f"recall@5 = ${hit.toDouble / nExact}%.3f  median ${times.sorted.apply(1)}%.2f s")
     }
     spark.stop()
   }

@@ -1634,6 +1634,24 @@ object SparkEntry {
       annRecall(s, dir, (c, q) =>
         graft.ops.ProductQuantization.ivfPqTopK(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
+          rerank = 50))),
+    // IVFPQ with BOTH dials scale-aware (nLists = sqrt-n, nProbe =
+    // sqrt-nLists — the 100× probe's winning point: fixed 16/4 ran
+    // SLOWER than a full ADC scan at n=200k, sqrt-n cells 40% faster at
+    // recall 1.0). nLists and nProbe are recomputed from count(*) inside
+    // the oracle, so the turned dials hash-compare end-to-end.
+    "sim_ann_ivf_pq_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.ivfPqTopKAuto(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    // ... and its production recall gate (exact refine of 50 candidates):
+    // 0.94 / 0.97 at sf0.01 / sf0.1, standard 0.8 bar.
+    "sim_ann_ivf_pq_auto_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqTopKAuto(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
           rerank = 50)))
   )
 
@@ -1711,6 +1729,14 @@ object SparkEntry {
     "greatest(16, CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))"
 
   private val AutoIvfChain = ivfChain(AutoNListsSql)
+
+  /** nProbe = max(4, ⌈√nLists⌉) — `ProductQuantization.ivfPqTopKAuto`'s
+    * second dial, recomputed symbolically. */
+  private val AutoNProbeSql =
+    s"greatest(4, CAST(ceil(sqrt(CAST(($AutoNListsSql) AS DOUBLE))) AS BIGINT))"
+
+  private val AutoIvfPqChain =
+    ivfChain(AutoNListsSql, "embeddings", AutoNProbeSql)
 
   /** Recall-gate tail over `ranked`/`nrm` CTEs: recall@5 of an
     * approximate top-5 (read from `src`, default the `ranked` CTE)
@@ -1927,7 +1953,8 @@ object SparkEntry {
       |ORDER BY a.vec_id""".stripMargin
 
   private def ivfChain(nListsSql: String,
-                       table: String = "embeddings"): String =
+                       table: String = "embeddings",
+                       nProbeSql: String = "4"): String =
     s"""nrm AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1979,7 +2006,7 @@ object SparkEntry {
         |        c.cell) AS rn
         |    FROM nrm v CROSS JOIN cent_n c
         |    WHERE v.vec_id < 20) t
-        |  WHERE rn <= 4
+        |  WHERE rn <= ($nProbeSql)
         |), scored AS (
         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
         |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
@@ -2321,6 +2348,18 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     "sim_ann_ivf_pq_recall" -> ("WITH " + IvfChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
+
+    // Auto dials recomputed in SQL: nLists from count(*), nProbe from
+    // sqrt(nLists) — the composed chains otherwise identical.
+    "sim_ann_ivf_pq_auto" -> ("WITH " + AutoIvfPqChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_pq_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
       pqRerankTail(50, "pranked") + recallTail(0.8, "rranked"))
   )

@@ -297,6 +297,23 @@ object ProductQuantization {
       if (rerank > 0) Some(corpus) else None, "embedding")
   }
 
+  /** [[ivfPqTopK]] with scale-aware dials: nLists = [[Similarity.autoNLists]]
+    * (≈ √n — the round-11 lesson: a FIXED nLists makes in-cell candidate
+    * work grow super-linearly, and the 100× IVFPQ probe repeats it: fixed
+    * 16/4 ran 84 s at n=200k, SLOWER than the 71 s full ADC scan, while
+    * √n cells ran 50 s at recall@5 = 1.0) and nProbe = max(4, ⌈√nLists⌉)
+    * (keeps the probed-candidate fraction ≈ 1/√nLists as both dials
+    * grow). Same `corpusRows` hint contract as [[Similarity.ivfTopKAuto]]:
+    * pass it for a derived corpus so construction doesn't execute the
+    * subplan once extra. */
+  def ivfPqTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                    cb: Codebooks, lloydIters: Int = 1, rerank: Int = 0,
+                    corpusRows: Option[Long] = None): DataFrame = {
+    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    ivfPqTopK(corpus, queries, k, cb, nLists, nProbe, lloydIters, rerank)
+  }
+
   /** Persistent PQ store: train + encode ONCE, persist TWO artifacts
     * under the [[FingerprintStore]] contract (version-keyed by scheme +
     * dials, staleness by source listing, atomic publish) — the codebooks
