@@ -1652,7 +1652,36 @@ object SparkEntry {
       annRecall(s, dir, (c, q) =>
         graft.ops.ProductQuantization.ivfPqTopKAuto(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
-          rerank = 50)))
+          rerank = 50))),
+    // The roughest storage tier: 1-bit sign codes, one LONG per 64-dim
+    // vector (32× vs float32). The code is a plain sortable integer —
+    // compared directly, no digest needed.
+    "embed_binarize" -> ((s, dir) =>
+      graft.ops.Quantization.binarize(
+        s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), col("bcode")).orderBy("vec_id")),
+    // Hamming search over the sign codes: xor + popcount per pair,
+    // integers end to end — bit-deterministic ranking (no float ties,
+    // no sum-order noise anywhere in this row).
+    "sim_hamming_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Quantization.hammingTopK(
+        emb, emb.where(col("vec_id") < 20), 5)
+    }),
+    // Raw sign-bit recall floor: 0.24 / 0.13 at sf0.01 / sf0.1 — 1
+    // bit/dim is the coarsest candidate generator in the ladder, and the
+    // 0.1 bar pins only the regression floor (broken codes ≈ 0.01).
+    "sim_hamming_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.Quantization.hammingTopK(c, q, 5), bar = 0.1)),
+    // Binary-prefilter + exact-refine (Hamming top-200 → cosine top-5):
+    // the production use of sign codes — a FIXED 200-candidate refine per
+    // query regardless of corpus size (0.97 / 0.86 ≥ 0.8 measured; the
+    // budget, not the corpus, bounds the refine cost at 100 TB).
+    "sim_hamming_rerank_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.Quantization.hammingTopK(c, q, 5, rerank = 200),
+        bar = 0.8))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1900,6 +1929,44 @@ object SparkEntry {
        |)""".stripMargin
 
   private val PqChain = pqChains(16, 32, 4)
+
+  /** Sign-bit binarization chain: the 64 per-dimension masks are embedded
+    * as literals (bit 63 is Long.MinValue — no shift is ever evaluated on
+    * either engine), folded with bit_or. Ends in `codes(vec_id, bcode)`
+    * plus the full-vector `nrm` the recall tails need. Mirrors
+    * [[graft.ops.Quantization.binarize]] bit for bit. */
+  private val BinChain: String = {
+    val masks = graft.ops.Quantization.signMasks(64)
+      .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+    s"""bm AS (SELECT $masks AS ms),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |    list_aggregate(list_transform(range(1, 65),
+       |      i -> CASE WHEN e.embedding[i] > 0 THEN ms[i]
+       |           ELSE 0::BIGINT END), 'bit_or') AS bcode
+       |  FROM embeddings e, bm
+       |), nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings
+       |)""".stripMargin
+  }
+
+  /** Hamming scoring tail over [[BinChain]]'s `codes`, ending in
+    * `hranked` — integer distance, integer ranking. */
+  private val HammingTail: String =
+    """, hscored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(c.bcode, q.bcode)) AS BIGINT) AS hamming
+      |  FROM codes c JOIN codes q
+      |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+      |), hranked AS (
+      |  SELECT query_id, neighbor_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY hamming, neighbor_id) AS rank
+      |  FROM hscored
+      |)""".stripMargin
 
   /** ADC-within-probed-cells tail over IvfChain's `probes`/`assigned`
     * plus the (nrm-free) PQ chains — `ProductQuantization.ivfPqTopK` in
@@ -2361,7 +2428,22 @@ object SparkEntry {
 
     "sim_ann_ivf_pq_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
-      pqRerankTail(50, "pranked") + recallTail(0.8, "rranked"))
+      pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
+
+    // Sign codes are plain BIGINTs — compared directly, no digest.
+    "embed_binarize" -> ("WITH " + BinChain +
+      "\nSELECT c.vec_id, c.bcode FROM codes c ORDER BY c.vec_id"),
+
+    "sim_hamming_topk" -> ("WITH " + BinChain + HammingTail +
+      """
+        |SELECT query_id, rank, neighbor_id, hamming FROM hranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_hamming_recall" -> ("WITH " + BinChain + HammingTail +
+      recallTail(0.1, "hranked")),
+
+    "sim_hamming_rerank_recall" -> ("WITH " + BinChain + HammingTail +
+      pqRerankTail(200, "hranked") + recallTail(0.8, "rranked"))
   )
 
   // ------------------------------------------------------ multimodal family

@@ -40,6 +40,81 @@ object Quantization {
     df.withColumn(outCol,
       transform(col("qvec"), q => (q.cast("double") * col("scale")).cast("float")))
 
+  /** Per-dimension sign-bit masks: bit i set ⟺ dimension i+1 strictly
+    * positive. Bit 63 is Long.MinValue — embedded as a literal on both
+    * engines so no shift ever overflows. */
+  private[graft] def signMasks(dim: Int): Seq[Long] = {
+    require(dim <= 64, s"binarize packs into one long: dim $dim > 64")
+    (0 until dim).map(1L << _)
+  }
+
+  /** 1-bit sign quantization: pack `sign(x_i) > 0` into ONE long (64-dim
+    * float32 → 8 bytes, 32× smaller; 256× vs the raw doubles a naive
+    * pipeline carries). The roughest tier of the storage ladder
+    * (float → int8 → PQ → binary); search over it is pure integer
+    * Hamming — see [[hammingTopK]]. Map-only: a zip_with against a
+    * literal mask array folded with bit-or, inside whole-stage codegen;
+    * zero-or-negative dimensions (and the all-zero vector) get 0 bits,
+    * deterministically. */
+  def binarize(df: DataFrame, vecCol: String = "embedding", dim: Int = 64,
+               outCol: String = "bcode"): DataFrame = {
+    val masks = org.apache.spark.sql.functions.typedLit(signMasks(dim))
+    df.withColumn(outCol,
+      aggregate(
+        zip_with(col(vecCol), masks,
+          (x, m) => when(x > lit(0f), m).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+  }
+
+  /** Hamming top-k over the 1-bit codes: per pair ONE xor + popcount —
+    * integers end to end, so ranking is bit-deterministic (distance asc,
+    * neighbor id asc; no float ties, no sum-order noise). The query side
+    * broadcasts; the corpus side is a map over (id, one long). With
+    * `rerank > 0`, the Hamming top-`rerank` candidates are rescored with
+    * exact cosine on the float vectors (the binary-prefilter + refine
+    * production shape) and the exact top-k is returned (column `cos`
+    * instead of `hamming`). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 0, vecCol: String = "embedding",
+                  dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = binarize(corpus, vecCol, dim).select(col("vec_id"), col("bcode"))
+    val q = binarize(queries, vecCol, dim)
+      .select(col("vec_id").as("query_id"), col("bcode").as("_qcode"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("bcode").bitwiseXOR(col("_qcode"))).cast("long")
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hamming"))
+        .orderBy("query_id", "rank")
+    } else {
+      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      val cand = scored.withColumn("_r", row_number().over(w))
+        .where(col("_r") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val cf = corpus.select(col("vec_id").as("neighbor_id"),
+        col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
+      val qf = queries.select(col("vec_id").as("query_id"),
+        col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
+      val exact = cand.join(qf, "query_id").join(cf, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
+            col("_qn"), col("_cn")), 6).as("cos"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** Code-scheme version baked into every store directory name. Bump
     * whenever [[quantizeInt8]]'s arithmetic changes (symmetric range,
     * clamp bounds, rounding) — an on-disk store written by an older scheme

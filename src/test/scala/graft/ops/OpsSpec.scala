@@ -609,6 +609,34 @@ class OpsSpec extends SparkSuite {
       List((0L, List(3.0, 2.0, 3.0)), (1L, null)))
   }
 
+  test("sign-bit binarization: bit i set iff dim i+1 strictly positive; " +
+    "Hamming search is exact on the codes and rerank returns exact cosines") {
+    import graft.ops.Quantization
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (1L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)), // dup of 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 1) 1.0f else -1.0f)), // complement
+      (3L, Array.tabulate(64)(i => if (i == 63) 2.0f else 0.0f)),     // only bit 63
+      (4L, Array.fill(64)(0.0f)))                                     // zero vec
+      .toDF("vec_id", "embedding")
+    val codes = Quantization.binarize(vecs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val evenBits = (0 until 64 by 2).map(1L << _).reduce(_ | _)
+    assert(codes(0L) == evenBits && codes(1L) == evenBits)
+    assert(codes(2L) == ~evenBits) // odd dims = complement mask
+    assert(codes(3L) == Long.MinValue) // bit 63 alone
+    assert(codes(4L) == 0L)
+    val top = Quantization.hammingTopK(vecs, vecs.where(col("vec_id") === 0L), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.toList == List((1L, 1L, 0L), (2L, 4L, 32L)),
+      s"expected dup at distance 0 then zero-vec at 32, got ${top.toList}")
+    val rr = Quantization.hammingTopK(vecs, vecs.where(col("vec_id") === 0L),
+      1, rerank = 2).collect()
+    assert(rr.head.getLong(2) == 1L && rr.head.getDouble(3) == 1.0,
+      "rerank must surface the exact-cosine duplicate at cos 1.0")
+  }
+
   test("int8 quantization: codes within [-127,127], per-element " +
     "reconstruction error <= scale/2, zero vectors round-trip exactly") {
     import graft.ops.Quantization

@@ -113,7 +113,9 @@ class PlanInvariantSpec extends SparkSuite {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = graft.ops.Quantization.quantizeInt8(emb)
     val rt = graft.ops.Quantization.dequantizeInt8(q.drop("embedding"))
-    for ((df, name) <- Seq((q, "quantizeInt8"), (rt, "round-trip"))) {
+    val bin = graft.ops.Quantization.binarize(emb)
+    for ((df, name) <- Seq((q, "quantizeInt8"), (rt, "round-trip"),
+        (bin, "binarize"))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"),
         s"$name shuffles: the int8 storage path must stay map-only")
