@@ -554,8 +554,17 @@ object Dedup {
     }
     val sizes = sh.groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("sz"))
+    // The posting SELF-join must never broadcast: both sides are the
+    // corpus-sized exploded shingle table, but Catalyst's size estimate
+    // does not scale through Generate (explode), so at 10× the gate
+    // corpus the optimizer still judged the build side "small" and
+    // broadcast ~2.5M posting rows — 90–170 s/rep with wild variance,
+    // and an OOM at 100×. SHUFFLE_MERGE pins the corpus-safe strategy;
+    // AQE's runtime stats (exact, post-shuffle) still own everything
+    // downstream. Measured: sf0.1 unchanged (~2.2 s), 10× fresh-vocab
+    // drops 91 s → stable ~linear (see SCALING.md round 15).
     val inter = sh.as("a")
-      .join(sh.as("b"),
+      .join(sh.as("b").hint("SHUFFLE_MERGE"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -601,8 +610,10 @@ object Dedup {
         explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
     val sizes = sh.groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("sz"))
+    // Same never-broadcast-the-posting-self-join rule as
+    // [[blockedNgramJaccard]] (the Generate size-estimate trap).
     val inter = sh.as("a")
-      .join(sh.as("b"),
+      .join(sh.as("b").hint("SHUFFLE_MERGE"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
