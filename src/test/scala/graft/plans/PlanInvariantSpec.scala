@@ -38,12 +38,19 @@ class PlanInvariantSpec extends SparkSuite {
   }
 
   test("positive-threshold ngram jaccard and containment never plan a " +
-    "cartesian or broadcast nested loop") {
+    "cartesian or broadcast nested loop, and the posting SELF-join is " +
+    "pinned to a shuffle join (never broadcast)") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
       "dedup_containment")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      // Catalyst's size estimate doesn't scale through Generate, so
+      // without the SHUFFLE_MERGE pin the corpus-sized exploded shingle
+      // table gets broadcast (the round-15 10x-probe finding: 90-170 s
+      // and an OOM path at 100x). The pin must survive refactors.
+      assert(p.contains("SortMergeJoin"),
+        s"$q lost the SHUFFLE_MERGE pin on the posting self-join")
     }
   }
 
