@@ -98,6 +98,43 @@ class PqSpec extends SparkSuite {
       "all-cells + full-rerank IVFPQ must equal exact brute force")
   }
 
+  test("NaN embeddings: every storage tier degrades deterministically " +
+    "and identically to the oracle's NaN ordering — no crash, no " +
+    "engine divergence") {
+    val withNaN = Seq(
+      (0L, Array(1.0f, 0.1f, 0.9f, 0.0f, 1.0f, 0.0f, 0.5f, 0.5f)),
+      (1L, Array(0.1f, 1.0f, 0.0f, 0.9f, 0.0f, 1.0f, 0.5f, 0.4f)),
+      (9L, Array(Float.NaN, 1.0f, 0.0f, 0.9f, 0.0f, 1.0f, 0.5f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    // binarize: Spark SQL (and DuckDB) order NaN GREATER than every
+    // value — unlike Java — so NaN > 0 is true and the bit is SET,
+    // identically on both engines; pure map, no failure
+    val b = Quantization.binarize(withNaN, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((b(9L) & 1L) == 1L)
+    // PQ encode: NaN norms poison every cosine → NULL → kernel's
+    // zero-norm rule (lowest cell); deterministic, no crash
+    val cb = ProductQuantization.train(
+      withNaN.where(col("vec_id") < 2), m = 4, k = 2)
+    val codes = ProductQuantization.encode(withNaN, cb)
+      .select(col("vec_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(9L).head == 0, "NaN subvector must take the lowest cell")
+    // int8: one NaN dimension poisons the whole vector DETERMINISTICALLY
+    // — amax = NaN (NaN orders greatest), every x/scale is NaN, and
+    // least(127, NaN) clamps to 127 on Spark AND DuckDB (both order NaN
+    // above every value), so the code is all-127 with scale NaN on both
+    // engines: ugly but bit-agreeing and loud in the output (scale NaN),
+    // never an engine divergence. Callers clean NaNs upstream.
+    val q = Quantization.quantizeInt8(withNaN)
+      .select(col("vec_id"), col("scale"), col("qvec")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(q(9L)._1.isNaN, "NaN vector must carry a NaN scale (loud)")
+    assert(q(9L)._2.forall(_ == 127), "NaN poisons every code to the clamp")
+    assert(!q(0L)._1.isNaN && q(0L)._2.exists(_ != 127),
+      "clean vectors must be unaffected")
+  }
+
   test("train rejects a dimension not divisible by m") {
     intercept[IllegalArgumentException] {
       ProductQuantization.train(corpus, m = 3, k = 2)
