@@ -956,6 +956,14 @@ object SparkEntry {
       Dedup.blockedContainment(docs(s, dir), 0.01)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
+    // Embedding-level benchmark decontamination (the n-gram
+    // text_decontaminate's semantic twin): drop any corpus vector with
+    // cosine >= 0.8 to the stand-in eval set (vec_id < 20, broadcast;
+    // self-pairs excluded). One row per vector, max_cos hash-compared.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.semanticDecontaminate(emb, emb.where(col("vec_id") < 20), 0.8)
+    }),
     // SemDeDup: IVF-cell-blocked semantic dedup keep-list (drop vectors
     // with a lower-id in-cell neighbor at cosine >= 0.35). Shares the
     // sim_ann_ivf centroid/assignment machinery and its oracle chain.
@@ -1289,6 +1297,26 @@ object SparkEntry {
         |        nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
+
+    // max over the broadcast benchmark scores; keep defaults true when
+    // no comparable neighbor exists (all-NULL cosines)
+    "decontaminate_semantic" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings
+        |), mc AS (
+        |  SELECT c.vec_id,
+        |    max(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) /
+        |        nullif(c.n * b.n, 0)) AS mc
+        |  FROM nrm c JOIN nrm b ON b.vec_id < 20 AND b.vec_id <> c.vec_id
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT vec_id, round(mc, 6) AS max_cos,
+        |  coalesce(mc < 0.8, true) AS keep
+        |FROM mc ORDER BY vec_id""".stripMargin,
 
     // SemDeDup keep-list over the sim_ann_ivf assignment chain: the
     // `assigned` CTE is the identical deterministic cell assignment

@@ -721,6 +721,34 @@ object Dedup {
     (result, () => { assigned.unpersist(); () })
   }
 
+  /** Semantic decontamination: drop corpus vectors whose cosine to ANY
+    * benchmark/eval-set vector reaches `threshold` — the embedding-level
+    * twin of the n-gram [[Curation.decontaminate]] (catches paraphrased
+    * benchmark leakage that shingle overlap misses). One row per corpus
+    * vector: (vec_id, max_cos, keep); a vector with no comparable
+    * benchmark neighbor (zero-norm cosines are NULL) keeps.
+    *
+    * Scale shape: the benchmark set is SMALL by definition (an eval
+    * suite) — broadcast it, score map-side, and take a partial-agg max
+    * per corpus vector; one narrow shuffle of (id, double), never a
+    * corpus×corpus join. Self-pairs are excluded by id so the gate can
+    * use an in-corpus stand-in benchmark. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("_n"))
+    val b = benchmark.select(col("vec_id").as("_bid"),
+      col("embedding").as("_be"), Similarity.norm(col("embedding")).as("_bn"))
+    c.join(broadcast(b), col("vec_id") =!= col("_bid"))
+      .groupBy("vec_id")
+      .agg(max(Similarity.cosFromDot(
+        Similarity.dot(col("embedding"), col("_be")),
+        col("_n"), col("_bn"))).as("_mc"))
+      .select(col("vec_id"), round(col("_mc"), 6).as("max_cos"),
+        coalesce(col("_mc") < threshold, lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold between vectors sharing a
     * `label` block (at scale the block key is an LSH bucket — see
     * [[Similarity.hyperplaneBuckets]]). Cosine is computed as an in-order

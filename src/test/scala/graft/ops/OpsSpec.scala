@@ -262,6 +262,25 @@ class OpsSpec extends SparkSuite {
     assert(pairs == List((0L, 1L))) // blocked: (0,3) not compared despite cos=1
   }
 
+  test("semantic decontamination drops near-benchmark vectors, keeps " +
+    "orthogonal ones, and a zero vector keeps (no comparable neighbor)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // benchmark
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // benchmark
+      (10L, Array(0.99f, 0.05f, 0.0f)), // contaminated (near 0)
+      (11L, Array(0.0f, 0.0f, 1.0f)),   // clean
+      (12L, Array(0.0f, 0.0f, 0.0f)))   // zero vec: all cosines null
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDecontaminate(
+      vecs, vecs.where(col("vec_id") < 2), 0.9).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r.size == 5) // benchmark rows score against each other too
+    assert(!r(10L), "near-benchmark vector must be dropped")
+    assert(r(11L), "orthogonal vector must keep")
+    assert(r(12L), "zero vector has no comparable neighbor and keeps")
+    assert(r(0L) && r(1L), "orthogonal benchmark vectors keep each other")
+  }
+
   test("semantic dedup drops the higher-id in-cell near-duplicate only") {
     // 4 seeds (nLists = 4) spanning three directions; 2 is a near-dup of
     // 1, 4 of 0; 5 sits between clusters below the 0.95 threshold
