@@ -962,7 +962,8 @@ object SparkEntry {
     // self-pairs excluded). One row per vector, max_cos hash-compared.
     "decontaminate_semantic" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Dedup.semanticDecontaminate(emb, emb.where(col("vec_id") < 20), 0.8)
+      Dedup.semanticDecontaminate(emb, emb.where(col("vec_id") < 20), 0.8,
+        excludeSelfIds = true) // in-corpus stand-in benchmark only
     }),
     // SemDeDup: IVF-cell-blocked semantic dedup keep-list (drop vectors
     // with a lower-id in-cell neighbor at cosine >= 0.35). Shares the
@@ -1910,8 +1911,17 @@ object SparkEntry {
   }
 
   /** ADC scoring tail over [[pqChains]]' CTEs, ending in
-    * `ranked(query_id, neighbor_id, a, rank)` — rank by the UNROUNDED
-    * approximate cosine, exactly as `ProductQuantization.adcTopK`. */
+    * `ranked(query_id, neighbor_id, a, rank)` — rank by the approximate
+    * cosine ROUNDED to 6 decimals (the round-before-rank convention:
+    * the ADC score is a 16-part float sum whose addition order differs
+    * between Spark's partial agg and DuckDB's hash agg, so near-ties
+    * must be absorbed before ranking), exactly as
+    * `ProductQuantization.finishAdc`. NaN queries need no special
+    * handling: Spark compares NaN GREATER than any value (so
+    * `cosFromDot`'s `n1*n2 > 0` guard passes and the NaN propagates)
+    * and orders it first under DESC — exactly DuckDB's NaN ordering —
+    * with ties broken by neighbor id on both engines; pinned by
+    * PqSpec's NaN test. */
   private val PqAdcTail: String =
     """, parts AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1930,7 +1940,7 @@ object SparkEntry {
       |), ranked AS (
       |  SELECT query_id, neighbor_id, a,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY a DESC, neighbor_id) AS rank
+      |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
       |  FROM adc
       |)""".stripMargin
 
@@ -2024,7 +2034,7 @@ object SparkEntry {
       |), pranked AS (
       |  SELECT query_id, neighbor_id, a,
       |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY a DESC, neighbor_id) AS rank
+      |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
       |  FROM padc
       |)""".stripMargin
 

@@ -731,15 +731,23 @@ object Dedup {
     * Scale shape: the benchmark set is SMALL by definition (an eval
     * suite) — broadcast it, score map-side, and take a partial-agg max
     * per corpus vector; one narrow shuffle of (id, double), never a
-    * corpus×corpus join. Self-pairs are excluded by id so the gate can
-    * use an in-corpus stand-in benchmark. */
+    * corpus×corpus join.
+    *
+    * `excludeSelfIds` (default OFF) skips pairs whose ids are equal —
+    * ONLY for an in-corpus stand-in benchmark (the oracle gate's setup),
+    * where a vector would otherwise "contaminate" against itself. With a
+    * real external benchmark the id spaces are unrelated: leave it off,
+    * or a corpus vector that happens to share a numeric id with a
+    * benchmark vector silently skips that comparison. */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            excludeSelfIds: Boolean = false): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("_n"))
     val b = benchmark.select(col("vec_id").as("_bid"),
       col("embedding").as("_be"), Similarity.norm(col("embedding")).as("_bn"))
-    c.join(broadcast(b), col("vec_id") =!= col("_bid"))
+    c.join(broadcast(b),
+        if (excludeSelfIds) col("vec_id") =!= col("_bid") else lit(true))
       .groupBy("vec_id")
       .agg(max(Similarity.cosFromDot(
         Similarity.dot(col("embedding"), col("_be")),

@@ -196,16 +196,19 @@ object ProductQuantization {
   }
 
   /** Shared ADC tail: rank `scored(query_id, neighbor_id, _adc)` per
-    * query (UNROUNDED score desc, neighbor id asc) and emit the top-k
-    * `adc` — or, with `rerank > 0`, rescore the ADC top-`rerank`
-    * candidates exactly against `rerankCorpus` (reads `rerank` float
-    * vectors per query, never the corpus) and emit the exact top-k
-    * `cos`, re-ranked on the ROUNDED cosine. */
+    * query (score ROUNDED to 6 decimals desc, neighbor id asc — the
+    * round-before-rank convention every similarity operator uses, so
+    * cross-engine float-sum-order noise on near-ties cannot flip ranks
+    * between Spark's partial-agg order and the oracle's hash-agg order)
+    * and emit the top-k `adc` — or, with `rerank > 0`, rescore the ADC
+    * top-`rerank` candidates exactly against `rerankCorpus` (reads
+    * `rerank` float vectors per query, never the corpus) and emit the
+    * exact top-k `cos`, also re-ranked on the rounded cosine. */
   private def finishAdc(scored: DataFrame, qn: DataFrame, k: Int,
                         rerank: Int, rerankCorpus: Option[DataFrame],
                         vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_adc").desc, col("neighbor_id"))
+      .orderBy(round(col("_adc"), 6).desc, col("neighbor_id"))
     if (rerank <= 0) {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= k)
@@ -359,10 +362,12 @@ object ProductQuantization {
   }
 
   /** Code-only view of [[pqStore]] (the [[Quantization.int8CodeStore]]
-    * signature twin). */
+    * signature twin). Default dials are [[pqStore]]'s own (m=16, k=32)
+    * so switching between the two entry points trains the SAME scheme
+    * and hits the same store keys. */
   def pqCodeStore(spark: SparkSession, embeddings: DataFrame,
                   sourcePath: String, tag: String,
-                  storeRoot: Option[String] = None, m: Int = 8, k: Int = 16,
+                  storeRoot: Option[String] = None, m: Int = 16, k: Int = 32,
                   vecCol: String = "embedding",
                   idCols: Seq[String] = Seq("vec_id")): DataFrame =
     pqStore(spark, embeddings, sourcePath, tag, storeRoot, m, k, vecCol,

@@ -120,6 +120,20 @@ class PqSpec extends SparkSuite {
       .select(col("vec_id"), col("pq_code")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(codes(9L).head == 0, "NaN subvector must take the lowest cell")
+    // ADC ranking with a NaN QUERY: Spark compares NaN GREATER than any
+    // value (NOT Java expression semantics — `NaN > 0` is TRUE in Spark
+    // SQL), so cosFromDot's `n1*n2 > 0` guard passes and the NaN
+    // PROPAGATES to every adc score; under DESC ordering Spark puts NaN
+    // first with NaN == NaN ties broken by neighbor id — exactly
+    // DuckDB's NaN-is-greatest ordering, so the engines agree without
+    // any isnan normalization in the oracle. No crash, deterministic.
+    val adc = ProductQuantization.adcTopK(
+      withNaN.where(col("vec_id") < 2), withNaN.where(col("vec_id") === 9),
+      2, cb).collect()
+    assert(adc.length == 2 && adc.forall(r => r.getDouble(3).isNaN),
+      "NaN query must propagate NaN adc (Spark's NaN > 0 is true)")
+    assert(adc.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == Seq(0L, 1L),
+      "all-NaN scores are equal in Spark ordering: tie-break on neighbor id")
     // int8: one NaN dimension poisons the whole vector DETERMINISTICALLY
     // — amax = NaN (NaN orders greatest), every x/scale is NaN, and
     // least(127, NaN) clamps to 127 on Spark AND DuckDB (both order NaN
