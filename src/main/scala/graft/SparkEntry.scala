@@ -1644,6 +1644,22 @@ object SparkEntry {
       graft.ops.ProductQuantization.adcSearch(codes, cb,
         emb.where(col("vec_id") < 20), 5)
     }),
+    // The huge-query-batch path: the 20-query batch is forced through
+    // chunkRows=8 (3 chunks, 3 bounded LUT broadcasts) — per-query top-k
+    // is chunk-independent, so the union is EXACTLY adcSearch's result
+    // and the oracle is sim_pq_adc's verbatim. At a real 10^6-query
+    // batch this is what caps the broadcast at AdcMaxQueryBatch x m.k
+    // rows instead of OOMing the driver.
+    "sim_pq_adc_chunked" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cb = graft.ops.ProductQuantization.train(emb, 16, 32,
+        dimHint = Some(64))
+      graft.ops.ProductQuantization.adcSearchChunked(
+        graft.ops.ProductQuantization.encode(emb, cb)
+          .select(col("vec_id"), col("pq_code")),
+        cb, emb.where(col("vec_id") < 20), 5, chunkRows = 8)
+        .orderBy("query_id", "rank")
+    }),
     // The composed FAISS architecture: IVF coarse cells bound each
     // query's candidates (same chain/dials as sim_ann_ivf), ADC over the
     // PQ codes scores only those — per query O(n·nProbe/nLists · m)
@@ -2441,6 +2457,14 @@ object SparkEntry {
     // Managed = stored codebooks/codes, which are bit-identical to a
     // fresh train+encode — the oracle is sim_pq_adc's verbatim.
     "sim_pq_managed" -> ("WITH " + PqChain + PqAdcTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Chunked = the same search unioned over bounded query-id ranges;
+    // per-query results are chunk-independent, so the oracle is
+    // sim_pq_adc's verbatim.
+    "sim_pq_adc_chunked" -> ("WITH " + PqChain + PqAdcTail +
       """
         |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),

@@ -166,7 +166,13 @@ object ProductQuantization {
     * (vec_id, pq_code) (e.g. read from [[pqStore]]), so the float corpus
     * is touched only by the optional exact-rerank stage
     * (`rerankCorpus`, required when `rerank > 0` — at scale that stage
-    * reads `rerank` vectors per query, not the corpus). */
+    * reads `rerank` vectors per query, not the corpus).
+    *
+    * CONTRACT — bounded query batch: the per-query LUT broadcast grows
+    * linearly with the query count (m·k rows per query); keep batches at
+    * or under [[AdcMaxQueryBatch]] (the broadcast-size arithmetic lives
+    * on that constant) and route anything larger through
+    * [[adcSearchChunked]]. */
   def adcSearch(codes: DataFrame, cb: Codebooks, queries: DataFrame, k: Int,
                 rerank: Int = 0, rerankCorpus: Option[DataFrame] = None,
                 vecCol: String = "embedding"): DataFrame = {
@@ -234,6 +240,48 @@ object ProductQuantization {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
     }
+  }
+
+  /** The documented query-batch bound for one un-chunked ADC broadcast.
+    *
+    * Broadcast-size arithmetic: the per-query LUT is m·k rows of
+    * (query_id long, sub int, code int, _d double, cn2 double, _qn
+    * double) ≈ 40 B of data, ~3× that as a built HashedRelation. At the
+    * default m=16 × k=32 that is 512 rows ≈ 60 KB per query — 8192
+    * queries ≈ 0.5 GB broadcast, a comfortable ceiling under Spark's
+    * 8 GB hard broadcast limit and typical driver memory. The
+    * hamming/brute-force query broadcasts are far smaller per query
+    * (8 B code / one float vector) and share the same order-of-magnitude
+    * bound. Batches beyond this must go through [[adcSearchChunked]]. */
+  val AdcMaxQueryBatch = 8192
+
+  /** [[adcSearch]] with the query batch CHUNKED so no single broadcast
+    * ever exceeds ~`chunkRows` × m·k LUT rows — the scale path for huge
+    * query batches (an embedding-join workload, a 10^6-query offline
+    * eval). Query ids are collected once (8 B/query — 8 MB at 10^6,
+    * always driver-safe), split into contiguous id ranges of `chunkRows`,
+    * and each range runs the standard [[adcSearch]] plan; per-query
+    * top-k is independent, so the union is EXACTLY the un-chunked
+    * result. Trade-off, by design: C chunks re-scan the (narrow) code
+    * table C times — linear passes over 1–16 B/vector codes instead of
+    * one unbounded broadcast build on the driver. */
+  def adcSearchChunked(codes: DataFrame, cb: Codebooks, queries: DataFrame,
+                       k: Int, chunkRows: Int = AdcMaxQueryBatch,
+                       rerank: Int = 0,
+                       rerankCorpus: Option[DataFrame] = None,
+                       vecCol: String = "embedding"): DataFrame = {
+    require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
+    val ids = queries.select(col("vec_id")).orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val ranges = ids.grouped(chunkRows).map(g => (g.head, g.last)).toSeq
+    if (ranges.lengthCompare(1) <= 0)
+      adcSearch(codes, cb, queries, k, rerank, rerankCorpus, vecCol)
+    else
+      ranges.map { case (lo, hi) =>
+        adcSearch(codes, cb,
+          queries.where(col("vec_id").between(lo, hi)), k, rerank,
+          rerankCorpus, vecCol)
+      }.reduce(_.unionAll(_))
   }
 
   /** IVF-PQ — the composed FAISS shape: the IVF coarse quantizer

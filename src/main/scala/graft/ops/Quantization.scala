@@ -55,7 +55,14 @@ object Quantization {
     * Hamming — see [[hammingTopK]]. Map-only: a zip_with against a
     * literal mask array folded with bit-or, inside whole-stage codegen;
     * zero-or-negative dimensions (and the all-zero vector) get 0 bits,
-    * deterministically. */
+    * deterministically.
+    *
+    * Query-batch contract (shared with [[hammingTopK]]): the query side
+    * broadcasts at ~16 B/query (id + one long code) — 16 MB even at a
+    * 10^6-query batch, orders of magnitude under the ADC LUT's bound
+    * ([[ProductQuantization.AdcMaxQueryBatch]]); the float-vector
+    * broadcasts in the rerank stage cost ~0.3 KB/query, still MBs at
+    * 10^6. Hamming batches need no chunking at any realistic size. */
   def binarize(df: DataFrame, vecCol: String = "embedding", dim: Int = 64,
                outCol: String = "bcode"): DataFrame = {
     val masks = org.apache.spark.sql.functions.typedLit(signMasks(dim))

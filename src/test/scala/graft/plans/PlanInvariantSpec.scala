@@ -152,6 +152,32 @@ class PlanInvariantSpec extends SparkSuite {
       "IVF-PQ planned a cartesian — the cell/code joins must stay equi")
   }
 
+  test("ADC query-batch contract: adcSearchChunked splits an over-bound " +
+    "batch into a Union of per-range plans, each with its own bounded " +
+    "broadcast LUT — no single broadcast grows with the full batch") {
+    // The un-chunked LUT broadcast grows queries x m.k rows (the
+    // documented AdcMaxQueryBatch arithmetic); the chunked path is the
+    // no-silent-OOM guarantee for 10^6-query batches. chunkRows=4 over
+    // 10 queries must plan >= 3 unioned subplans, each broadcasting.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64))
+    val codes = graft.ops.ProductQuantization.encode(emb, cb)
+      .select(col("vec_id"), col("pq_code"))
+    val chunked = graft.ops.ProductQuantization.adcSearchChunked(
+      codes, cb, emb.where(col("vec_id") < 10), 3, chunkRows = 4)
+    val p = chunked.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), "chunked ADC lost the per-range Union")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      "expected one bounded broadcast LUT join per chunk")
+    // exactness: per-query top-k is chunk-independent
+    val full = graft.ops.ProductQuantization.adcSearch(
+      codes, cb, emb.where(col("vec_id") < 10), 3)
+      .collect().map(_.toSeq).toSet
+    assert(chunked.collect().map(_.toSeq).toSet == full,
+      "chunked union must equal the un-chunked result exactly")
+  }
+
   test("vecMean plans as ObjectHashAggregate (TypedImperativeAggregate " +
     "buffer), not a SortAggregate fallback") {
     import org.apache.spark.sql.functions.col
