@@ -40,21 +40,32 @@ object S3SinkPipeline {
       config.kafkaRetryBackoffMs.map(ms =>
         "kafka.retry.backoff.ms" -> ms.toString)
 
-  /** O1 — the Kafka source, `includeHeaders=true` delivering the canonical
-    * record schema (SURVEY.md §1.4). Not executable in this offline test
-    * container (no Kafka jars/broker); the option mapping is
-    * [[kafkaOptions]] (unit-tested), and the rest of the pipeline is
-    * source-agnostic and tested with file/memory streams of the same shape.
-    */
-  def kafkaReader(spark: SparkSession, config: SinkConfig,
-                  bootstrapServers: String): DataFrame =
-    kafkaOptions(config, bootstrapServers)
-      .foldLeft(spark.readStream.format("kafka")) {
+  /** O1 — the record source behind a pluggable `sourceFormat`: build the
+    * subscription options ([[kafkaOptions]]), resolve the DataSource,
+    * project the canonical record schema (SURVEY.md §1.4). With the
+    * default `"kafka"` format this IS the reference's source wiring —
+    * not executable in this offline container (no Kafka jars; the
+    * jar-present test auto-activates); with
+    * [[graft.sources.SyntheticKafkaSource]] the identical downstream
+    * pipeline runs end-to-end as one streaming query (StreamingSpec's
+    * pipeline test), so `format("kafka")` resolution is the ONLY branch
+    * this environment cannot execute. */
+  def sourceReader(spark: SparkSession, config: SinkConfig,
+                   bootstrapServers: String,
+                   sourceFormat: String = "kafka",
+                   extraOptions: Map[String, String] = Map.empty): DataFrame =
+    (kafkaOptions(config, bootstrapServers) ++ extraOptions)
+      .foldLeft(spark.readStream.format(sourceFormat)) {
         case (r, (k, v)) => r.option(k, v)
       }
       .load()
       .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
         col("key"), col("value"), col("headers"))
+
+  /** [[sourceReader]] at the production `"kafka"` format. */
+  def kafkaReader(spark: SparkSession, config: SinkConfig,
+                  bootstrapServers: String): DataFrame =
+    sourceReader(spark, config, bootstrapServers)
 
   /** CSV schema strictness (SURVEY.md §7.4 item 4): the reference's CSV
     * writer accepts BYTES ONLY — even STRING values throw, with the
