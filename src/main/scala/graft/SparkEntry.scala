@@ -1698,6 +1698,37 @@ object SparkEntry {
         graft.ops.ProductQuantization.ivfPqTopKAuto(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
           rerank = 50))),
+    // Residual-encoded IVFPQ (FAISS by_residual): codes quantize
+    // vector MINUS coarse centroid instead of the raw vector — residuals
+    // concentrate near zero, so the same 16x5 bits capture the
+    // informative within-cell offsets. Full top-5 hash-compares against
+    // the coarse chain + residual CTE + residual-trained PQ chains +
+    // cross-term ADC composed in SQL.
+    "sim_ann_ivf_pq_residual" -> ((s, dir) =>
+      graft.ops.ProductQuantization.ivfPqResidualTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .where(col("vec_id") < 20), 5, dimHint = Some(64))),
+    // Raw residual-ADC quality vs the non-residual raw codes (the
+    // measured reason residual encoding exists — see SCALING.md A/B):
+    // same 0.3 regression floor as sim_pq_recall.
+    "sim_ann_ivf_pq_residual_raw_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqResidualTopK(c, q, 5,
+          dimHint = Some(64)), bar = 0.3)),
+    // The production shape: residual-IVFPQ candidates + exact refine of
+    // 50, standard 0.8 bar (fixed dials — comparable row:
+    // sim_ann_ivf_pq_recall).
+    "sim_ann_ivf_pq_residual_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqResidualTopK(c, q, 5,
+          rerank = 50, dimHint = Some(64)))),
+    // ... and at the scale-aware auto dials (comparable row:
+    // sim_ann_ivf_pq_auto_recall's 0.94/0.97).
+    "sim_ann_ivf_pq_residual_auto_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqResidualTopKAuto(c, q, 5,
+          rerank = 50, dimHint = Some(64)))),
     // The roughest storage tier: 1-bit sign codes, one LONG per 64-dim
     // vector (32× vs float32). The code is a plain sortable integer —
     // compared directly, no digest needed.
@@ -1726,7 +1757,25 @@ object SparkEntry {
     "sim_hamming_rerank_recall" -> ((s, dir) =>
       annRecall(s, dir, (c, q) =>
         graft.ops.Quantization.hammingTopK(c, q, 5, rerank = 200),
-        bar = 0.8))
+        bar = 0.8)),
+    // The binary tier composed with IVF: coarse cells bound each query's
+    // candidates, sign codes rank them by Hamming (8 B xors), the top-200
+    // get one exact cosine each — the whole-corpus code scan
+    // (sim_hamming_topk) becomes sub-corpus like every other search
+    // path. Full top-5 hash-compares.
+    "sim_ann_ivf_hamming" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Quantization.ivfHammingTopK(
+        emb, emb.where(col("vec_id") < 20), 5)
+    }),
+    // ... its production recall gate (standard 0.8 bar), and the same at
+    // the scale-aware sqrt-n dials (the 100x-probe configuration).
+    "sim_ann_ivf_hamming_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.Quantization.ivfHammingTopK(c, q, 5), bar = 0.8)),
+    "sim_ann_ivf_hamming_auto_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.Quantization.ivfHammingTopKAuto(c, q, 5), bar = 0.8))
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -1854,15 +1903,18 @@ object SparkEntry {
     * slices) and the full-vector `nrm` the recall tails need. Mirrors
     * [[graft.ops.ProductQuantization]] digit-for-digit. */
   private def pqChains(m: Int, k: Int, subDim: Int,
-                       includeNrm: Boolean = true): String = {
+                       includeNrm: Boolean = true,
+                       table: String = "embeddings",
+                       vecCol: String = "embedding",
+                       qsrc: String = "embeddings"): String = {
     val per = (0 until m).map { i =>
       val lo = i * subDim + 1
       val hi = (i + 1) * subDim
       s"""s$i AS (
-         |  SELECT vec_id, embedding[$lo:$hi] AS e,
-         |    sqrt(list_dot_product(CAST(embedding[$lo:$hi] AS DOUBLE[]),
-         |                          CAST(embedding[$lo:$hi] AS DOUBLE[]))) AS n
-         |  FROM embeddings
+         |  SELECT vec_id, $vecCol[$lo:$hi] AS e,
+         |    sqrt(list_dot_product(CAST($vecCol[$lo:$hi] AS DOUBLE[]),
+         |                          CAST($vecCol[$lo:$hi] AS DOUBLE[]))) AS n
+         |  FROM $table
          |), sd$i AS (
          |  SELECT vec_id AS cell, e AS cvec, n AS cn FROM s$i WHERE vec_id < $k
          |), a0$i AS (
@@ -1906,8 +1958,16 @@ object SparkEntry {
     val ctl = (0 until m)
       .map(i => s"SELECT $i AS sub, cell AS code, cvec, cn * cn AS cn2 FROM cn$i")
       .mkString("\n  UNION ALL ")
+    // query slices always come from the RAW vector table (`qsrc`) — for
+    // the residual chains the CODES are trained/assigned on residuals
+    // but the ADC query side stays the un-residualized float query
     val ql = (0 until m)
-      .map(i => s"SELECT $i AS sub, vec_id AS query_id, e FROM s$i WHERE vec_id < 20")
+      .map { i =>
+        val lo = i * subDim + 1
+        val hi = (i + 1) * subDim
+        s"SELECT $i AS sub, vec_id AS query_id, embedding[$lo:$hi] AS e " +
+          s"FROM $qsrc WHERE vec_id < 20"
+      }
       .mkString("\n  UNION ALL ")
     val nrm = if (includeNrm)
       s""", nrm AS (
@@ -1989,9 +2049,17 @@ object SparkEntry {
     * either engine), folded with bit_or. Ends in `codes(vec_id, bcode)`
     * plus the full-vector `nrm` the recall tails need. Mirrors
     * [[graft.ops.Quantization.binarize]] bit for bit. */
-  private val BinChain: String = {
+  private def binChain(includeNrm: Boolean): String = {
     val masks = graft.ops.Quantization.signMasks(64)
       .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+    val nrm = if (includeNrm)
+      s""", nrm AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS n
+         |  FROM embeddings
+         |)""".stripMargin
+    else ""
     s"""bm AS (SELECT $masks AS ms),
        |codes AS (
        |  SELECT e.vec_id,
@@ -1999,13 +2067,33 @@ object SparkEntry {
        |      i -> CASE WHEN e.embedding[i] > 0 THEN ms[i]
        |           ELSE 0::BIGINT END), 'bit_or') AS bcode
        |  FROM embeddings e, bm
-       |), nrm AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                          CAST(embedding AS DOUBLE[]))) AS n
-       |  FROM embeddings
-       |)""".stripMargin
+       |)""".stripMargin + nrm
   }
+
+  private val BinChain: String = binChain(includeNrm = true)
+
+  /** Cell-bounded Hamming prefilter tail over IvfChain's
+    * `probes`/`assigned` plus [[binChain]]'s `codes` —
+    * `Quantization.ivfHammingTopK`'s prefilter in SQL, ending in
+    * `ihr(query_id, neighbor_id, rank)` by (hamming asc, neighbor id);
+    * the exact-refine stage is the shared [[pqRerankTail]]. */
+  private val IvfHammingTail: String =
+    """, ihcand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |), ihs AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    CAST(bit_count(xor(cc.bcode, qc.bcode)) AS BIGINT) AS hamming
+      |  FROM ihcand c
+      |  JOIN codes cc ON cc.vec_id = c.neighbor_id
+      |  JOIN codes qc ON qc.vec_id = c.query_id
+      |), ihr AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY hamming, neighbor_id) AS rank
+      |  FROM ihs
+      |)""".stripMargin
 
   /** Hamming scoring tail over [[BinChain]]'s `codes`, ending in
     * `hranked` — integer distance, integer ranking. */
@@ -2053,6 +2141,77 @@ object SparkEntry {
       |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
       |  FROM padc
       |)""".stripMargin
+
+  /** Residual CTE over an IvfChain's `assigned`/`cent_n`/`nrm`:
+    * `resid = embedding − centroid(cell)` per dim, double subtract
+    * narrowed to REAL — `ProductQuantization.residuals` bit-for-bit. */
+  private val ResCte: String =
+    """res AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(v.embedding[i] AS DOUBLE) -
+      |           CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS resid
+      |  FROM assigned a
+      |  JOIN nrm v ON v.vec_id = a.vec_id
+      |  JOIN cent_n c ON c.cell = a.cell
+      |)""".stripMargin
+
+  /** Residual-ADC tail over IvfChain's `probes`/`assigned`/`cent_n` plus
+    * residual-trained PQ chains (`cl`/`ctl`/`ql`) —
+    * `ProductQuantization.ivfPqResidualTopK` in SQL, ending in
+    * `resranked`. dot(q, x̂) = qbase + Σ dot(q_i, cb_i);
+    * |x̂|² = |c|² + Σ (2·dot(c_i, cb_i) + |cb_i|²) via the
+    * (cell, sub, code) cross-term lookup. */
+  private val ResAdcTail: String =
+    """, xterm AS (
+      |  SELECT cn.cell, t.sub, t.code,
+      |    2 * list_dot_product(
+      |          CAST(list_slice(cn.cvec, t.sub * 4 + 1, t.sub * 4 + 4) AS DOUBLE[]),
+      |          CAST(t.cvec AS DOUBLE[])) + t.cn2 AS xt
+      |  FROM cent_n cn CROSS JOIN ctl t
+      |), qbase AS (
+      |  SELECT q.vec_id AS query_id, c.cell,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                     CAST(c.cvec AS DOUBLE[])) AS qb
+      |  FROM nrm q CROSS JOIN cent_n c WHERE q.vec_id < 20
+      |), rescand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell
+      |  FROM probes p JOIN assigned a
+      |    ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |), resparts AS (
+      |  SELECT d.query_id, d.neighbor_id, d.cell,
+      |    list_dot_product(CAST(q.e AS DOUBLE[]),
+      |                     CAST(t.cvec AS DOUBLE[])) AS dd,
+      |    x.xt
+      |  FROM rescand d
+      |  JOIN cl c ON c.vec_id = d.neighbor_id
+      |  JOIN ctl t ON t.sub = c.sub AND t.code = c.code
+      |  JOIN ql q ON q.sub = c.sub AND q.query_id = d.query_id
+      |  JOIN xterm x ON x.cell = d.cell AND x.sub = c.sub AND x.code = c.code
+      |), ressc AS (
+      |  SELECT query_id, neighbor_id, cell, sum(dd) AS sd, sum(xt) AS xs
+      |  FROM resparts GROUP BY 1, 2, 3
+      |), resadc AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    (b.qb + s.sd) / nullif(sqrt(cc.cn * cc.cn + s.xs) * q.n, 0) AS a
+      |  FROM ressc s
+      |  JOIN qbase b ON b.query_id = s.query_id AND b.cell = s.cell
+      |  JOIN cent_n cc ON cc.cell = s.cell
+      |  JOIN nrm q ON q.vec_id = s.query_id
+      |), resranked AS (
+      |  SELECT query_id, neighbor_id, a,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
+      |  FROM resadc
+      |)""".stripMargin
+
+  /** Full residual-IVFPQ oracle chain at a given coarse chain (fixed or
+    * auto dials): coarse IVF → residuals → residual-trained PQ chains →
+    * residual-ADC tail. */
+  private def residualIvfPqSql(coarse: String): String =
+    "WITH " + coarse + ", " + ResCte + ", " +
+      pqChains(16, 32, 4, includeNrm = false, table = "res",
+        vecCol = "resid") + ResAdcTail
 
   /** SemDeDup keep-list tail over an IvfChain's `assigned`/`nrm` CTEs:
     * a vector is dropped iff a lower-id vector in its cell scores cosine
@@ -2492,6 +2651,22 @@ object SparkEntry {
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
       pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
 
+    // Residual IVFPQ: coarse chain -> residual CTE -> residual-trained
+    // PQ chains -> cross-term ADC tail (see ResAdcTail).
+    "sim_ann_ivf_pq_residual" -> (residualIvfPqSql(IvfChain) +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM resranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_pq_residual_raw_recall" -> (residualIvfPqSql(IvfChain) +
+      recallTail(0.3, "resranked")),
+
+    "sim_ann_ivf_pq_residual_recall" -> (residualIvfPqSql(IvfChain) +
+      pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
+
+    "sim_ann_ivf_pq_residual_auto_recall" -> (residualIvfPqSql(AutoIvfPqChain) +
+      pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
+
     // Sign codes are plain BIGINTs — compared directly, no digest.
     "embed_binarize" -> ("WITH " + BinChain +
       "\nSELECT c.vec_id, c.bcode FROM codes c ORDER BY c.vec_id"),
@@ -2505,7 +2680,24 @@ object SparkEntry {
       recallTail(0.1, "hranked")),
 
     "sim_hamming_rerank_recall" -> ("WITH " + BinChain + HammingTail +
-      pqRerankTail(200, "hranked") + recallTail(0.8, "rranked"))
+      pqRerankTail(200, "hranked") + recallTail(0.8, "rranked")),
+
+    // IVF coarse chain + nrm-free sign codes + cell-bounded Hamming
+    // prefilter + the shared exact-refine tail.
+    "sim_ann_ivf_hamming" -> ("WITH " + IvfChain + ", " +
+      binChain(includeNrm = false) + IvfHammingTail +
+      pqRerankTail(200, "ihr") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_hamming_recall" -> ("WITH " + IvfChain + ", " +
+      binChain(includeNrm = false) + IvfHammingTail +
+      pqRerankTail(200, "ihr") + recallTail(0.8, "rranked")),
+
+    "sim_ann_ivf_hamming_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
+      binChain(includeNrm = false) + IvfHammingTail +
+      pqRerankTail(200, "ihr") + recallTail(0.8, "rranked"))
   )
 
   // ------------------------------------------------------ multimodal family

@@ -348,6 +348,129 @@ object ProductQuantization {
       if (rerank > 0) Some(corpus) else None, "embedding")
   }
 
+  /** Each corpus vector's coarse cell plus its RESIDUAL
+    * `resid = embedding − centroid(cell)` — per-dim double subtract
+    * narrowed back to float (the [[Similarity.refineCentroids]]
+    * narrowing convention), so the oracle's CAST(... AS REAL) chain
+    * reproduces every residual bit-exactly. Map + one nLists-row
+    * broadcast join; the corpus never shuffles. */
+  private def residuals(corpus: DataFrame,
+                        local: Similarity.LocalCentroids): DataFrame = {
+    val cent = Similarity.centroidsDf(corpus.sparkSession, local)
+    Similarity.assignCells(
+      corpus.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("_n")), local)
+      .join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+          .as("resid"))
+  }
+
+  /** Residual-encoded IVF-PQ — the published FAISS IVFPQ shape
+    * (`by_residual`): instead of one global codebook over RAW vectors
+    * ([[ivfPqTopK]]), encode each vector's residual against its coarse
+    * centroid. Residuals concentrate around zero, so the same m·log2(k)
+    * bits spend their capacity on the informative within-cell offsets —
+    * the standard recall lift at identical code size.
+    *
+    * ADC reconstructs nothing: with x̂ = c_cell + r̂ (r̂ the decoded
+    * residual), dot(q, x̂) = dot(q, c) + Σ_i dot(q_i, cb_{i,code_i}),
+    * and |x̂|² = |c|² + Σ_i (2·dot(c_i, cb_{i,code_i}) + |cb_{i,code_i}|²)
+    * — the cross terms come from a precomputed (cell, sub, code) lookup
+    * of nLists·m·k rows (8k rows at the default dials; kilobytes,
+    * always broadcastable). The query is NOT residualized (the
+    * inner-product/cosine formulation scores q against x̂ directly).
+    *
+    * Plan shape: coarse assign is the map-only kernel; residual adds one
+    * nLists-row broadcast join; PQ train/encode run on the residual
+    * frame (re-executing its narrow subplan per training pass — a
+    * construction cost, not a search cost; [[pqStore]]-style persistence
+    * applies at scale); candidate generation and the per-query LUT joins
+    * are [[ivfPqTopK]]'s, plus the broadcast cross-term lookup. Same
+    * bounded-query-batch contract as [[adcSearch]]
+    * ([[AdcMaxQueryBatch]]). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        m: Int = 16, kCodes: Int = 32, nLists: Int = 16,
+                        nProbe: Int = 4, lloydIters: Int = 1,
+                        rerank: Int = 0,
+                        dimHint: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val local = Similarity.collectCentroids(
+      (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
+        (c, _) => Similarity.refineCentroids(corpus, c)
+      })
+    val res = residuals(corpus, local)
+    val cb = train(res, m, kCodes, vecCol = "resid", dimHint = dimHint)
+    val cent = Similarity.centroidsDf(spark, local)
+    val assigned = res.select(col("vec_id"), col("cell"))
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("cell"))
+    val probes = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        Similarity.cosFromDot(Similarity.dot(col("_qe"), col("cvec")),
+          col("_qn"), col("cn")).as("_sim"),
+        col("cell"))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"))
+    val expl = encode(res, cb, vecCol = "resid")
+      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+    val cents = centroidsLong(spark, cb)
+    // query-side LUT: dot(q_i, cb_{i,code}) per (query, sub, code)
+    val lut = qn.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("sub"), col("code"),
+        Similarity.dot(
+          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("cvec")).as("_d"),
+        col("_qn"))
+    // cross-term lookup: 2·dot(c_cell_i, cb_{i,code}) + |cb_{i,code}|²
+    val xterm = cent.crossJoin(
+        broadcast(cents.select(col("sub"), col("code"),
+          col("cvec").as("_bv"), col("cn2"))))
+      .select(col("cell"), col("sub"), col("code"),
+        (lit(2.0) * Similarity.dot(
+          slice(col("cvec"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("_bv")) + col("cn2")).as("_xt"))
+    // per-query base term dot(q, c_cell) and per-cell |c|²
+    val qbase = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        Similarity.dot(col("_qe"), col("cvec")).as("_qb"))
+    val celln2 = cent.select(col("cell"), (col("cn") * col("cn")).as("_cn2c"))
+    val scored = cand.join(expl, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .join(broadcast(xterm), Seq("cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("_d")).as("_sd"), sum(col("_xt")).as("_xs"),
+        first(col("_qn")).as("_qn"))
+      .join(broadcast(qbase), Seq("query_id", "cell"))
+      .join(broadcast(celln2), Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosFromDot(col("_qb") + col("_sd"),
+          sqrt(col("_cn2c") + col("_xs")), col("_qn")).as("_adc"))
+    finishAdc(scored, qn, k, rerank,
+      if (rerank > 0) Some(corpus) else None, "embedding")
+  }
+
+  /** [[ivfPqResidualTopK]] at the scale-aware dials
+    * (nLists = √n, nProbe = √nLists — the [[ivfPqTopKAuto]] rule), same
+    * `corpusRows` hint contract. */
+  def ivfPqResidualTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                            m: Int = 16, kCodes: Int = 32,
+                            lloydIters: Int = 1, rerank: Int = 0,
+                            corpusRows: Option[Long] = None,
+                            dimHint: Option[Int] = None): DataFrame = {
+    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    ivfPqResidualTopK(corpus, queries, k, m, kCodes, nLists, nProbe,
+      lloydIters, rerank, dimHint)
+  }
+
   /** [[ivfPqTopK]] with scale-aware dials: nLists = [[Similarity.autoNLists]]
     * (≈ √n — the round-11 lesson: a FIXED nLists makes in-cell candidate
     * work grow super-linearly, and the 100× IVFPQ probe repeats it: fixed

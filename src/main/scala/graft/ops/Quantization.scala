@@ -122,6 +122,95 @@ object Quantization {
     }
   }
 
+  /** IVF-cell-bounded Hamming search — the composed bottom tier: the IVF
+    * coarse quantizer bounds each query's candidates to its `nProbe`
+    * nearest cells (exactly [[Similarity.ivfTopK]]'s machinery), the
+    * 1-bit sign codes rank those candidates by Hamming distance, the
+    * Hamming top-`rerank` get ONE exact cosine each, and the exact top-k
+    * comes out. [[hammingTopK]] scans the whole code table per query
+    * batch — O(n·Q) xors; this is O(n·nProbe/nLists · Q), which makes
+    * the cheapest tier sub-corpus like every other search path.
+    *
+    * Per-query cost at 100 TB (√n auto dials, fixed refine budget): ~√n
+    * 8-byte code xors + `rerank` float-vector reads — both independent
+    * of corpus size per probed cell.
+    *
+    * Plan shape: assignment + binarize are map-only; the candidate join
+    * is the standard cell-equi probes × assigned; query codes broadcast
+    * (8 B each); the per-query windows pre-prune map-side
+    * (WindowGroupLimit). */
+  def ivfHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     rerank: Int = 200, nLists: Int = 16, nProbe: Int = 4,
+                     lloydIters: Int = 1, dim: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val spark = corpus.sparkSession
+    val local = Similarity.collectCentroids(
+      (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
+        (c, _) => Similarity.refineCentroids(corpus, c)
+      })
+    val ccodes = binarize(
+      Similarity.assignCells(
+        corpus.select(col("vec_id"), col(vecCol).as("embedding"),
+          Similarity.norm(col(vecCol)).as("_n")), local),
+      "embedding", dim)
+      .select(col("vec_id"), col("cell"), col("bcode"))
+    val cent = Similarity.centroidsDf(spark, local)
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("cell"))
+    val probes = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        Similarity.cosFromDot(Similarity.dot(col("_qe"), col("cvec")),
+          col("_qn"), col("cn")).as("_sim"),
+        col("cell"))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val qcodes = binarize(queries, vecCol, dim)
+      .select(col("vec_id").as("query_id"), col("bcode").as("_qc"))
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = probes.join(ccodes, "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qcodes), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("bcode").bitwiseXOR(col("_qc"))).cast("long")
+          .as("hamming"))
+      .withColumn("_r", row_number().over(hw))
+      .where(col("_r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cf = corpus.select(col("vec_id").as("neighbor_id"),
+      col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
+    val exact = cand
+      .join(qn.select(col("query_id"), col("_qe"), col("_qn")), "query_id")
+      .join(cf, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
+          col("_qn"), col("_cn")), 6).as("cos"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[ivfHammingTopK]] at the scale-aware dials (nLists = √n,
+    * nProbe = √nLists — the [[ProductQuantization.ivfPqTopKAuto]] rule),
+    * same `corpusRows` hint contract as [[Similarity.ivfTopKAuto]]. */
+  def ivfHammingTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                         rerank: Int = 200, lloydIters: Int = 1,
+                         dim: Int = 64, corpusRows: Option[Long] = None,
+                         vecCol: String = "embedding"): DataFrame = {
+    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    ivfHammingTopK(corpus, queries, k, rerank, nLists, nProbe, lloydIters,
+      dim, vecCol)
+  }
+
   /** Code-scheme version baked into every store directory name. Bump
     * whenever [[quantizeInt8]]'s arithmetic changes (symmetric range,
     * clamp bounds, rounding) — an on-disk store written by an older scheme

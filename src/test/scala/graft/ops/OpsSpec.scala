@@ -271,14 +271,27 @@ class OpsSpec extends SparkSuite {
       (11L, Array(0.0f, 0.0f, 1.0f)),   // clean
       (12L, Array(0.0f, 0.0f, 0.0f)))   // zero vec: all cosines null
       .toDF("vec_id", "embedding")
+    // in-corpus stand-in benchmark -> excludeSelfIds keeps a benchmark
+    // row from "contaminating" against itself
     val r = Dedup.semanticDecontaminate(
-      vecs, vecs.where(col("vec_id") < 2), 0.9).collect()
+      vecs, vecs.where(col("vec_id") < 2), 0.9,
+      excludeSelfIds = true).collect()
       .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(r.size == 5) // benchmark rows score against each other too
     assert(!r(10L), "near-benchmark vector must be dropped")
     assert(r(11L), "orthogonal vector must keep")
     assert(r(12L), "zero vector has no comparable neighbor and keeps")
     assert(r(0L) && r(1L), "orthogonal benchmark vectors keep each other")
+    // default (external-benchmark semantics): ids are NOT compared, so a
+    // corpus row sharing an id with a benchmark row still scores against
+    // it — here rows 0/1 ARE the benchmark rows and drop at cos 1.0
+    val ext = Dedup.semanticDecontaminate(
+      vecs, vecs.where(col("vec_id") < 2), 0.9).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(!ext(0L) && !ext(1L),
+      "without the flag, id equality must not skip comparisons")
+    assert(!ext(10L) && ext(11L) && ext(12L),
+      "non-self rows are unaffected by the flag")
   }
 
   test("semantic dedup drops the higher-id in-cell near-duplicate only") {
@@ -654,6 +667,23 @@ class OpsSpec extends SparkSuite {
       1, rerank = 2).collect()
     assert(rr.head.getLong(2) == 1L && rr.head.getDouble(3) == 1.0,
       "rerank must surface the exact-cosine duplicate at cos 1.0")
+  }
+
+  test("ivfHammingTopK: probing every cell with a full refine budget IS " +
+    "exact search (the cell-bounded binary tier degrades gracefully to " +
+    "brute force at the open dials)") {
+    import graft.ops.{Quantization, Similarity}
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val full = Quantization.ivfHammingTopK(emb, q, 5, rerank = n,
+      nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+    assert(full.sortBy(x => (x._1, x._2)) sameElements bf.sortBy(x => (x._1, x._2)),
+      "all-cells + full-refine ivfHamming must equal exact brute force")
   }
 
   test("int8 quantization: codes within [-127,127], per-element " +

@@ -98,6 +98,30 @@ class PqSpec extends SparkSuite {
       "all-cells + full-rerank IVFPQ must equal exact brute force")
   }
 
+  test("ivfPqResidualTopK: probing every cell with full rerank IS exact " +
+    "search, and the raw residual-ADC scores a duplicate vector as its " +
+    "query's top-1 (reconstruction x = c + r-hat is exact for a vector " +
+    "whose residual is a codebook entry)") {
+    val nonzero = corpus.where(col("vec_id") < 5)
+    val q = nonzero.where(col("vec_id") < 2)
+    val full = ProductQuantization
+      .ivfPqResidualTopK(nonzero, q, 4, m = 4, kCodes = 2, nLists = 2,
+        nProbe = 2, rerank = 4, dimHint = Some(8))
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(nonzero, q, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getDouble(2)))
+    assert(full.sortBy(_._1) sameElements bf.sortBy(_._1),
+      "all-cells + full-rerank residual IVFPQ must equal exact brute force")
+    // raw ADC: vectors 0 and 4 are bitwise identical, so they share a
+    // cell and a code; 4 must be query 0's top raw-ADC neighbor
+    val raw = ProductQuantization
+      .ivfPqResidualTopK(nonzero, q, 4, m = 4, kCodes = 2, nLists = 2,
+        nProbe = 2, dimHint = Some(8))
+      .collect().filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(raw.nonEmpty && raw.head.getLong(2) == 4L,
+      "duplicate of query 0 is not residual-ADC top-1")
+  }
+
   test("NaN embeddings: every storage tier degrades deterministically " +
     "and identically to the oracle's NaN ordering — no crash, no " +
     "engine divergence") {
