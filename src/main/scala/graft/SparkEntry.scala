@@ -385,6 +385,17 @@ object SparkEntry {
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
+    // REAL merge-table BPE (committed 40-merge fixture, graft.ops.Bpe):
+    // per-doc token count plus an md5 of the full tokenization — the
+    // oracle re-derives every word's merge fixpoint with a recursive CTE
+    // over the SAME merge table (rendered from the fixture, zero drift)
+    // and rebuilds the token string symbol-for-symbol.
+    "text_token_count_bpe" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeRealTokenCount(col("text")).as("n_bpe_real"),
+          md5(TextAnalysis.bpeRealEncode(col("text"))).as("bpe_md5"))
+        .orderBy("doc_id")),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
     // composite keep, verified per-document by the oracle.
@@ -485,7 +496,65 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Real-BPE oracle chain (needs a leading WITH RECURSIVE): the merge
+    * table rendered from [[graft.ops.Bpe.Merges]] itself, each distinct
+    * word's merge fixpoint derived by recursive `instr`/`substr` surgery
+    * on the space-delimited symbol string (min-rank applicable merge,
+    * leftmost occurrence — `Bpe.Coder.encodeWord` exactly; validated
+    * symbol-for-symbol), then per-doc counts and the rebuilt token
+    * string in `dbpe(doc_id, n_bpe_real, bpe_md5)`. */
+  private def bpeSqlChain: String =
+    s"""bpem AS (SELECT * FROM (VALUES ${graft.ops.Bpe.mergesSqlValues}) t(rnk, ma, mb)),
+       |words AS (
+       |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents
+       |), bpe(w, seq) AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+       |  FROM words WHERE w <> ''
+       |  UNION ALL
+       |  SELECT w, substr(seq, 1, instr(seq, pat) - 1) || rep ||
+       |            substr(seq, instr(seq, pat) + length(pat))
+       |  FROM (
+       |    SELECT b.w, b.seq,
+       |      min_by(' ' || m.ma || ' ' || m.mb || ' ', m.rnk) AS pat,
+       |      min_by(' ' || m.ma || m.mb || ' ', m.rnk) AS rep
+       |    FROM bpe b JOIN bpem m
+       |      ON instr(b.seq, ' ' || m.ma || ' ' || m.mb || ' ') > 0
+       |    GROUP BY b.w, b.seq)
+       |), wtok AS (
+       |  SELECT w, trim(seq) AS toks,
+       |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n
+       |  FROM bpe b
+       |  WHERE NOT EXISTS (SELECT 1 FROM bpem m
+       |    WHERE instr(b.seq, ' ' || m.ma || ' ' || m.mb || ' ') > 0)
+       |), dtok AS (
+       |  SELECT doc_id, g.i, t[g.i] AS w
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |        FROM documents) d,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+       |), dbpe AS (
+       |  SELECT d.doc_id,
+       |    CAST(sum(coalesce(wt.n, 0)) AS BIGINT) AS n_bpe_real,
+       |    md5(coalesce(string_agg(wt.toks, ' ' ORDER BY d.i), '')) AS bpe_md5
+       |  FROM dtok d LEFT JOIN wtok wt ON wt.w = d.w
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+
   private def textOracles: Map[String, String] = Map(
+    "text_token_count_bpe" -> ("WITH RECURSIVE " + bpeSqlChain +
+      """
+        |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),
+
+    "pack_token_budget_bpe" -> ("WITH RECURSIVE " + bpeSqlChain +
+      """, c AS (
+        |  SELECT d.doc_id, d.lang, b.n_bpe_real AS n_tok,
+        |    sum(b.n_bpe_real) OVER (PARTITION BY d.lang ORDER BY d.doc_id)
+        |      - b.n_bpe_real AS pre
+        |  FROM documents d JOIN dbpe b USING (doc_id))
+        |SELECT lang, CAST(pre // 2000 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin),
+
     "text_token_count" -> (T +
       """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
@@ -675,6 +744,11 @@ object SparkEntry {
     // Token-budget sequence packing via prefix-sum bucketing.
     "pack_token_budget" -> ((s, dir) =>
       Sampling.packByTokenBudget(docs(s, dir), budget = 2000L)),
+    // ... and with budgets counted by the REAL BPE tokenizer, so "2000
+    // tokens" means what the dataloader will actually see.
+    "pack_token_budget_bpe" -> ((s, dir) =>
+      Sampling.packByTokenBudget(docs(s, dir), budget = 2000L,
+        TextAnalysis.bpeRealTokenCount(col("text")))),
     // Per-source quota cap: keep the 40 longest docs per source (rank
     // pre-pruned map-side via InferWindowGroupLimit before the shuffle).
     "sample_quota" -> ((s, dir) => Sampling.quotaCap(docs(s, dir), 40)),

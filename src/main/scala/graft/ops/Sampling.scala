@@ -150,12 +150,19 @@ object Sampling {
     * where shard = hash div N — packing is order-sensitive only WITHIN a
     * pack, so sharding the window keeps partitions bounded without
     * changing semantics. */
-  def packByTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+  def packByTokenBudget(docs: DataFrame, budget: Long): DataFrame =
+    packByTokenBudget(docs, budget, TextAnalysis.tokenCount(col("text")))
+
+  /** [[packByTokenBudget]] with the token counter as a parameter — the
+    * real-BPE instance (`pack_token_budget_bpe`) passes
+    * [[TextAnalysis.bpeRealTokenCount]] so budgets mean ACTUAL tokenizer
+    * tokens, not whitespace words. */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        nTok: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
     docs
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
       .withColumn("pre", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("pack_id", expr(s"pre div ${budget}L"))
       .groupBy("lang", "pack_id")

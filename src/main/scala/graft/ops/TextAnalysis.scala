@@ -46,6 +46,18 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeIshPattern), lit(0))).cast(LongType)
 
+  /** REAL merge-table BPE token count over the whitespace words — the
+    * committed-merge-table tokenizer ([[Bpe]]): a codegen'd kernel with
+    * a per-executor distinct-word memo; the number an LLM token budget
+    * actually means. */
+  def bpeRealTokenCount(text: Column): Column =
+    graft.functions.BpeExpressions.bpeTokenCount(tokens(text))
+
+  /** The full real-BPE tokenization, space-joined (digest this — the
+    * oracle rebuilds it symbol-for-symbol from the same merge table). */
+  def bpeRealEncode(text: Column): Column =
+    graft.functions.BpeExpressions.bpeEncode(tokens(text))
+
   /** Sliding 3-gram (shingle) array over the token sequence; empty when the
     * document has fewer than 3 tokens. 1-based indexing matches the DuckDB
     * mirror (`t[i] || ' ' || t[i+1] || ' ' || t[i+2]`). */

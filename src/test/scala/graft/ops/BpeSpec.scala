@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Real merge-table BPE: coder semantics (greedy min-rank/leftmost
+  * merge loop), kernel behavior through the Catalyst expressions, and
+  * the fixture's sanity. Cross-engine parity is gated by the
+  * text_token_count_bpe / pack_token_budget_bpe oracle rows. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("encodeWord: fully-merged vocabulary words collapse to one token, " +
+    "out-of-table words stay characters, merges apply min-rank-first " +
+    "and leftmost-first") {
+    val c = Bpe.coder
+    assert(c.encodeWord("join").toSeq == Seq("join"))
+    assert(c.encodeWord("customer").toSeq == Seq("customer"))
+    assert(c.encodeWord("stream").toSeq == Seq("st", "r", "e", "a", "m"))
+    assert(c.encodeWord("zzz").toSeq == Seq("z", "z", "z")) // no merge hits
+    assert(c.encodeWord("").isEmpty)
+    // leftmost-first for a repeated pair: (e,r) is rank 0
+    assert(c.encodeWord("erer").toSeq == Seq("er", "er"))
+    assert(c.encodeWord("rer").toSeq == Seq("r", "er"))
+    // determinism across calls (memo + recompute agree)
+    assert(c.encodeWord("window").toSeq == new Bpe.Coder(Bpe.Merges)
+      .encodeWord("window").toSeq)
+  }
+
+  test("kernel expressions: per-doc count sums word encodings; encode " +
+    "joins the flattened token stream with single spaces; empty text " +
+    "counts zero") {
+    val df = Seq(
+      (0L, "join hash"),      // 1 + 1
+      (1L, "the stream"),     // 3 + 5
+      (2L, ""))               // tokens('') = [''] -> 0
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.bpeRealTokenCount(col("text")).as("n"),
+      TextAnalysis.bpeRealEncode(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(0L) == (2L, "join hash"))
+    assert(out(1L) == (8L, "t h e st r e a m"))
+    assert(out(2L) == (0L, ""))
+  }
+
+  test("merge-table fixture: ranks unique, every merge's parts are " +
+    "prior symbols or single characters (a well-formed trained table)") {
+    val syms = scala.collection.mutable.Set[String]()
+    for ((a, b) <- Bpe.Merges) {
+      assert(a.length == 1 || syms.contains(a), s"orphan left part $a")
+      assert(b.length == 1 || syms.contains(b), s"orphan right part $b")
+      syms += (a + b)
+    }
+    assert(Bpe.Merges.distinct.size == Bpe.Merges.size)
+  }
+}

@@ -22,7 +22,8 @@ class PlanInvariantSpec extends SparkSuite {
   test("map-only text/sampling queries have no hash exchange and no " +
     "single-partition step (only the output sort's range partitioning)") {
     for (q <- Seq("sample_split", "sample_epochs", "text_c4_filters",
-      "text_token_count", "text_quality_score", "text_redact_numbers")) {
+      "text_token_count", "text_token_count_bpe", "text_quality_score",
+      "text_redact_numbers")) {
       val p = planOf(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles: unexpected hash exchange")
       assert(!p.contains("SinglePartition"), s"$q has a single-partition step")
