@@ -1449,6 +1449,29 @@ object SparkEntry {
       quality.join(keep, "doc_id")
         .select(col("doc_id"), col("cluster"), col("n_tokens"), col("quality"))
         .orderBy("doc_id")
+    }),
+    // v2 = the full production curation pass: quality gate -> LSH dedup
+    // keep-list -> SEMANTIC DECONTAMINATION against the benchmark
+    // embeddings (vec_id < 20 stand-in, max-cos < 0.8) — a document
+    // survives only if it clears all three. Composes
+    // Dedup.semanticDecontaminate's broadcast/map-side max into the
+    // same plan; embeddings join documents on the shared id space.
+    "pipeline_clean_corpus_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val quality = TextAnalysis.qualityQuery(d)
+        .where(col("quality") >= 0.25)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val keep = Dedup.clusterKeepList(d).where(col("keep"))
+        .select(col("doc_id"), col("cluster"))
+      val clean = Dedup.semanticDecontaminate(emb,
+          emb.where(col("vec_id") < 20), 0.8, excludeSelfIds = true)
+        .where(col("keep"))
+        .select(col("vec_id").as("doc_id"), col("max_cos"))
+      quality.join(keep, "doc_id").join(clean, "doc_id")
+        .select(col("doc_id"), col("cluster"), col("n_tokens"),
+          col("quality"), col("max_cos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1533,6 +1556,54 @@ object SparkEntry {
         |SELECT q.doc_id, c.cluster, q.n_tokens, q.quality
         |FROM quality q
         |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
+        |WHERE q.quality >= 0.25
+        |ORDER BY q.doc_id""".stripMargin),
+
+    // v2 appends the decontaminate_semantic CTEs (broadcast-benchmark
+    // max-cos, keep = below 0.8 or no comparable neighbor) to the same
+    // chain and inner-joins the keep-list into the final select.
+    "pipeline_clean_corpus_v2" -> ("WITH RECURSIVE " + MinhashCandChain +
+      """, edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION ALL SELECT d2, d1 FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        |), clusters AS (
+        |  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
+        |), quality AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    floor(((CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |        * 1.0 / len(t)) * 0.4 +
+        |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |        / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents) q
+        |), enrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings
+        |), emc AS (
+        |  SELECT c.vec_id,
+        |    max(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) /
+        |        nullif(c.n * b.n, 0)) AS mc
+        |  FROM enrm c JOIN enrm b ON b.vec_id < 20 AND b.vec_id <> c.vec_id
+        |  GROUP BY c.vec_id
+        |), clean AS (
+        |  SELECT vec_id, round(mc, 6) AS max_cos FROM emc
+        |  WHERE coalesce(mc < 0.8, true)
+        |)
+        |SELECT q.doc_id, c.cluster, q.n_tokens, q.quality, cl.max_cos
+        |FROM quality q
+        |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
+        |JOIN clean cl ON cl.vec_id = q.doc_id
         |WHERE q.quality >= 0.25
         |ORDER BY q.doc_id""".stripMargin)
   )
