@@ -1920,7 +1920,15 @@ object SparkEntry {
         graft.ops.Quantization.ivfHammingTopK(c, q, 5), bar = 0.8)),
     "sim_ann_ivf_hamming_auto_recall" -> ((s, dir) =>
       annRecall(s, dir, (c, q) =>
-        graft.ops.Quantization.ivfHammingTopKAuto(c, q, 5), bar = 0.8))
+        graft.ops.Quantization.ivfHammingTopKAuto(c, q, 5), bar = 0.8)),
+    // The auto-dial SEARCH row (full top-5 hash-compare; also the clean
+    // probe instrument — the recall rows embed an O(n.Q) exact baseline
+    // that would drown the operator's own scaling).
+    "sim_ann_ivf_hamming_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Quantization.ivfHammingTopKAuto(
+        emb, emb.where(col("vec_id") < 20), 5)
+    })
   )
 
   /** Micro-averaged recall@5 of an ANN operator vs the exact brute-force
@@ -2842,7 +2850,14 @@ object SparkEntry {
 
     "sim_ann_ivf_hamming_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
       binChain(includeNrm = false) + IvfHammingTail +
-      pqRerankTail(200, "ihr") + recallTail(0.8, "rranked"))
+      pqRerankTail(200, "ihr") + recallTail(0.8, "rranked")),
+
+    "sim_ann_ivf_hamming_auto" -> ("WITH " + AutoIvfPqChain + ", " +
+      binChain(includeNrm = false) + IvfHammingTail +
+      pqRerankTail(200, "ihr") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   )
 
   // ------------------------------------------------------ multimodal family
