@@ -1005,7 +1005,7 @@ object SparkEntry {
         .agg(md5(array_join(array_sort(collect_list(
           concat_ws(":", md5(col("tok")), col("cnt")))), "|")).as("fp"))
       val mpairs = fp.as("a")
-        .join(fp.as("b"),
+        .join(fp.as("b").hint("SHUFFLE_MERGE"), // corpus self-join: never broadcast
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       mpairs
@@ -1067,8 +1067,11 @@ object SparkEntry {
         .withColumn("bb",
           explode(graft.ops.Similarity.bucketsFromMask(col("_mask"))))
         .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+      // Corpus bucket SELF-join + corpus-float rerank joins: pinned to
+      // shuffle joins (never a corpus-sized broadcast build — the
+      // round-16 plan audit; same rule as Dedup.minhashCandidates).
       val cand = buckets.as("a")
-        .join(buckets.as("b"),
+        .join(buckets.as("b").hint("SHUFFLE_MERGE"),
           col("a.tbl") === col("b.tbl") && col("a.bits") === col("b.bits") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
@@ -1077,9 +1080,9 @@ object SparkEntry {
         graft.ops.Similarity.norm(col("embedding")).as("_n"))
       cand
         .join(v.select(col("vec_id").as("d1"), col("embedding").as("_e1"),
-          col("_n").as("_n1")), "d1")
+          col("_n").as("_n1")).hint("SHUFFLE_MERGE"), "d1")
         .join(v.select(col("vec_id").as("d2"), col("embedding").as("_e2"),
-          col("_n").as("_n2")), "d2")
+          col("_n").as("_n2")).hint("SHUFFLE_MERGE"), "d2")
         .select(col("d1"), col("d2"),
           round(graft.ops.Similarity.cosFromDot(
             graft.ops.Similarity.dot(col("_e1"), col("_e2")),

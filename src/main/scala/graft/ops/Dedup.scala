@@ -91,8 +91,12 @@ object Dedup {
     * d1 < d2. The cheap first stage shared by pair-scoring and clustering. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val buckets = bandBuckets(minhashSignature(docs))
+    // Band-bucket SELF-join: both sides are the same corpus-sized table,
+    // and Catalyst's size estimate does not survive the signature/band
+    // projection — left unpinned it broadcast the build side (the round-15
+    // posting-join failure mode, found again by the round-16 plan audit).
     buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.as("b").hint("SHUFFLE_MERGE"),
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -135,7 +139,7 @@ object Dedup {
     val buckets = bandBucketsAt(minhashSignature(docs, numHashes),
       numHashes, numBands)
     buckets.as("a")
-      .join(buckets.as("b"),
+      .join(buckets.as("b").hint("SHUFFLE_MERGE"), // corpus self-join: never broadcast
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -173,9 +177,15 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"),
         array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
+    // The shingle-set sides are corpus-sized (one array row per doc) and
+    // must never be the broadcast build side; SHUFFLE_MERGE keeps the
+    // verification candidate-keyed, and AQE's exact post-shuffle stats can
+    // still localize the read when the candidate side is truly small.
     cand
-      .join(shingleSets.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(shingleSets.as("s2"), col("d2") === col("s2.doc_id"))
+      .join(shingleSets.as("s1").hint("SHUFFLE_MERGE"),
+        col("d1") === col("s1.doc_id"))
+      .join(shingleSets.as("s2").hint("SHUFFLE_MERGE"),
+        col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         jaccard(col("s1.shs"), col("s2.shs")).as("jaccard"))
       .orderBy("d1", "d2")
@@ -198,7 +208,7 @@ object Dedup {
                        oldBuckets: Option[DataFrame] = None): DataFrame = {
     val ob = oldBuckets.getOrElse(bandBuckets(minhashSignature(oldDocs)))
     val cand = bandBuckets(minhashSignature(newDocs)).as("a")
-      .join(ob.as("b"),
+      .join(ob.as("b").hint("SHUFFLE_MERGE"), // old corpus side: never broadcast
         col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
           col("a.h2") === col("b.h2"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
@@ -219,9 +229,9 @@ object Dedup {
           array_distinct(TextAnalysis.shingles3(col("_t"))).as("shs"))
     }
     cand
-      .join(shingleSets(newDocs, col("new_id")).as("s1"),
+      .join(shingleSets(newDocs, col("new_id")).as("s1").hint("SHUFFLE_MERGE"),
         col("new_id") === col("s1.doc_id"))
-      .join(shingleSets(oldDocs, col("old_id")).as("s2"),
+      .join(shingleSets(oldDocs, col("old_id")).as("s2").hint("SHUFFLE_MERGE"),
         col("old_id") === col("s2.doc_id"))
       .select(col("new_id"), col("old_id"),
         jaccard(col("s1.shs"), col("s2.shs")).as("jaccard"))
@@ -368,7 +378,8 @@ object Dedup {
       .withColumn("ckey",
         expr(s"shiftright(simhash, chunk * $chunkBits) & $chunkMask"))
     val sigPairs = chunks.as("a")
-      .join(chunks.as("b"),
+      .join(chunks.as("b").hint("SHUFFLE_MERGE"), // distinct-sig self-join:
+        // sub-corpus but corpus-bound in the worst case — never broadcast
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.simhash") < col("b.simhash"))
       .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
@@ -377,12 +388,15 @@ object Dedup {
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
       .where(col("hamming") <= maxDist)
     val cross = sigPairs
-      .join(sig.select(col("simhash").as("s1"), col("doc_id").as("da")), "s1")
-      .join(sig.select(col("simhash").as("s2"), col("doc_id").as("db")), "s2")
+      .join(sig.select(col("simhash").as("s1"), col("doc_id").as("da"))
+        .hint("SHUFFLE_MERGE"), "s1")
+      .join(sig.select(col("simhash").as("s2"), col("doc_id").as("db"))
+        .hint("SHUFFLE_MERGE"), "s2")
       .select(least(col("da"), col("db")).as("d1"),
         greatest(col("da"), col("db")).as("d2"), col("hamming"))
     val intra = sig.as("a")
-      .join(sig.as("b"), col("a.simhash") === col("b.simhash") &&
+      .join(sig.as("b").hint("SHUFFLE_MERGE"), // corpus self-join: never broadcast
+        col("a.simhash") === col("b.simhash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         lit(0L).as("hamming"))
@@ -575,14 +589,16 @@ object Dedup {
         // a pair with zero shared shingles has jaccard 0 < minJaccard, so
         // enumerating it at all is pure waste.
         inter
-          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy")), "d2")
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx"))
+            .hint("SHUFFLE_MERGE"), "d1") // per-doc size table: corpus-sized
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy"))
+            .hint("SHUFFLE_MERGE"), "d2")
           .select(col("d1"), col("d2"),
             TextAnalysis.round6(col("inter").cast("double") /
               (col("sx") + col("sy") - col("inter"))).as("jaccard"))
       } else {
         sizes.as("x")
-          .join(sizes.as("y"),
+          .join(sizes.as("y").hint("SHUFFLE_MERGE"), // corpus self-join
             col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -619,8 +635,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy")), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sx"))
+        .hint("SHUFFLE_MERGE"), "d1") // per-doc size table: corpus-sized side
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sy"))
+        .hint("SHUFFLE_MERGE"), "d2")
       .select(col("d1"), col("d2"),
         TextAnalysis.round6(col("inter").cast("double") /
           least(col("sx"), col("sy"))).as("containment"))
@@ -765,7 +783,7 @@ object Dedup {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("_n", Similarity.norm(col("embedding"))) // once per vector
     e.as("a")
-      .join(e.as("b"),
+      .join(e.as("b").hint("SHUFFLE_MERGE"), // corpus self-join: never broadcast
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
         round(Similarity.cosFromDot(

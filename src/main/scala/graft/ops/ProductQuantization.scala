@@ -228,8 +228,11 @@ object ProductQuantization {
         .select(col("query_id"), col("neighbor_id"))
       val c = rerankCorpus.get.select(col("vec_id").as("neighbor_id"),
         col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
+      // Query floats broadcast; the corpus float side pinned to a shuffle
+      // join — never the broadcast build (round-16 plan audit).
       val exact = cand
-        .join(qn, "query_id").join(c, "neighbor_id")
+        .join(broadcast(qn), "query_id")
+        .join(c.hint("SHUFFLE_MERGE"), "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
             col("_qn"), col("_cn")), 6).as("cos"))
@@ -324,7 +327,15 @@ object ProductQuantization {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = probes.join(assigned, "cell")
+    // Probes broadcast (Q × nProbe ids — the structurally small side);
+    // the assigned corpus streams map-side. The candidate ↔ exploded-code
+    // join is corpus-scale on BOTH sides — pinned to a shuffle join.
+    // Unpinned, Catalyst broadcast the assigned corpus AND the n·m-row
+    // exploded code table (its size estimate does not survive
+    // assignCells/Generate): the round-16 plan-audit finding, and the
+    // measured reason the fixed-dial IVFPQ ran SLOWER than the full ADC
+    // scan at the 100× probe.
+    val cand = assigned.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
     val expl = encode(corpus, cb)
@@ -336,7 +347,7 @@ object ProductQuantization {
           slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
           col("cvec")).as("_d"),
         col("cn2"), col("_qn"))
-    val scored = cand.join(expl, "vec_id")
+    val scored = cand.join(expl.hint("SHUFFLE_MERGE"), "vec_id")
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("_d")).as("_sd"), sum(col("cn2")).as("_rn2"),
@@ -416,7 +427,10 @@ object ProductQuantization {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = probes.join(assigned, "cell")
+    // Same candidate-join pins as [[ivfPqTopK]] (probes broadcast, codes
+    // shuffle) — here they make the residual path's accidental good plan
+    // explicit instead of estimate-dependent.
+    val cand = assigned.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell"))
     val expl = encode(res, cb, vecCol = "resid")
@@ -442,7 +456,7 @@ object ProductQuantization {
       .select(col("query_id"), col("cell"),
         Similarity.dot(col("_qe"), col("cvec")).as("_qb"))
     val celln2 = cent.select(col("cell"), (col("cn") * col("cn")).as("_cn2c"))
-    val scored = cand.join(expl, "vec_id")
+    val scored = cand.join(expl.hint("SHUFFLE_MERGE"), "vec_id")
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .join(broadcast(xterm), Seq("cell", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"), col("cell"))

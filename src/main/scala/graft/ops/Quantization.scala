@@ -109,7 +109,10 @@ object Quantization {
         col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
       val qf = queries.select(col("vec_id").as("query_id"),
         col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
-      val exact = cand.join(qf, "query_id").join(cf, "neighbor_id")
+      // Query floats broadcast (Q rows); the corpus float side pinned to a
+      // shuffle join — never the broadcast build (round-16 plan audit).
+      val exact = cand.join(broadcast(qf), "query_id")
+        .join(cf.hint("SHUFFLE_MERGE"), "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
             col("_qn"), col("_cn")), 6).as("cos"))
@@ -173,7 +176,10 @@ object Quantization {
       .select(col("vec_id").as("query_id"), col("bcode").as("_qc"))
     val hw = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("neighbor_id"))
-    val cand = probes.join(ccodes, "cell")
+    // Probes are Q × nProbe id pairs — the broadcast build side by
+    // construction; the corpus code table streams map-side (unpinned,
+    // Catalyst broadcast the CODE TABLE — the round-16 audit finding).
+    val cand = ccodes.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .join(broadcast(qcodes), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -184,9 +190,12 @@ object Quantization {
       .select(col("query_id"), col("neighbor_id"))
     val cf = corpus.select(col("vec_id").as("neighbor_id"),
       col(vecCol).as("_ce"), Similarity.norm(col(vecCol)).as("_cn"))
+    // Same refine-join pins as [[hammingTopK]]: query floats broadcast,
+    // corpus float side never the broadcast build.
     val exact = cand
-      .join(qn.select(col("query_id"), col("_qe"), col("_qn")), "query_id")
-      .join(cf, "neighbor_id")
+      .join(broadcast(qn.select(col("query_id"), col("_qe"), col("_qn"))),
+        "query_id")
+      .join(cf.hint("SHUFFLE_MERGE"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(Similarity.cosFromDot(Similarity.dot(col("_qe"), col("_ce")),
           col("_qn"), col("_cn")), 6).as("cos"))

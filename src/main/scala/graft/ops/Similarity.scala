@@ -209,8 +209,10 @@ object Similarity {
         if (probe) probeBucketsFromMask(col("_mask"), numTables, planesPerTable)
         else bucketsFromMask(col("_mask"), numTables, planesPerTable)))
       .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bits").as("bits"))
+    // The query side is the bounded-batch side — pin it as the broadcast
+    // build so the ×numTables corpus explode streams map-side.
     val cand = bucketed(corpus, probe = false).as("c")
-      .join(bucketed(queries, probe = multiProbe).as("q"),
+      .join(broadcast(bucketed(queries, probe = multiProbe).as("q")),
         col("q.tbl") === col("c.tbl") && col("q.bits") === col("c.bits") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
@@ -218,9 +220,15 @@ object Similarity {
     def vecs(df: DataFrame, idCol: String, e: String, n: String) = df
       .select(col("vec_id").as(idCol), col("embedding").as(e),
         norm(col("embedding")).as(n))
+    // Rerank: query vectors broadcast (Q rows); the CORPUS float side is
+    // pinned to a shuffle join — unpinned it was the broadcast build side
+    // (the whole float corpus), the round-16 audit's OOM-at-scale finding.
+    // AQE's exact post-shuffle stats may still localize the corpus read
+    // when the candidate side is genuinely small.
     val scored = cand
-      .join(vecs(queries, "query_id", "_qe", "_qn"), "query_id")
-      .join(vecs(corpus, "neighbor_id", "_ce", "_cn"), "neighbor_id")
+      .join(broadcast(vecs(queries, "query_id", "_qe", "_qn")), "query_id")
+      .join(vecs(corpus, "neighbor_id", "_ce", "_cn").hint("SHUFFLE_MERGE"),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosFromDot(dot(col("_qe"), col("_ce")),
           col("_qn"), col("_cn")), 6).as("cos"))
@@ -290,8 +298,11 @@ object Similarity {
     val assigned = assignCells(
       corpus.select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("_n")), local)
+    // Corpus × corpus cell self-join: co-partitioned shuffle, pinned —
+    // Catalyst's post-assignCells estimate otherwise judged the build side
+    // broadcastable (= the whole corpus with embeddings).
     val scored = assigned.as("a")
-      .join(assigned.as("b"),
+      .join(assigned.as("b").hint("SHUFFLE_MERGE"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         round(cosFromDot(dot(col("a.embedding"), col("b.embedding")),
@@ -441,9 +452,15 @@ object Similarity {
           .select(col("vec_id"), col("cell")),
         "vec_id")
       .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
-    // exact rerank inside probed cells
+    // exact rerank inside probed cells. The probe side is structurally
+    // small (Q × nProbe rows under the bounded-query-batch contract), so
+    // it is the broadcast build side BY CONSTRUCTION: the corpus streams
+    // map-side. Unpinned, Catalyst's estimate (which does not survive the
+    // assignCells projection) broadcast the ASSIGNED CORPUS WITH
+    // EMBEDDINGS — fine at test scale, an OOM at 10^10 vectors (the
+    // round-16 plan-audit finding, pinned in PlanInvariantSpec).
     val scored = assigned.as("c")
-      .join(probes.as("q"),
+      .join(broadcast(probes.as("q")),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosFromDot(dot(col("q.embedding"), col("c.embedding")),

@@ -153,6 +153,55 @@ class PlanInvariantSpec extends SparkSuite {
       "IVF-PQ planned a cartesian — the cell/code joins must stay equi")
   }
 
+  test("round-16 broadcast audit: no ANN query ever broadcasts a " +
+    "corpus-derived side — every broadcast subtree is query-bounded") {
+    // Catalyst's size estimates do not survive assignCells / Generate /
+    // signature projections, so unpinned it judged CORPUS-sized build
+    // sides broadcastable (the assigned corpus with embeddings, the n·m
+    // exploded code table, the corpus float side of every rerank join) —
+    // fine at test scale, an OOM at 10^10 vectors. Post-pin rule, asserted
+    // mechanically: inside any BroadcastExchange subtree, every parquet
+    // scan must carry a BOUNDING data filter (the vec_id < 20 query-side
+    // pushdown), i.e. more than bare IsNotNull. Centroid/LUT broadcasts
+    // are scan-free local relations and pass vacuously.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    for (q <- Seq("sim_topk_bruteforce", "sim_hamming_topk", "sim_ann_lsh",
+        "sim_ann_ivf", "sim_ann_ivf_quantized", "sim_ann_ivf_hamming",
+        "sim_ann_ivf_pq", "sim_ann_ivf_pq_residual", "sim_pq_adc")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan
+      plan.foreach {
+        case b: BroadcastExchangeExec =>
+          b.collect { case s: FileSourceScanExec => s }.foreach { s =>
+            assert(s.dataFilters.exists(!_.isInstanceOf[IsNotNull]),
+              s"$q broadcasts a corpus-derived side: unbounded scan " +
+                s"${s.tableIdentifier.getOrElse(s.relation.location)} " +
+                "inside a BroadcastExchange")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("round-16 broadcast audit: pair-dedup candidate generation is " +
+    "shuffle-pinned — SortMergeJoin present, zero BroadcastExchange") {
+    // The band/bucket/signature SELF-joins and the per-doc join-backs are
+    // corpus × corpus; the SHUFFLE_MERGE pins must survive refactors
+    // (round-15 ngram precedent, extended by the round-16 audit to the
+    // whole family).
+    for (q <- Seq("dedup_minhash_lsh", "dedup_minhash_wide",
+        "dedup_embedding", "dedup_embedding_lsh", "dedup_simhash",
+        "dedup_simhash64", "sim_knn_graph")) {
+      val p = planOf(q)
+      assert(p.contains("SortMergeJoin"),
+        s"$q lost its SHUFFLE_MERGE candidate-join pin")
+      assert(!p.contains("BroadcastExchange"),
+        s"$q broadcasts — a corpus-derived side slipped back in")
+    }
+  }
+
   test("ADC query-batch contract: adcSearchChunked splits an over-bound " +
     "batch into a Union of per-range plans, each with its own bounded " +
     "broadcast LUT — no single broadcast grows with the full batch") {
