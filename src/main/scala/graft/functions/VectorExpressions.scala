@@ -78,6 +78,297 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-query ADC lookup-table kernel: ONE expression producing the flat
+  * m·k `array<double>` LUT — slot s·k + c = dot(query_slice_s, cb_{s,c})
+  * — from the query embedding. Replaces an `array(...)` of m·k separate
+  * slice+dot literal expressions whose sheer node count dominated DRIVER
+  * planning time (each analyzer/optimizer batch walks every node; the
+  * round-16 bisection measured ~5 s of flat per-plan cost at m·k = 512).
+  * The codebooks ride along as primitive `float[][][]` references
+  * (`cents(s)(c)` = the subspace-s centroid for code c, or null for a
+  * refinement-dropped cell → slot 0.0, never referenced by any code);
+  * each slot is the same in-order double fold as [[VectorDot]] over the
+  * query slice, so every value is bit-identical to the expression-built
+  * LUT and to the DuckDB oracle chain. */
+case class AdcLut(child: Expression, cents: Array[Array[Array[Float]]],
+                  subDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatVectors("adc_lut", child)
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val qe = input.asInstanceOf[ArrayData]
+    val m = cents.length
+    val k = if (m == 0) 0 else cents(0).length
+    val out = new Array[Double](m * k)
+    val qn = qe.numElements()
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val v = cents(s)(c)
+        if (v != null) {
+          var acc = 0.0
+          var i = 0
+          val base = s * subDim
+          val n = math.min(math.max(qn - base, 0), math.min(subDim, v.length))
+          while (i < n) {
+            val x = if (isDouble) qe.getDouble(base + i)
+                    else qe.getFloat(base + i).toDouble
+            acc += x * v(i).toDouble
+            i += 1
+          }
+          out(s * k + c) = acc
+        }
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("adcLutCents", cents, "float[][][]")
+    val qx = if (isDouble) "getDouble" else "getFloat"
+    nullSafeCodeGen(ctx, ev, qe => {
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val v = ctx.freshName("v"); val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base"); val n = ctx.freshName("n")
+      val m = cents.length
+      val k = if (m == 0) 0 else cents(0).length
+      s"""
+         |double[] $out = new double[${m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = $s * $subDim;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    float[] $v = $centsRef[$s][$c];
+         |    if ($v != null) {
+         |      double $acc = 0.0;
+         |      int $n = java.lang.Math.min(
+         |        java.lang.Math.max($qe.numElements() - $base, 0),
+         |        java.lang.Math.min($subDim, $v.length));
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += ((double) $qe.$qx($base + $i)) * ((double) $v[$i]);
+         |      }
+         |      $out[$s * $k + $c] = $acc;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcLut =
+    copy(child = newChild)
+}
+
+/** Whole-vector PQ encode kernel: all m subspace codes of one vector in a
+  * SINGLE expression evaluation — `array<int>` of length m, code s =
+  * the argmax-cosine codebook cell of slice s. Replaces the former
+  * `array(16 × NearestCentroid(slice, sqrt(dot(slice, slice))))`
+  * construction, whose inline generated code bloated every downstream
+  * stage past the whole-stage-codegen method limit: the round-16
+  * bisection measured the resulting interpreted fallback re-projecting
+  * the 16-kernel array PER JOIN PAIR (~140 µs/pair — 56 s at the 10×
+  * probe for what this kernel does once per corpus row).
+  *
+  * Parity contract, per subspace s (bit-identical to the slice +
+  * [[NearestCentroid]] chain and the DuckDB oracle): the slice is
+  * vec[s·subDim ..] (shorter at a ragged tail, `slice` semantics); its
+  * norm is sqrt of the in-order x² double fold; per centroid the dot is
+  * the in-order double fold over min(len); sim compares only when
+  * norm·cnorm > 0; ascending cells with strict `>` keep the LOWEST cell
+  * on ties and for zero-norm slices. */
+case class PqEncode(child: Expression, cells: Array[Array[Long]],
+                    cents: Array[Array[Array[Float]]],
+                    cnorms: Array[Array[Double]], subDim: Int)
+    extends UnaryExpression {
+
+  require(cells.length == cents.length && cells.length == cnorms.length,
+    "per-subspace codebook arrays must align")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatVectors("pq_encode", child)
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val xd = isDouble
+    val vn = x.numElements()
+    val m = cells.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val len = math.max(0, math.min(subDim, vn - base))
+      // slice copied to a primitive scratch once; norm = in-order x² fold
+      val xs = new Array[Double](len)
+      var nacc = 0.0
+      var j = 0
+      while (j < len) {
+        val xv = if (xd) x.getDouble(base + j) else x.getFloat(base + j).toDouble
+        xs(j) = xv
+        nacc += xv * xv
+        j += 1
+      }
+      val norm = math.sqrt(nacc)
+      val cl = cells(s); val cv = cents(s); val cn = cnorms(s)
+      var bestCell = cl(0)
+      var best = Double.NegativeInfinity
+      var c = 0
+      while (c < cv.length) {
+        val w = cv(c)
+        val n2 = math.min(len, w.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n2) { acc += xs(i) * w(i).toDouble; i += 1 }
+        val den = norm * cn(c)
+        if (den > 0) {
+          val sim = acc / den
+          if (sim > best) { best = sim; bestCell = cl(c) }
+        }
+        c += 1
+      }
+      out(s) = bestCell.toInt
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cl = ctx.addReferenceObj("pqCells", cells, "long[][]")
+    val cv = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+    val cn = ctx.addReferenceObj("pqNorms", cnorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val vn = ctx.freshName("vn"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val len = ctx.freshName("len"); val xs = ctx.freshName("xs")
+      val nacc = ctx.freshName("nacc"); val j = ctx.freshName("j")
+      val norm = ctx.freshName("norm"); val bestCell = ctx.freshName("bestCell")
+      val best = ctx.freshName("best"); val c = ctx.freshName("c")
+      val w = ctx.freshName("w"); val n2 = ctx.freshName("n2")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val den = ctx.freshName("den"); val sim = ctx.freshName("sim")
+      val xv = ctx.freshName("xv")
+      val ax = if (isDouble) s"$a.getDouble($base + $j)"
+               else s"(double) $a.getFloat($base + $j)"
+      val m = cells.length
+      s"""
+         |int $vn = $a.numElements();
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = $s * $subDim;
+         |  int $len = java.lang.Math.max(0,
+         |    java.lang.Math.min($subDim, $vn - $base));
+         |  double[] $xs = new double[$len];
+         |  double $nacc = 0.0;
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    double $xv = $ax;
+         |    $xs[$j] = $xv;
+         |    $nacc += $xv * $xv;
+         |  }
+         |  double $norm = java.lang.Math.sqrt($nacc);
+         |  long $bestCell = $cl[$s][0];
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $cv[$s].length; $c++) {
+         |    float[] $w = $cv[$s][$c];
+         |    int $n2 = java.lang.Math.min($len, $w.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n2; $i++) {
+         |      $acc += $xs[$i] * (double) $w[$i];
+         |    }
+         |    double $den = $norm * $cn[$s][$c];
+         |    if ($den > 0) {
+         |      double $sim = $acc / $den;
+         |      if ($sim > $best) { $best = $sim; $bestCell = $cl[$s][$c]; }
+         |    }
+         |  }
+         |  $out[$s] = (int) $bestCell;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** ADC table-lookup kernel: Σ_s `left[s·k + right_s]` for a flat
+  * `array<double>` lookup table (`left`, laid out subspace-major: slot
+  * s·k + c) and an `array<int>` PQ code (`right`, one code per
+  * subspace). One expression evaluation replaces the m-term
+  * `element_at` chain, whose size pushed the whole scoring stage out of
+  * whole-stage codegen into interpreted row-at-a-time evaluation — the
+  * round-16 phase bisection measured that fallback at >100 µs/pair. The
+  * generated code is a tight primitive loop; accumulation is in
+  * ascending-subspace order, matching both the former unrolled chain and
+  * the order-insensitive (round-6-before-rank) oracle contract. */
+case class LookupSum(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(DoubleType, _) => right.dataType match {
+      case ArrayType(it, _) if it == org.apache.spark.sql.types.IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"lookup_sum code must be array<int>, got ${t.sql}")
+    }
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lookup_sum table must be array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val code = b.asInstanceOf[ArrayData]
+    val m = code.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += arr.getDouble(s * k + code.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      s"""
+         |int $m = $b.numElements();
+         |double ${ev.value}_acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  ${ev.value}_acc += $a.getDouble($s * $k + $b.getInt($s));
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Batched hyperplane-LSH kernel: all `planes.length` (≤ 64) sign bits of
   * one vector in a single expression evaluation — bit p of the result is 1
   * iff `dot(vec, planes(p)) >= 0`.
@@ -451,6 +742,27 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       VectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-API entry point: Σ_s arr[s·k + code_s] — the ADC table
+    * lookup (see [[LookupSum]]). */
+  def lookupSum(arr: Column, code: Column, k: Int): Column =
+    GraftBridge.column(
+      LookupSum(GraftBridge.expression(arr), GraftBridge.expression(code), k))
+
+  /** Column-API entry point: the flat per-query ADC LUT array (see
+    * [[AdcLut]]); `cents(s)(c)` = subspace-s centroid for code c (null =
+    * dropped cell). */
+  def adcLut(qe: Column, cents: Array[Array[Array[Float]]],
+             subDim: Int): Column =
+    GraftBridge.column(AdcLut(GraftBridge.expression(qe), cents, subDim))
+
+  /** Column-API entry point: all m PQ subspace codes of a vector (see
+    * [[PqEncode]]). */
+  def pqEncode(vec: Column, cells: Array[Array[Long]],
+               cents: Array[Array[Array[Float]]],
+               cnorms: Array[Array[Double]], subDim: Int): Column =
+    GraftBridge.column(
+      PqEncode(GraftBridge.expression(vec), cells, cents, cnorms, subDim))
 
   /** Column-API entry point: long bitmask of hyperplane sign bits. */
   def hyperplaneSignBits(vec: Column, planes: Array[Array[Double]]): Column =

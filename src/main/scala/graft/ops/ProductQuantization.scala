@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -118,31 +118,56 @@ object ProductQuantization {
   }
 
   /** Append `pq_code` (array<int>, length m) — subspace-wise nearest
-    * codebook entry. Pure map: m codegen kernels over slices, no shuffle
-    * (zero-norm slice → lowest cell, the kernel's documented tie rule). */
+    * codebook entry. Pure map: ONE [[graft.functions.PqEncode]] kernel
+    * evaluation per row (zero-norm slice → lowest cell, the kernel's
+    * documented tie rule). The former m-kernel `array(...)` construction
+    * is semantically identical but its inline generated code pushed
+    * downstream stages out of whole-stage codegen — see the kernel's
+    * scaladoc for the measured cost. */
   def encode(df: DataFrame, cb: Codebooks,
-             vecCol: String = "embedding"): DataFrame = {
-    val codes = (0 until cb.m).map { i =>
-      val sv = slice(col(vecCol), i * cb.subDim + 1, cb.subDim)
-      graft.functions.VectorExpressions.nearestCentroid(
-        sv, sqrt(Similarity.dot(sv, sv)),
-        cb.subs(i).cells, cb.subs(i).vecs, cb.subs(i).norms).cast("int")
+             vecCol: String = "embedding"): DataFrame =
+    df.withColumn("pq_code",
+      graft.functions.VectorExpressions.pqEncode(col(vecCol),
+        Array.tabulate(cb.m)(i => cb.subs(i).cells),
+        Array.tabulate(cb.m)(i => cb.subs(i).vecs),
+        Array.tabulate(cb.m)(i => cb.subs(i).norms),
+        cb.subDim))
+
+  /** Flat per-query LUT column: m·k doubles, slot s·k + c holding
+    * dot(q_s, cb_{s,c}) — ONE [[graft.functions.AdcLut]] kernel
+    * evaluation per query row (the codebooks ride as primitive float
+    * references), so the LUT costs one map over Q rows, ZERO joins, and
+    * a constant-size plan. Codebook cells that dropped out during
+    * refinement leave 0.0 slots that no code ever references. */
+  private def lutArray(cb: Codebooks, qe: Column): Column = {
+    val cents: Array[Array[Array[Float]]] = Array.tabulate(cb.m) { s =>
+      Array.tabulate(cb.k) { c =>
+        val j = cb.subs(s).cells.indexOf(c.toLong)
+        if (j < 0) null else cb.subs(s).vecs(j)
+      }
     }
-    df.withColumn("pq_code", array(codes: _*))
+    graft.functions.VectorExpressions.adcLut(qe, cents, cb.subDim)
   }
 
-  /** The codebooks as a long-form literal relation
-    * (sub, code, cvec, cn2=|c|²) — the ADC join side; m·k rows, always
-    * broadcastable. */
-  private def centroidsLong(spark: SparkSession, cb: Codebooks): DataFrame = {
-    import spark.implicits._
-    (for {
-      i <- 0 until cb.m
-      j <- cb.subs(i).cells.indices
-    } yield (i, cb.subs(i).cells(j).toInt, cb.subs(i).vecs(j).toSeq,
-        cb.subs(i).norms(j) * cb.subs(i).norms(j)))
-      .toDF("sub", "code", "cvec", "cn2")
-  }
+  /** The matching flat |c_{s,c}|² literal array (m·k doubles — one global
+    * constant, not per query). */
+  private def cn2Array(cb: Codebooks): Column = typedlit((for {
+    s <- 0 until cb.m
+    c <- 0 until cb.k
+  } yield {
+    val j = cb.subs(s).cells.indexOf(c.toLong)
+    if (j < 0) 0.0 else cb.subs(s).norms(j) * cb.subs(s).norms(j)
+  }).toIndexedSeq)
+
+  /** Σ_s arr[s·k + code_s] via the [[graft.functions.LookupSum]] codegen
+    * kernel — ascending-subspace accumulation (deterministic order; every
+    * consumer rounds to 6 decimals before ranking, so the sum-order
+    * change vs the former hash-aggregate is invisible at the gates). An
+    * element_at chain here pushed the scoring stage out of whole-stage
+    * codegen (measured >100 µs/pair interpreted); the kernel is a tight
+    * primitive loop. */
+  private def sumLookup(arr: Column, code: Column, m: Int, k: Int): Column =
+    graft.functions.VectorExpressions.lookupSum(arr, code, k)
 
   /** ADC approximate top-k by cosine: score(q, x) ≈
     * Σ_i dot(q_i, c_{i,code_i(x)}) / (|q| · |x̂|), with |x̂|² = Σ_i |c|²
@@ -178,26 +203,29 @@ object ProductQuantization {
                 vecCol: String = "embedding"): DataFrame = {
     require(rerank <= 0 || rerankCorpus.nonEmpty,
       "rerank > 0 needs rerankCorpus (the float vectors to rescore)")
-    val spark = codes.sparkSession
-    val cents = centroidsLong(spark, cb)
-    val expl = codes
-      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+    // Round-16 rewrite: the former shape exploded the code table to
+    // (vec_id, sub, code) ROWS and hash-joined a per-query LUT relation,
+    // re-assembling the m parts with a partial-agg shuffle — the phase
+    // bisection at the 100× probe measured that explode→aggregate
+    // pipeline at >half the total search cost. ADC is a LOOKUP, not a
+    // join: each query ships one flat m·k-double LUT array (built
+    // map-only from literal centroids), and each (query, vector) pair is
+    // scored by m static element_at terms — the published PQ scan cost
+    // as one whole-stage-codegen map, with NO explode and NO aggregation
+    // shuffle. The only broadcast is Q × (m·k + 1) doubles ≈ 4 KB/query
+    // at the default dials (the [[AdcMaxQueryBatch]] contract, now ~15×
+    // lighter per query than the former LUT-relation rows).
     val qn = queries.select(col("vec_id").as("query_id"),
       col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
-    val lut = qn.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("sub"), col("code"),
-        Similarity.dot(
-          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
-          col("cvec")).as("_d"),
-        col("cn2"), col("_qn"))
-    val scored = expl.join(broadcast(lut), Seq("sub", "code"))
-      .where(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("_d")).as("_sd"), sum(col("cn2")).as("_rn2"),
-        first(col("_qn")).as("_qn"))
+    val qlut = qn.select(col("query_id"), col("_qn"),
+      lutArray(cb, col("_qe")).as("_lut"))
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Similarity.cosFromDot(col("_sd"), sqrt(col("_rn2")), col("_qn"))
-          .as("_adc"))
+        Similarity.cosFromDot(
+          sumLookup(col("_lut"), col("pq_code"), cb.m, cb.k),
+          sqrt(sumLookup(cn2Array(cb), col("pq_code"), cb.m, cb.k)),
+          col("_qn")).as("_adc"))
     finishAdc(scored, qn, k, rerank, rerankCorpus, vecCol)
   }
 
@@ -310,10 +338,6 @@ object ProductQuantization {
       (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
         (c, _) => Similarity.refineCentroids(corpus, c)
       })
-    val assigned = Similarity.assignCells(
-      corpus.select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("_n")), local)
-      .select(col("vec_id"), col("cell"))
     val cent = Similarity.centroidsDf(spark, local)
     val qn = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
@@ -327,34 +351,30 @@ object ProductQuantization {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    // Probes broadcast (Q × nProbe ids — the structurally small side);
-    // the assigned corpus streams map-side. The candidate ↔ exploded-code
-    // join is corpus-scale on BOTH sides — pinned to a shuffle join.
-    // Unpinned, Catalyst broadcast the assigned corpus AND the n·m-row
-    // exploded code table (its size estimate does not survive
-    // assignCells/Generate): the round-16 plan-audit finding, and the
-    // measured reason the fixed-dial IVFPQ ran SLOWER than the full ADC
-    // scan at the 100× probe.
-    val cand = assigned.join(broadcast(probes), "cell")
+    // Round-16 rewrite: cell AND pq_code both derive MAP-ONLY from the
+    // same corpus scan, so the search plan needs zero corpus shuffles —
+    // scan → assign+encode → broadcast probes (the Q × nProbe small
+    // side) → broadcast per-query LUT arrays → static-lookup score →
+    // top-k window (the plan's only exchange). The former shape exploded
+    // the codes and re-assembled them through a partial-agg shuffle; the
+    // phase bisection at the 100× probe measured that pipeline at more
+    // than half the search cost (and pre-pin, Catalyst broadcast the
+    // corpus-sized sides outright — the audit finding).
+    val corpusSide = encode(
+      Similarity.assignCells(
+        corpus.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("_n")), local), cb)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    val qlut = qn.select(col("query_id"), col("_qn"),
+      lutArray(cb, col("_qe")).as("_lut"))
+    val scored = corpusSide.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val expl = encode(corpus, cb)
-      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
-    val cents = centroidsLong(spark, cb)
-    val lut = qn.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("sub"), col("code"),
-        Similarity.dot(
-          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
-          col("cvec")).as("_d"),
-        col("cn2"), col("_qn"))
-    val scored = cand.join(expl.hint("SHUFFLE_MERGE"), "vec_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("_d")).as("_sd"), sum(col("cn2")).as("_rn2"),
-        first(col("_qn")).as("_qn"))
+      .join(broadcast(qlut), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Similarity.cosFromDot(col("_sd"), sqrt(col("_rn2")), col("_qn"))
-          .as("_adc"))
+        Similarity.cosFromDot(
+          sumLookup(col("_lut"), col("pq_code"), cb.m, cb.k),
+          sqrt(sumLookup(cn2Array(cb), col("pq_code"), cb.m, cb.k)),
+          col("_qn")).as("_adc"))
     finishAdc(scored, qn, k, rerank,
       if (rerank > 0) Some(corpus) else None, "embedding")
   }
@@ -427,46 +447,53 @@ object ProductQuantization {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    // Same candidate-join pins as [[ivfPqTopK]] (probes broadcast, codes
-    // shuffle) — here they make the residual path's accidental good plan
-    // explicit instead of estimate-dependent.
-    val cand = assigned.join(broadcast(probes), "cell")
+    // Round-16 rewrite, the [[ivfPqTopK]] map-only shape adapted to
+    // residual scoring: the corpus side carries (cell, residual code)
+    // from one map pipeline; per-query LUT arrays broadcast; the
+    // cross-term Σ_i (2·dot(c_i, cb) + |cb|²) collapses to a per-CELL
+    // flat m·k-double array computed driver-side from the (local) coarse
+    // centroids + codebooks, broadcast with the centroid vector and |c|²
+    // — nLists rows, the same kilobyte scale as the former row-form
+    // lookup. Driver arithmetic mirrors the VectorDot kernel's in-order
+    // accumulation, so every slot is bit-identical to the former
+    // expression-computed value and the oracle chain is unchanged.
+    val cellSide = {
+      import spark.implicits._
+      local.cells.indices.map { ci =>
+        val cvec = local.vecs(ci)
+        val xt = (for { s <- 0 until cb.m; c <- 0 until cb.k } yield {
+          val j = cb.subs(s).cells.indexOf(c.toLong)
+          if (j < 0) 0.0
+          else {
+            val bv = cb.subs(s).vecs(j)
+            var acc = 0.0
+            var i = 0
+            while (i < cb.subDim) {
+              acc += cvec(s * cb.subDim + i).toDouble * bv(i).toDouble
+              i += 1
+            }
+            2.0 * acc + cb.subs(s).norms(j) * cb.subs(s).norms(j)
+          }
+        }).toIndexedSeq
+        (local.cells(ci), cvec.toSeq,
+          local.norms(ci) * local.norms(ci), xt)
+      }.toDF("cell", "cvec", "_cn2c", "_xt")
+    }
+    val corpusSide = encode(res, cb, vecCol = "resid")
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    val qlut = qn.select(col("query_id"), col("_qe"), col("_qn"),
+      lutArray(cb, col("_qe")).as("_lut"))
+    val scored = corpusSide.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("cell"))
-    val expl = encode(res, cb, vecCol = "resid")
-      .select(col("vec_id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
-    val cents = centroidsLong(spark, cb)
-    // query-side LUT: dot(q_i, cb_{i,code}) per (query, sub, code)
-    val lut = qn.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("sub"), col("code"),
-        Similarity.dot(
-          slice(col("_qe"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
-          col("cvec")).as("_d"),
-        col("_qn"))
-    // cross-term lookup: 2·dot(c_cell_i, cb_{i,code}) + |cb_{i,code}|²
-    val xterm = cent.crossJoin(
-        broadcast(cents.select(col("sub"), col("code"),
-          col("cvec").as("_bv"), col("cn2"))))
-      .select(col("cell"), col("sub"), col("code"),
-        (lit(2.0) * Similarity.dot(
-          slice(col("cvec"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
-          col("_bv")) + col("cn2")).as("_xt"))
-    // per-query base term dot(q, c_cell) and per-cell |c|²
-    val qbase = qn.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("cell"),
-        Similarity.dot(col("_qe"), col("cvec")).as("_qb"))
-    val celln2 = cent.select(col("cell"), (col("cn") * col("cn")).as("_cn2c"))
-    val scored = cand.join(expl.hint("SHUFFLE_MERGE"), "vec_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .join(broadcast(xterm), Seq("cell", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"), col("cell"))
-      .agg(sum(col("_d")).as("_sd"), sum(col("_xt")).as("_xs"),
-        first(col("_qn")).as("_qn"))
-      .join(broadcast(qbase), Seq("query_id", "cell"))
-      .join(broadcast(celln2), Seq("cell"))
+      .join(broadcast(qlut), "query_id")
+      .join(broadcast(cellSide), "cell")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        Similarity.cosFromDot(col("_qb") + col("_sd"),
-          sqrt(col("_cn2c") + col("_xs")), col("_qn")).as("_adc"))
+        Similarity.cosFromDot(
+          Similarity.dot(col("_qe"), col("cvec")) +
+            sumLookup(col("_lut"), col("pq_code"), cb.m, cb.k),
+          sqrt(col("_cn2c") +
+            sumLookup(col("_xt"), col("pq_code"), cb.m, cb.k)),
+          col("_qn")).as("_adc"))
     finishAdc(scored, qn, k, rerank,
       if (rerank > 0) Some(corpus) else None, "embedding")
   }

@@ -130,8 +130,9 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
-  test("PQ encode is map-only (no Exchange) and ADC joins broadcast — " +
-    "the corpus side never sort-merge-joins or cartesians") {
+  test("PQ encode is map-only (no Exchange) and ADC scoring is the " +
+    "round-16 lookup shape: no explode, no aggregation shuffle — the only " +
+    "exchanges are query-side broadcasts and the top-k window") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cb = graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64))
@@ -139,18 +140,27 @@ class PlanInvariantSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!enc.contains("Exchange"),
       "PQ encode shuffles: the storage path must stay map-only")
+    // Full-scan ADC: corpus map + broadcast of the per-query LUT arrays
+    // + window. The former explode→LUT-hash-join→partial-agg pipeline
+    // (measured at >half the 100× search cost) must not come back.
     val adc = graft.ops.ProductQuantization
       .adcTopK(emb, emb.where(col("vec_id") < 5), 3, cb)
       .queryExecution.executedPlan.toString
-    assert(adc.contains("BroadcastHashJoin"),
-      "ADC lost the broadcast LUT join")
+    assert(!adc.contains("Generate"),
+      "ADC re-grew the posexplode of the code table")
+    assert(!adc.contains("HashAggregate") && !adc.contains("ObjectHashAggregate"),
+      "ADC re-grew the per-(query, vector) partial-agg shuffle")
     assert(!adc.contains("SortMergeJoin") && !adc.contains("CartesianProduct"),
       "ADC corpus side must never sort-merge-join or cartesian")
+    // IVF-PQ: cell + code from ONE map pipeline, probes + LUT broadcast —
+    // zero corpus shuffles (the only Exchange is the top-k window's).
     val ivfpq = graft.ops.ProductQuantization
       .ivfPqTopK(emb, emb.where(col("vec_id") < 5), 3, cb)
       .queryExecution.executedPlan.toString
     assert(!ivfpq.contains("CartesianProduct"),
-      "IVF-PQ planned a cartesian — the cell/code joins must stay equi")
+      "IVF-PQ planned a cartesian — the cell joins must stay equi")
+    assert(!ivfpq.contains("Generate") && !ivfpq.contains("SortMergeJoin"),
+      "IVF-PQ search lost the zero-corpus-shuffle lookup shape")
   }
 
   test("round-16 broadcast audit: no ANN query ever broadcasts a " +
@@ -218,8 +228,8 @@ class PlanInvariantSpec extends SparkSuite {
       codes, cb, emb.where(col("vec_id") < 10), 3, chunkRows = 4)
     val p = chunked.queryExecution.executedPlan.toString
     assert(p.contains("Union"), "chunked ADC lost the per-range Union")
-    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
-      "expected one bounded broadcast LUT join per chunk")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 >= 3,
+      "expected one bounded per-chunk broadcast of the query LUT arrays")
     // exactness: per-query top-k is chunk-independent
     val full = graft.ops.ProductQuantization.adcSearch(
       codes, cb, emb.where(col("vec_id") < 10), 3)
