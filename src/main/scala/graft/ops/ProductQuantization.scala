@@ -94,14 +94,22 @@ object ProductQuantization {
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
     val subs = (1 to lloydIters).foldLeft(seeds) { (books, _) =>
-      val stacked = corpus.select(inline(array((0 until m).map { i =>
-        val sv = slice(col(vecCol), i * subDim + 1, subDim)
-        struct(lit(i).as("sub"),
-          graft.functions.VectorExpressions.nearestCentroid(
-            sv, sqrt(Similarity.dot(sv, sv)),
-            books(i).cells, books(i).vecs, books(i).norms).as("cell"),
-          sv.as("sv"))
-      }: _*)))
+      // All m assignments come from ONE PqEncode kernel evaluation per
+      // row (computed in its own projection so the 16 element_at struct
+      // references never duplicate it); the former 16 inline
+      // NearestCentroid instances bloated the stage's generated code —
+      // the same round-16 finding as the encode path.
+      val stacked = corpus
+        .withColumn("_pc", graft.functions.VectorExpressions.pqEncode(
+          col(vecCol),
+          Array.tabulate(m)(i => books(i).cells),
+          Array.tabulate(m)(i => books(i).vecs),
+          Array.tabulate(m)(i => books(i).norms), subDim))
+        .select(inline(array((0 until m).map { i =>
+          struct(lit(i).as("sub"),
+            element_at(col("_pc"), i + 1).cast("long").as("cell"),
+            slice(col(vecCol), i * subDim + 1, subDim).as("sv"))
+        }: _*)))
       val means = stacked.groupBy("sub", "cell")
         .agg(graft.functions.VectorExpressions.vecMean(col("sv")).as("mv"))
         .collect()
@@ -183,9 +191,25 @@ object ProductQuantization {
     * With rerank = 0 the ADC score itself is returned (column `adc`). */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
               rerank: Int = 0, vecCol: String = "embedding"): DataFrame =
-    adcSearch(encode(corpus, cb, vecCol).select(col("vec_id"), col("pq_code")),
+    adcSearch(
+      materialized(encode(corpus, cb, vecCol)
+        .select(col("vec_id"), col("pq_code"))),
       cb, queries, k, rerank,
       rerankCorpus = if (rerank > 0) Some(corpus) else None, vecCol = vecCol)
+
+  /** Row-materialization barrier: forces every column of `df` to be
+    * computed ONCE per row before whatever consumes it. Whole-stage
+    * codegen evaluates stream-side columns lazily at first use — for a
+    * derived column consumed inside a join's matched-row loop that means
+    * once per PAIR, not once per row (measured: the in-plan encode under
+    * the full-scan ADC join re-ran the encode kernel Q× per vector —
+    * 21 s of the 28 s total at the 100× probe). The ser/de pair this
+    * inserts is a narrow-row identity pass (~µs/row) and an optimizer
+    * fence; the production path reads codes from [[pqStore]] and needs
+    * no barrier (scan columns are always materialized). */
+  private def materialized(df: DataFrame): DataFrame =
+    df.mapPartitions(it => it)(
+      org.apache.spark.sql.Encoders.row(df.schema))
 
   /** [[adcTopK]] over PRE-BUILT codes — the managed path: `codes` is
     * (vec_id, pq_code) (e.g. read from [[pqStore]]), so the float corpus
@@ -360,11 +384,11 @@ object ProductQuantization {
     // phase bisection at the 100× probe measured that pipeline at more
     // than half the search cost (and pre-pin, Catalyst broadcast the
     // corpus-sized sides outright — the audit finding).
-    val corpusSide = encode(
+    val corpusSide = materialized(encode(
       Similarity.assignCells(
         corpus.select(col("vec_id"), col("embedding"),
           Similarity.norm(col("embedding")).as("_n")), local), cb)
-      .select(col("vec_id"), col("cell"), col("pq_code"))
+      .select(col("vec_id"), col("cell"), col("pq_code")))
     val qlut = qn.select(col("query_id"), col("_qn"),
       lutArray(cb, col("_qe")).as("_lut"))
     val scored = corpusSide.join(broadcast(probes), "cell")
@@ -479,8 +503,8 @@ object ProductQuantization {
           local.norms(ci) * local.norms(ci), xt)
       }.toDF("cell", "cvec", "_cn2c", "_xt")
     }
-    val corpusSide = encode(res, cb, vecCol = "resid")
-      .select(col("vec_id"), col("cell"), col("pq_code"))
+    val corpusSide = materialized(encode(res, cb, vecCol = "resid")
+      .select(col("vec_id"), col("cell"), col("pq_code")))
     val qlut = qn.select(col("query_id"), col("_qe"), col("_qn"),
       lutArray(cb, col("_qe")).as("_lut"))
     val scored = corpusSide.join(broadcast(probes), "cell")
