@@ -1846,6 +1846,44 @@ object SparkEntry {
         graft.ops.ProductQuantization.ivfPqTopKAuto(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
           rerank = 50))),
+    // Auto dials with SAMPLED coarse training (stride = max(1,
+    // n/(16*nLists)) — the FAISS bounded-sample practice): the round-16
+    // 100x probes measured the sqrt-n coarse Lloyd pass as the auto
+    // rows' dominant cost; sampling caps its voters at ~16*nLists rows
+    // while the corpus-wide assignment still covers every vector.
+    // Stride degenerates to 1 at sf0.01 (sampled == full, asserted in
+    // PqSpec); sf0.1 runs stride 2, so the sampling arithmetic itself
+    // is hash-compared. Full top-5 hash-compares at both scales.
+    "sim_ann_ivf_pq_auto_sampled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.ivfPqTopKAutoSampled(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    // ... and its production recall gate (exact refine of 50): the
+    // standard 0.8 bar — the dial question is whether a 16-vectors-per-
+    // centroid training sample costs recall vs the full trainer's
+    // 0.94 / 0.97.
+    "sim_ann_ivf_pq_auto_sampled_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.ivfPqTopKAutoSampled(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
+          rerank = 50))),
+    // The fully MANAGED IVF-PQ index: coarse centroids (sampled-sqrt-n),
+    // codebooks, and (vec_id, cell, pq_code) index rows all come from
+    // fingerprinted write-once stores; search reads NOTHING but stored
+    // state plus the query floats — the parquet FAISS index. Oracle is
+    // the sampled-auto chain verbatim: stored artifacts round-trip
+    // bit-exactly, so a warm index is indistinguishable from a fresh
+    // build.
+    "sim_ann_ivf_pq_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (coded, cb, local, nProbe) =
+        graft.ops.ProductQuantization.ivfPqStore(
+          s, emb, s"$dir/embeddings.parquet", "registry")
+      graft.ops.ProductQuantization.ivfPqSearch(coded, cb, local,
+        emb.where(col("vec_id") < 20), 5, nProbe)
+    }),
     // Residual-encoded IVFPQ (FAISS by_residual): codes quantize
     // vector MINUS coarse centroid instead of the raw vector — residuals
     // concentrate near zero, so the same 16x5 bits capture the
@@ -2016,6 +2054,17 @@ object SparkEntry {
 
   private val AutoIvfPqChain =
     ivfChain(AutoNListsSql, "embeddings", AutoNProbeSql)
+
+  /** Coarse-training sample stride — `Similarity.coarseTrainStride`
+    * recomputed symbolically: `max(1, n ÷ (16·nLists))`, pure BIGINT
+    * arithmetic (DuckDB `//` is floor division, exact on the positive
+    * integers involved), so the sampled chain is oracle-gated
+    * end-to-end. */
+  private val AutoCoarseStrideSql =
+    s"greatest(1, (SELECT count(*) FROM embeddings) // (16 * ($AutoNListsSql)))"
+
+  private val SampledIvfPqChain =
+    ivfChain(AutoNListsSql, "embeddings", AutoNProbeSql, AutoCoarseStrideSql)
 
   /** Recall-gate tail over `ranked`/`nrm` CTEs: recall@5 of an
     * approximate top-5 (read from `src`, default the `ranked` CTE)
@@ -2390,7 +2439,14 @@ object SparkEntry {
 
   private def ivfChain(nListsSql: String,
                        table: String = "embeddings",
-                       nProbeSql: String = "4"): String =
+                       nProbeSql: String = "4",
+                       refineStrideSql: String = "1"): String = {
+    // Sampled coarse training (Similarity.trainCentroidsSampled): only
+    // every stride-th vec_id VOTES in the Lloyd refine; stride "1" keeps
+    // the chain byte-identical to the full trainer's.
+    val sampleWhere =
+      if (refineStrideSql == "1") ""
+      else s"\n    WHERE (v.vec_id % ($refineStrideSql)) = 0"
     s"""nrm AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -2406,7 +2462,7 @@ object SparkEntry {
         |        list_dot_product(CAST(v.embedding AS DOUBLE[]),
         |                         CAST(s.cvec AS DOUBLE[])) / nullif(v.n * s.cn, 0) DESC,
         |        s.cell) AS rn
-        |    FROM nrm v CROSS JOIN seed s) t
+        |    FROM nrm v CROSS JOIN seed s$sampleWhere) t
         |  WHERE rn = 1
         |), cent AS (
         |  SELECT cell,
@@ -2458,6 +2514,7 @@ object SparkEntry {
         |  FROM scored
         |)
         |""".stripMargin
+  }
 
   private def simOracles: Map[String, String] = Map(
     "sim_ann_lsh" -> ("WITH " + LshBucketChain +
@@ -2806,6 +2863,27 @@ object SparkEntry {
     "sim_ann_ivf_pq_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
       pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
+
+    // Sampled coarse training: the auto chain with the Lloyd refine
+    // restricted to every stride-th vec_id (stride recomputed from
+    // count(*) — see AutoCoarseStrideSql).
+    "sim_ann_ivf_pq_auto_sampled" -> ("WITH " + SampledIvfPqChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_pq_auto_sampled_recall" -> ("WITH " + SampledIvfPqChain +
+      ", " + pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
+
+    // Managed index == sampled-auto build, read back from parquet
+    // stores: same oracle verbatim (the sim_pq_managed precedent).
+    "sim_ann_ivf_pq_managed" -> ("WITH " + SampledIvfPqChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Residual IVFPQ: coarse chain -> residual CTE -> residual-trained
     // PQ chains -> cross-term ADC tail (see ResAdcTail).

@@ -357,24 +357,10 @@ object ProductQuantization {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 cb: Codebooks, nLists: Int = 16, nProbe: Int = 4,
                 lloydIters: Int = 1, rerank: Int = 0): DataFrame = {
-    val spark = corpus.sparkSession
     val local = Similarity.collectCentroids(
       (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
         (c, _) => Similarity.refineCentroids(corpus, c)
       })
-    val cent = Similarity.centroidsDf(spark, local)
-    val qn = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("_sim").desc, col("cell"))
-    val probes = qn.crossJoin(broadcast(cent))
-      .select(col("query_id"),
-        Similarity.cosFromDot(Similarity.dot(col("_qe"), col("cvec")),
-          col("_qn"), col("cn")).as("_sim"),
-        col("cell"))
-      .withColumn("_pr", row_number().over(qw))
-      .where(col("_pr") <= nProbe)
-      .select(col("query_id"), col("cell"))
     // Round-16 rewrite: cell AND pq_code both derive MAP-ONLY from the
     // same corpus scan, so the search plan needs zero corpus shuffles —
     // scan → assign+encode → broadcast probes (the Q × nProbe small
@@ -389,9 +375,40 @@ object ProductQuantization {
         corpus.select(col("vec_id"), col("embedding"),
           Similarity.norm(col("embedding")).as("_n")), local), cb)
       .select(col("vec_id"), col("cell"), col("pq_code")))
+    ivfPqSearch(corpusSide, cb, local, queries, k, nProbe, rerank,
+      if (rerank > 0) Some(corpus) else None)
+  }
+
+  /** The IVF-PQ search plan over a PRE-BUILT (vec_id, cell, pq_code)
+    * side — shared by [[ivfPqTopK]] (in-plan assign+encode) and the
+    * managed [[ivfPqStore]] path (stored codes, zero construction).
+    * Probes rank the Q×nLists centroid broadcast per query; candidates
+    * come from the cell-equi join; scoring is the flat-LUT static
+    * lookup. The only exchange downstream of `coded` is the top-k
+    * window. */
+  def ivfPqSearch(coded: DataFrame, cb: Codebooks,
+                  local: Similarity.LocalCentroids, queries: DataFrame,
+                  k: Int, nProbe: Int, rerank: Int = 0,
+                  rerankCorpus: Option[DataFrame] = None): DataFrame = {
+    require(rerank <= 0 || rerankCorpus.nonEmpty,
+      "rerank > 0 needs rerankCorpus (the float vectors to rescore)")
+    val spark = coded.sparkSession
+    val cent = Similarity.centroidsDf(spark, local)
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("cell"))
+    val probes = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"),
+        Similarity.cosFromDot(Similarity.dot(col("_qe"), col("cvec")),
+          col("_qn"), col("cn")).as("_sim"),
+        col("cell"))
+      .withColumn("_pr", row_number().over(qw))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("cell"))
     val qlut = qn.select(col("query_id"), col("_qn"),
       lutArray(cb, col("_qe")).as("_lut"))
-    val scored = corpusSide.join(broadcast(probes), "cell")
+    val scored = coded.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .join(broadcast(qlut), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -399,8 +416,7 @@ object ProductQuantization {
           sumLookup(col("_lut"), col("pq_code"), cb.m, cb.k),
           sqrt(sumLookup(cn2Array(cb), col("pq_code"), cb.m, cb.k)),
           col("_qn")).as("_adc"))
-    finishAdc(scored, qn, k, rerank,
-      if (rerank > 0) Some(corpus) else None, "embedding")
+    finishAdc(scored, qn, k, rerank, rerankCorpus, "embedding")
   }
 
   /** Each corpus vector's coarse cell plus its RESIDUAL
@@ -553,6 +569,35 @@ object ProductQuantization {
     ivfPqTopK(corpus, queries, k, cb, nLists, nProbe, lloydIters, rerank)
   }
 
+  /** [[ivfPqTopKAuto]] with the coarse quantizer trained on the
+    * [[Similarity.coarseTrainStride]] sample — the construction-cost fix
+    * the round-16 100× probes demanded: at the √n dial the coarse Lloyd
+    * refine pass was the auto rows' dominant term (O(n·√n·d) map work —
+    * ~half of `sim_ann_ivf_pq_auto`'s 11 s at n=200k, and the SAME bill
+    * re-measured in `sim_ann_ivf_hamming_auto`); sampling caps the
+    * refine's voters at ~16·nLists rows (the published FAISS practice —
+    * coarse quantizers train on a bounded sample), making refine
+    * O(n·d) while the corpus-wide ASSIGNMENT to the trained centroids —
+    * which decides correctness — still covers every row. Stride, dials,
+    * and every downstream bit stay oracle-computable. */
+  def ivfPqTopKAutoSampled(corpus: DataFrame, queries: DataFrame, k: Int,
+                           cb: Codebooks, lloydIters: Int = 1,
+                           rerank: Int = 0,
+                           corpusRows: Option[Long] = None): DataFrame = {
+    val n = corpusRows.getOrElse(corpus.count())
+    val nLists = Similarity.autoNLists(n)
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val local = Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
+      Similarity.coarseTrainStride(n, nLists))
+    val corpusSide = materialized(encode(
+      Similarity.assignCells(
+        corpus.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("_n")), local), cb)
+      .select(col("vec_id"), col("cell"), col("pq_code")))
+    ivfPqSearch(corpusSide, cb, local, queries, k, nProbe, rerank,
+      if (rerank > 0) Some(corpus) else None)
+  }
+
   /** Persistent PQ store: train + encode ONCE, persist TWO artifacts
     * under the [[FingerprintStore]] contract (version-keyed by scheme +
     * dials, staleness by source listing, atomic publish) — the codebooks
@@ -571,8 +616,26 @@ object ProductQuantization {
               storeRoot: Option[String] = None, m: Int = 16, k: Int = 32,
               vecCol: String = "embedding",
               idCols: Seq[String] = Seq("vec_id")): (DataFrame, Codebooks) = {
-    import spark.implicits._
     val version = s"$CodeStoreVersion-m$m-k$k"
+    val cb = booksArtifact(spark, embeddings, sourcePath, tag, storeRoot,
+      m, k, vecCol, version)
+    val codes = FingerprintStore.getOrBuild(spark, sourcePath, tag, version,
+      storeRoot)(
+      encode(embeddings, cb, vecCol).select((idCols :+ "pq_code").map(col): _*))
+    (codes, cb)
+  }
+
+  /** The persisted-codebooks half of [[pqStore]]: train-once under
+    * `$tag-books`, read back as [[Codebooks]] (norms recomputed with
+    * [[train]]'s in-order driver fold — float parquet round-trips
+    * bit-exactly, so a stored book is indistinguishable from a fresh
+    * one). Shared by [[pqStore]] and [[ivfPqStore]] so both entry points
+    * hit the SAME artifact for matching dials. */
+  private def booksArtifact(spark: SparkSession, embeddings: DataFrame,
+                            sourcePath: String, tag: String,
+                            storeRoot: Option[String], m: Int, k: Int,
+                            vecCol: String, version: String): Codebooks = {
+    import spark.implicits._
     val booksDf = FingerprintStore.getOrBuild(spark, sourcePath,
       s"$tag-books", version, storeRoot) {
       val cb = train(embeddings, m, k, vecCol = vecCol)
@@ -585,16 +648,66 @@ object ProductQuantization {
     val rows = booksDf.select(col("sub"), col("cell"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
     val subDim = rows.head._3.length
-    val cb = Codebooks(m, subDim, k, (0 until m).map { i =>
+    Codebooks(m, subDim, k, (0 until m).map { i =>
       val sub = rows.filter(_._1 == i).sortBy(_._2)
       val vecs = sub.map(_._3)
       Similarity.LocalCentroids(sub.map(_._2), vecs,
         vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
     })
-    val codes = FingerprintStore.getOrBuild(spark, sourcePath, tag, version,
-      storeRoot)(
-      encode(embeddings, cb, vecCol).select((idCols :+ "pq_code").map(col): _*))
-    (codes, cb)
+  }
+
+  /** Persistent IVF-PQ index — the full managed production shape: ONE
+    * build pass trains the sampled-√n coarse quantizer
+    * ([[Similarity.trainCentroidsSampled]] at the
+    * [[Similarity.coarseTrainStride]] stride) and the PQ codebooks, then
+    * persists THREE fingerprinted artifacts: the codebooks (`$tag-books`,
+    * SHARED with [[pqStore]] at matching dials), the coarse centroids
+    * (`$tag-coarse`: (cell, cvec) — nLists ≈ √n rows), and the combined
+    * index rows (`$tag-ivf`: (id…, cell, pq_code) — 8+16 B/vector, the
+    * inverted file and the codes in one scan). A warm read costs two
+    * kilobyte-scale collects plus the index scan; NO training, NO float
+    * corpus read — [[ivfPqSearch]] over the returned state is the
+    * write-once/search-many FAISS index made of parquet.
+    *
+    * Returns (index rows, codebooks, coarse centroids, nProbe) with
+    * nProbe = max(4, ⌈√nLists⌉) — the [[ivfPqTopKAuto]] dial, derived
+    * from the same count the build used. */
+  def ivfPqStore(spark: SparkSession, embeddings: DataFrame,
+                 sourcePath: String, tag: String,
+                 storeRoot: Option[String] = None, m: Int = 16, k: Int = 32,
+                 corpusRows: Option[Long] = None,
+                 vecCol: String = "embedding",
+                 idCols: Seq[String] = Seq("vec_id")):
+      (DataFrame, Codebooks, Similarity.LocalCentroids, Int) = {
+    import spark.implicits._
+    val n = corpusRows.getOrElse(embeddings.count())
+    val nLists = Similarity.autoNLists(n)
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = Similarity.coarseTrainStride(n, nLists)
+    val cb = booksArtifact(spark, embeddings, sourcePath, tag, storeRoot,
+      m, k, vecCol, s"$CodeStoreVersion-m$m-k$k")
+    val coarseDf = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-coarse", s"$CodeStoreVersion-L$nLists-s$stride", storeRoot) {
+      val local = Similarity.trainCentroidsSampled(
+        embeddings.select(col("vec_id"), col(vecCol).as("embedding")),
+        nLists, lloydIters = 1, stride = stride)
+      local.cells.indices
+        .map(i => (local.cells(i), local.vecs(i).toSeq))
+        .toDF("cell", "cvec")
+    }
+    val crows = coarseDf.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val local = Similarity.LocalCentroids(crows.map(_._1), crows.map(_._2),
+      crows.map(c => math.sqrt(
+        c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+    val coded = FingerprintStore.getOrBuild(spark, sourcePath, s"$tag-ivf",
+      s"$CodeStoreVersion-m$m-k$k-L$nLists-s$stride", storeRoot)(
+      encode(
+        Similarity.assignCells(
+          embeddings.select((idCols.map(col) :+ col(vecCol).as("embedding") :+
+            Similarity.norm(col(vecCol)).as("_n")): _*), local), cb, "embedding")
+        .select((idCols.map(col) :+ col("cell") :+ col("pq_code")): _*))
+    (coded, cb, local, nProbe)
   }
 
   /** Code-only view of [[pqStore]] (the [[Quantization.int8CodeStore]]

@@ -251,6 +251,41 @@ object Similarity {
   def autoNLists(corpusRows: Long): Int =
     math.max(16, math.ceil(math.sqrt(corpusRows.toDouble)).toInt)
 
+  /** Deterministic stride for SAMPLED coarse training: refine the coarse
+    * quantizer on every `stride`-th vector id so the Lloyd pass touches
+    * ~16·nLists rows (the FAISS practice — the coarse quantizer trains on
+    * a bounded sample, never the corpus) instead of all n. With the √n
+    * auto dial the refine pass drops from O(n·√n·d) to O(√n·√n·d) =
+    * O(n·d) — the construction term the round-16 100× probes measured as
+    * the auto rows' dominant cost. Pure integer arithmetic
+    * (`max(1, n ÷ (16·nLists))`), so DuckDB's
+    * `greatest(1, n // (16 * nLists))` reproduces it bit-for-bit and the
+    * sampled chain stays oracle-gated end-to-end. At the sf0.01 gate the
+    * stride degenerates to 1 (sample ⊇ corpus — sampled ≡ full, also
+    * asserted in PqSpec); sf0.1 runs stride 2, exercising the sampling
+    * arithmetic under the hash gate. */
+  def coarseTrainStride(corpusRows: Long, nLists: Int): Long =
+    math.max(1L, corpusRows / (16L * nLists))
+
+  /** Coarse centroids with the Lloyd refinement restricted to the
+    * [[coarseTrainStride]] sample: seeds are the usual first-nLists rows,
+    * each refine iteration assigns ONLY `vec_id % stride == 0` rows and
+    * re-means over those. Stride 1 is bit-identical to the full trainer.
+    * The final corpus-wide cell assignment (which every IVF consumer does
+    * against the RETURNED centroids) is unchanged — sampling bounds who
+    * VOTES on centroid positions, never who gets assigned. */
+  private[graft] def trainCentroidsSampled(corpus: DataFrame, nLists: Int,
+                                           lloydIters: Int,
+                                           stride: Long): LocalCentroids = {
+    val sample =
+      if (stride <= 1L) corpus
+      else corpus.where(col("vec_id") % lit(stride) === 0)
+    collectCentroids(
+      (1 to lloydIters).foldLeft(seedCentroids(corpus, nLists)) {
+        (c, _) => refineCentroids(sample, c)
+      })
+  }
+
   /** [[ivfTopK]] with nLists set by [[autoNLists]] from a corpus count —
     * one cheap count action (parquet metadata for file sources), then the
     * identical plan. The dial that must grow with the corpus now does.

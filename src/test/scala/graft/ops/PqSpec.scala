@@ -208,6 +208,48 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("trainCentroidsSampled: stride 1 is bit-identical to the full " +
+    "trainer; stride s trains on exactly the vec_id % s == 0 voters") {
+    val full = Similarity.collectCentroids(
+      Similarity.refineCentroids(corpus, Similarity.seedCentroids(corpus, 2)))
+    val s1 = Similarity.trainCentroidsSampled(corpus, 2, 1, stride = 1)
+    assert(s1.cells.sameElements(full.cells))
+    assert(s1.vecs.zip(full.vecs).forall { case (a, b) => a.sameElements(b) })
+    val s2 = Similarity.trainCentroidsSampled(corpus, 2, 1, stride = 2)
+    val manual = Similarity.collectCentroids(
+      Similarity.refineCentroids(corpus.where(col("vec_id") % 2 === 0),
+        Similarity.seedCentroids(corpus, 2)))
+    assert(s2.cells.sameElements(manual.cells))
+    assert(s2.vecs.zip(manual.vecs).forall { case (a, b) => a.sameElements(b) })
+    // the sampled set actually differs from the full one on this corpus
+    assert(!s2.vecs.zip(full.vecs).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("ivfPqStore + ivfPqSearch: the managed index searches identically " +
+    "to the fresh sampled-auto build and publishes three artifacts") {
+    val src = tmpDir("ivfpq-src") + "/embeddings.parquet"
+    corpus.write.parquet(src)
+    val emb = spark.read.parquet(src)
+    val root = tmpDir("ivfpq-store")
+    val q = emb.where(col("vec_id") < 2)
+    val fresh = ProductQuantization
+      .ivfPqTopKAutoSampled(emb, q, 2,
+        ProductQuantization.train(emb, m = 4, k = 2))
+      .collect().map(_.toSeq).toSeq
+    for (_ <- 1 to 2) { // second pass serves everything from the store
+      val (coded, cb, local, nProbe) = ProductQuantization.ivfPqStore(
+        spark, emb, src, "t", Some(root), m = 4, k = 2)
+      val managed = ProductQuantization
+        .ivfPqSearch(coded, cb, local, q, 2, nProbe)
+        .collect().map(_.toSeq).toSeq
+      assert(managed == fresh)
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    for (part <- Seq("t-books", "t-coarse", "t-ivf"))
+      assert(names.exists(_.startsWith(s"graft_sigstore_$part")),
+        s"missing $part artifact in ${names.mkString(", ")}")
+  }
+
   test("pqCodeStore: build-once/read-many round trip is stable and " +
     "reuses the published store") {
     val src = tmpDir("pq-src") + "/embeddings.parquet"

@@ -179,7 +179,8 @@ class PlanInvariantSpec extends SparkSuite {
     import org.apache.spark.sql.catalyst.expressions.IsNotNull
     for (q <- Seq("sim_topk_bruteforce", "sim_hamming_topk", "sim_ann_lsh",
         "sim_ann_ivf", "sim_ann_ivf_quantized", "sim_ann_ivf_hamming",
-        "sim_ann_ivf_pq", "sim_ann_ivf_pq_residual", "sim_pq_adc")) {
+        "sim_ann_ivf_pq", "sim_ann_ivf_pq_residual", "sim_pq_adc",
+        "sim_ann_ivf_pq_auto_sampled")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan
       plan.foreach {
