@@ -69,7 +69,18 @@ object DumpPlans {
     // id-only posexplode Generate feeding a BroadcastHashJoin on the
     // (sub, code) LUT, then one partial-agg exchange — never a
     // sort-merge join or cartesian on the corpus side
-    "embed_pq_encode", "sim_pq_adc", "sim_ann_ivf_pq_auto")
+    "embed_pq_encode", "sim_pq_adc", "sim_ann_ivf_pq_auto",
+    // round-16: the lookup-rewrite family — ADC scoring must be a
+    // static-lookup projection over a materialized code side (no
+    // explode, no partial-agg exchange, no corpus-side broadcast);
+    // residual adds the per-cell cross-term broadcast (nLists rows);
+    // IVF-Hamming is the xor+popcount prefilter + bounded exact refine;
+    // the managed row must plan a pure store-scan search (no VectorMean
+    // training aggregate anywhere); pipeline v2 composes the
+    // decontamination max-cosine into the CC keep-list plan
+    "sim_ann_ivf_pq_residual", "sim_ann_ivf_hamming",
+    "sim_ann_ivf_pq_auto_sampled", "sim_ann_ivf_pq_managed",
+    "text_token_count_bpe", "pipeline_clean_corpus_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
