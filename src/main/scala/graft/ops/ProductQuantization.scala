@@ -339,6 +339,77 @@ object ProductQuantization {
       }.reduce(_.unionAll(_))
   }
 
+  /** Three-tier cascade search — the full storage ladder composed into
+    * one query, reading progressively fewer bytes per surviving
+    * candidate: the 1-bit sign codes ([[Quantization.binarize]],
+    * 8 B/vector) rank the WHOLE corpus by Hamming distance and keep the
+    * top-`r1` per query; ADC over the PQ codes (16 B/vector at the
+    * default dials) rescores ONLY those `r1` and keeps the top-`r2`;
+    * the float vectors (256 B/vector) are read for exactly `r2` rows
+    * per query by the exact-cosine refine that emits the final top-k.
+    *
+    * At 100 TB (10^10 vectors, 2.5 TB of floats) the per-query byte
+    * bill is 80 GB of sign codes scanned + r1×16 B of PQ codes +
+    * r2×256 B of floats — the corpus-sized term is the CHEAPEST tier,
+    * and each later tier's read volume is a query-bounded constant.
+    * This is the published binary-prefilter + PQ-rerank + exact-refine
+    * pipeline (the "sign-bit coarse ranking" shape FAISS documents as
+    * IndexBinaryFlat → refine chains).
+    *
+    * Plan shape: stage 1 is [[hammingTopK]]'s scan (query codes
+    * broadcast at 8 B each, map-side WindowGroupLimit prunes to r1);
+    * stage 2 joins the candidate ids to the code table — the
+    * corpus-derived side, pinned SHUFFLE_MERGE, never broadcast — and
+    * scores with the same flat-LUT kernels as [[adcSearch]] (the LUT
+    * broadcast is query-bounded, [[AdcMaxQueryBatch]] contract);
+    * stage 3 is [[finishAdc]]'s exact-refine tail (query floats
+    * broadcast, corpus float side pinned).
+    *
+    * `codes` supplies pre-built PQ codes (e.g. [[pqStore]]) — the
+    * managed shape where the float corpus is touched only by the
+    * refine stage; omitted, the corpus is encoded in-plan. Ranking is
+    * deterministic at every tier: integer Hamming, round-before-rank
+    * ADC, rounded exact cosine, ties by neighbor id. */
+  def cascadeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  cb: Codebooks, r1: Int = 200, r2: Int = 50,
+                  dim: Int = 64, codes: Option[DataFrame] = None,
+                  vecCol: String = "embedding"): DataFrame = {
+    require(r1 >= r2, s"cascade: r1=$r1 must be >= r2=$r2")
+    require(r2 >= k, s"cascade: r2=$r2 must be >= k=$k")
+    // stage 1: whole-corpus Hamming prefilter over the sign bits
+    val c1 = Quantization.binarize(corpus, vecCol, dim)
+      .select(col("vec_id"), col("bcode"))
+    val q1 = Quantization.binarize(queries, vecCol, dim)
+      .select(col("vec_id").as("query_id"), col("bcode").as("_qc"))
+    val hw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand1 = c1.join(broadcast(q1), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("bcode").bitwiseXOR(col("_qc"))).cast("long")
+          .as("hamming"))
+      .withColumn("_r", row_number().over(hw))
+      .where(col("_r") <= r1)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: ADC over the PQ codes of the stage-1 survivors only
+    val pq = codes.getOrElse(materialized(encode(corpus, cb, vecCol)
+      .select(col("vec_id"), col("pq_code"))))
+    val qn = queries.select(col("vec_id").as("query_id"),
+      col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
+    val qlut = qn.select(col("query_id"), col("_qn"),
+      lutArray(cb, col("_qe")).as("_lut"))
+    val scored = cand1
+      .join(pq.select(col("vec_id").as("neighbor_id"), col("pq_code"))
+        .hint("SHUFFLE_MERGE"), "neighbor_id") // corpus side: never broadcast
+      .join(broadcast(qlut), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosFromDot(
+          sumLookup(col("_lut"), col("pq_code"), cb.m, cb.k),
+          sqrt(sumLookup(cn2Array(cb), col("pq_code"), cb.m, cb.k)),
+          col("_qn")).as("_adc"))
+    // stage 3: exact refine of the ADC top-r2 (the shared rerank tail)
+    finishAdc(scored, qn, k, r2, Some(corpus), vecCol)
+  }
+
   /** IVF-PQ — the composed FAISS shape: the IVF coarse quantizer
     * ([[Similarity.seedCentroids]] + Lloyd refinement, identical chain to
     * [[Similarity.ivfTopK]]) bounds each query's candidate set to its
