@@ -1832,7 +1832,12 @@ object SparkEntry {
     // sqrt-nLists — the 100× probe's winning point: fixed 16/4 ran
     // SLOWER than a full ADC scan at n=200k, sqrt-n cells 40% faster at
     // recall 1.0). nLists and nProbe are recomputed from count(*) inside
-    // the oracle, so the turned dials hash-compare end-to-end.
+    // the oracle, so the turned dials hash-compare end-to-end. Since
+    // round 17 the auto default trains the coarse quantizer on the
+    // bounded stride sample (the round-16 bisection measured the full
+    // refine as every auto row's dominant 100x term); the oracle is the
+    // SAMPLED chain, and sim_ann_ivf_pq_auto_full gates the full-refine
+    // opt-in.
     "sim_ann_ivf_pq_auto" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.ops.ProductQuantization.ivfPqTopKAuto(
@@ -1846,14 +1851,26 @@ object SparkEntry {
         graft.ops.ProductQuantization.ivfPqTopKAuto(c, q, 5,
           graft.ops.ProductQuantization.train(c, 16, 32, dimHint = Some(64)),
           rerank = 50))),
-    // Auto dials with SAMPLED coarse training (stride = max(1,
-    // n/(16*nLists)) — the FAISS bounded-sample practice): the round-16
-    // 100x probes measured the sqrt-n coarse Lloyd pass as the auto
-    // rows' dominant cost; sampling caps its voters at ~16*nLists rows
-    // while the corpus-wide assignment still covers every vector.
-    // Stride degenerates to 1 at sf0.01 (sampled == full, asserted in
-    // PqSpec); sf0.1 runs stride 2, so the sampling arithmetic itself
-    // is hash-compared. Full top-5 hash-compares at both scales.
+    // The explicit full-refine opt-in (fullRefine = true): the pre-17
+    // auto behavior — every corpus row votes in the coarse Lloyd refine
+    // — kept for write-once builds where construction cost is
+    // irrelevant; oracle is the UNSAMPLED auto chain, so the opt-in
+    // path stays hash-gated end-to-end.
+    "sim_ann_ivf_pq_auto_full" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.ivfPqTopKAuto(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)),
+        fullRefine = true)
+    }),
+    // The SAMPLED coarse-training rows (stride = max(1, n/(16*nLists))
+    // — the FAISS bounded-sample practice). Since round 17 this IS the
+    // auto default, so these rows gate the same path as
+    // sim_ann_ivf_pq_auto through the sampled entry-point alias; kept
+    // because the A/B history (SCALING.md) names them. Stride
+    // degenerates to 1 at sf0.01 (sampled == full, asserted in PqSpec);
+    // sf0.1 runs stride 2, so the sampling arithmetic itself is
+    // hash-compared. Full top-5 hash-compares at both scales.
     "sim_ann_ivf_pq_auto_sampled" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.ops.ProductQuantization.ivfPqTopKAutoSampled(
@@ -2854,15 +2871,22 @@ object SparkEntry {
 
     // Auto dials recomputed in SQL: nLists from count(*), nProbe from
     // sqrt(nLists) — the composed chains otherwise identical.
-    "sim_ann_ivf_pq_auto" -> ("WITH " + AutoIvfPqChain + ", " +
+    "sim_ann_ivf_pq_auto" -> ("WITH " + SampledIvfPqChain + ", " +
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
       """
         |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
-    "sim_ann_ivf_pq_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
+    "sim_ann_ivf_pq_auto_recall" -> ("WITH " + SampledIvfPqChain + ", " +
       pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
       pqRerankTail(50, "pranked") + recallTail(0.8, "rranked")),
+
+    // The full-refine opt-in: the unsampled auto chain.
+    "sim_ann_ivf_pq_auto_full" -> ("WITH " + AutoIvfPqChain + ", " +
+      pqChains(16, 32, 4, includeNrm = false) + IvfPqTail +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM pranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Sampled coarse training: the auto chain with the Lloyd refine
     // restricted to every stride-th vec_id (stride recomputed from
@@ -2898,7 +2922,7 @@ object SparkEntry {
     "sim_ann_ivf_pq_residual_recall" -> (residualIvfPqSql(IvfChain) +
       pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
 
-    "sim_ann_ivf_pq_residual_auto_recall" -> (residualIvfPqSql(AutoIvfPqChain) +
+    "sim_ann_ivf_pq_residual_auto_recall" -> (residualIvfPqSql(SampledIvfPqChain) +
       pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
 
     // Sign codes are plain BIGINTs — compared directly, no digest.
@@ -2929,11 +2953,11 @@ object SparkEntry {
       binChain(includeNrm = false) + IvfHammingTail +
       pqRerankTail(200, "ihr") + recallTail(0.8, "rranked")),
 
-    "sim_ann_ivf_hamming_auto_recall" -> ("WITH " + AutoIvfPqChain + ", " +
+    "sim_ann_ivf_hamming_auto_recall" -> ("WITH " + SampledIvfPqChain + ", " +
       binChain(includeNrm = false) + IvfHammingTail +
       pqRerankTail(200, "ihr") + recallTail(0.8, "rranked")),
 
-    "sim_ann_ivf_hamming_auto" -> ("WITH " + AutoIvfPqChain + ", " +
+    "sim_ann_ivf_hamming_auto" -> ("WITH " + SampledIvfPqChain + ", " +
       binChain(includeNrm = false) + IvfHammingTail +
       pqRerankTail(200, "ihr") +
       """

@@ -196,6 +196,12 @@ case class PqEncode(child: Expression, cells: Array[Array[Long]],
 
   require(cells.length == cents.length && cells.length == cnorms.length,
     "per-subspace codebook arrays must align")
+  // Mirror NearestCentroid's contract: the documented lowest-cell-on-ties /
+  // zero-norm rule reads cells(s)(0), so every subspace needs a non-empty,
+  // ascending cell list — an unsorted book would silently break tie order,
+  // an empty one would throw inside generated code.
+  require(cells.forall(cl => cl.nonEmpty && cl.sameElements(cl.sorted)),
+    "pq_encode: each subspace's cells must be non-empty and ascending")
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)

@@ -44,7 +44,15 @@ object ProductQuantization {
   /** Trained per-subspace codebooks. `subs(i)` holds subspace i's
     * centroid ids (= seed vec_ids, ascending), vectors and norms. */
   final case class Codebooks(m: Int, subDim: Int, k: Int,
-      subs: IndexedSeq[Similarity.LocalCentroids])
+      subs: IndexedSeq[Similarity.LocalCentroids]) {
+    // The flat-LUT scoring path ([[lutArray]]/[[cn2Array]] +
+    // [[graft.functions.LookupSum]]) indexes slot s·k + c with NO bounds
+    // check in generated code, so cell ids must be dense-range: a corpus
+    // whose seed vec_ids are not in [0, k) would corrupt scores (or throw
+    // ArrayIndexOutOfBounds) instead of failing fast here.
+    require(subs.forall(_.cells.forall(c => c >= 0 && c < k)),
+      s"PQ codebook cells must lie in [0, $k): flat-LUT slots are s*k + c")
+  }
 
   /** Scheme version for [[pqCodeStore]] — bump on any arithmetic change
     * (seeding, metric, refinement) so stale stores rebuild by key-miss. */
@@ -299,15 +307,20 @@ object ProductQuantization {
 
   /** The documented query-batch bound for one un-chunked ADC broadcast.
     *
-    * Broadcast-size arithmetic: the per-query LUT is m·k rows of
-    * (query_id long, sub int, code int, _d double, cn2 double, _qn
-    * double) ≈ 40 B of data, ~3× that as a built HashedRelation. At the
-    * default m=16 × k=32 that is 512 rows ≈ 60 KB per query — 8192
-    * queries ≈ 0.5 GB broadcast, a comfortable ceiling under Spark's
-    * 8 GB hard broadcast limit and typical driver memory. The
-    * hamming/brute-force query broadcasts are far smaller per query
-    * (8 B code / one float vector) and share the same order-of-magnitude
-    * bound. Batches beyond this must go through [[adcSearchChunked]]. */
+    * Broadcast-size arithmetic (the round-16 flat-LUT shape): each query
+    * broadcasts ONE row of (query_id long, _qn double, _lut
+    * array<double> of m·k slots) — (16·32)·8 B ≈ 4.1 KB of LUT data,
+    * ~4.2 KB/row with the scalars, roughly 2–3× that as a built
+    * HashedRelation. 8192 queries ≈ 34 MB of row data (≲ 100 MB built) —
+    * two orders of magnitude under Spark's 8 GB hard broadcast limit.
+    * The bound is deliberately kept at the pre-rewrite value even though
+    * the flat array is ~15× lighter per query than the former m·k-ROW
+    * LUT relation: per-executor broadcast copies and the O(Q · n_cell)
+    * scoring fan-out grow with the batch regardless of LUT encoding, and
+    * [[adcSearchChunked]] makes larger batches a linear union rather
+    * than a bigger broadcast. The hamming/brute-force query broadcasts
+    * are far smaller per query (8 B code / one float vector). Batches
+    * beyond this must go through [[adcSearchChunked]]. */
   val AdcMaxQueryBatch = 8192
 
   /** [[adcSearch]] with the query batch CHUNKED so no single broadcast
@@ -326,8 +339,11 @@ object ProductQuantization {
                        rerankCorpus: Option[DataFrame] = None,
                        vecCol: String = "embedding"): DataFrame = {
     require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
+    // .distinct: a duplicated query vec_id straddling a chunk boundary
+    // would land in two overlapping between() ranges and be searched
+    // twice, duplicating its top-k rows in the union.
     val ids = queries.select(col("vec_id")).orderBy("vec_id")
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).distinct
     val ranges = ids.grouped(chunkRows).map(g => (g.head, g.last)).toSeq
     if (ranges.lengthCompare(1) <= 0)
       adcSearch(codes, cb, queries, k, rerank, rerankCorpus, vecCol)
@@ -536,12 +552,14 @@ object ProductQuantization {
                         m: Int = 16, kCodes: Int = 32, nLists: Int = 16,
                         nProbe: Int = 4, lloydIters: Int = 1,
                         rerank: Int = 0,
-                        dimHint: Option[Int] = None): DataFrame = {
+                        dimHint: Option[Int] = None,
+                        coarseStride: Long = 1L): DataFrame = {
     val spark = corpus.sparkSession
-    val local = Similarity.collectCentroids(
-      (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
-        (c, _) => Similarity.refineCentroids(corpus, c)
-      })
+    // stride 1 ≡ the full-corpus Lloyd refine, bit for bit; the auto
+    // entry point passes Similarity.coarseTrainStride's bounded sample.
+    val local =
+      Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
+        coarseStride)
     val res = residuals(corpus, local)
     val cb = train(res, m, kCodes, vecCol = "resid", dimHint = dimHint)
     val cent = Similarity.centroidsDf(spark, local)
@@ -611,16 +629,25 @@ object ProductQuantization {
 
   /** [[ivfPqResidualTopK]] at the scale-aware dials
     * (nLists = √n, nProbe = √nLists — the [[ivfPqTopKAuto]] rule), same
-    * `corpusRows` hint contract. */
+    * `corpusRows` hint contract.
+    *
+    * The coarse quantizer trains on the [[Similarity.coarseTrainStride]]
+    * sample BY DEFAULT (the round-17 flip — see [[ivfPqTopKAuto]]'s
+    * rationale); `fullRefine = true` opts back into the full-corpus
+    * Lloyd refine. */
   def ivfPqResidualTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                             m: Int = 16, kCodes: Int = 32,
                             lloydIters: Int = 1, rerank: Int = 0,
                             corpusRows: Option[Long] = None,
-                            dimHint: Option[Int] = None): DataFrame = {
-    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
+                            dimHint: Option[Int] = None,
+                            fullRefine: Boolean = false): DataFrame = {
+    val n = corpusRows.getOrElse(corpus.count())
+    val nLists = Similarity.autoNLists(n)
     val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride =
+      if (fullRefine) 1L else Similarity.coarseTrainStride(n, nLists)
     ivfPqResidualTopK(corpus, queries, k, m, kCodes, nLists, nProbe,
-      lloydIters, rerank, dimHint)
+      lloydIters, rerank, dimHint, coarseStride = stride)
   }
 
   /** [[ivfPqTopK]] with scale-aware dials: nLists = [[Similarity.autoNLists]]
@@ -631,35 +658,35 @@ object ProductQuantization {
     * (keeps the probed-candidate fraction ≈ 1/√nLists as both dials
     * grow). Same `corpusRows` hint contract as [[Similarity.ivfTopKAuto]]:
     * pass it for a derived corpus so construction doesn't execute the
-    * subplan once extra. */
+    * subplan once extra.
+    *
+    * The coarse quantizer trains on the [[Similarity.coarseTrainStride]]
+    * sample BY DEFAULT — the round-17 flip: the round-16 phase bisection
+    * measured the full-corpus Lloyd refine at the √n dial as the
+    * DOMINANT term of every auto row at the 100× probe (O(n·√n·d) map
+    * work, ~11 s of 11.07), while sampling caps the refine's voters at
+    * ~16·nLists rows (the published FAISS practice) at recall 0.92 vs
+    * the 0.8 bar. The corpus-wide ASSIGNMENT to the trained centroids —
+    * which decides correctness — still covers every row, and stride,
+    * dials, and every downstream bit stay oracle-computable.
+    * `fullRefine = true` opts back into the full-corpus refine (the
+    * pre-17 behavior) when construction cost is irrelevant and the last
+    * few recall points matter. */
   def ivfPqTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                     cb: Codebooks, lloydIters: Int = 1, rerank: Int = 0,
-                    corpusRows: Option[Long] = None): DataFrame = {
-    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
-    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
-    ivfPqTopK(corpus, queries, k, cb, nLists, nProbe, lloydIters, rerank)
-  }
-
-  /** [[ivfPqTopKAuto]] with the coarse quantizer trained on the
-    * [[Similarity.coarseTrainStride]] sample — the construction-cost fix
-    * the round-16 100× probes demanded: at the √n dial the coarse Lloyd
-    * refine pass was the auto rows' dominant term (O(n·√n·d) map work —
-    * ~half of `sim_ann_ivf_pq_auto`'s 11 s at n=200k, and the SAME bill
-    * re-measured in `sim_ann_ivf_hamming_auto`); sampling caps the
-    * refine's voters at ~16·nLists rows (the published FAISS practice —
-    * coarse quantizers train on a bounded sample), making refine
-    * O(n·d) while the corpus-wide ASSIGNMENT to the trained centroids —
-    * which decides correctness — still covers every row. Stride, dials,
-    * and every downstream bit stay oracle-computable. */
-  def ivfPqTopKAutoSampled(corpus: DataFrame, queries: DataFrame, k: Int,
-                           cb: Codebooks, lloydIters: Int = 1,
-                           rerank: Int = 0,
-                           corpusRows: Option[Long] = None): DataFrame = {
+                    corpusRows: Option[Long] = None,
+                    fullRefine: Boolean = false): DataFrame = {
     val n = corpusRows.getOrElse(corpus.count())
     val nLists = Similarity.autoNLists(n)
     val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
-    val local = Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
-      Similarity.coarseTrainStride(n, nLists))
+    val local =
+      if (fullRefine)
+        Similarity.collectCentroids(
+          (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
+            (c, _) => Similarity.refineCentroids(corpus, c)
+          })
+      else Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
+        Similarity.coarseTrainStride(n, nLists))
     val corpusSide = materialized(encode(
       Similarity.assignCells(
         corpus.select(col("vec_id"), col("embedding"),
@@ -668,6 +695,15 @@ object ProductQuantization {
     ivfPqSearch(corpusSide, cb, local, queries, k, nProbe, rerank,
       if (rerank > 0) Some(corpus) else None)
   }
+
+  /** Alias for [[ivfPqTopKAuto]] from the round it was the opt-in
+    * sampled variant; sampled coarse training is now the auto default,
+    * so this simply delegates. */
+  def ivfPqTopKAutoSampled(corpus: DataFrame, queries: DataFrame, k: Int,
+                           cb: Codebooks, lloydIters: Int = 1,
+                           rerank: Int = 0,
+                           corpusRows: Option[Long] = None): DataFrame =
+    ivfPqTopKAuto(corpus, queries, k, cb, lloydIters, rerank, corpusRows)
 
   /** Persistent PQ store: train + encode ONCE, persist TWO artifacts
     * under the [[FingerprintStore]] contract (version-keyed by scheme +

@@ -145,14 +145,15 @@ object Quantization {
   def ivfHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      rerank: Int = 200, nLists: Int = 16, nProbe: Int = 4,
                      lloydIters: Int = 1, dim: Int = 64,
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     coarseStride: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val spark = corpus.sparkSession
-    val local = Similarity.collectCentroids(
-      (1 to lloydIters).foldLeft(Similarity.seedCentroids(corpus, nLists)) {
-        (c, _) => Similarity.refineCentroids(corpus, c)
-      })
+    // stride 1 ≡ the full-corpus Lloyd refine, bit for bit; the auto
+    // entry point passes Similarity.coarseTrainStride's bounded sample.
+    val local = Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
+      coarseStride)
     val ccodes = binarize(
       Similarity.assignCells(
         corpus.select(col("vec_id"), col(vecCol).as("embedding"),
@@ -209,15 +210,25 @@ object Quantization {
 
   /** [[ivfHammingTopK]] at the scale-aware dials (nLists = √n,
     * nProbe = √nLists — the [[ProductQuantization.ivfPqTopKAuto]] rule),
-    * same `corpusRows` hint contract as [[Similarity.ivfTopKAuto]]. */
+    * same `corpusRows` hint contract as [[Similarity.ivfTopKAuto]].
+    *
+    * The coarse quantizer trains on the [[Similarity.coarseTrainStride]]
+    * sample BY DEFAULT (the round-17 flip — the full-corpus Lloyd refine
+    * was the measured dominant term of every auto row at the 100× probe;
+    * see [[ProductQuantization.ivfPqTopKAuto]]); `fullRefine = true`
+    * opts back into the full-corpus refine. */
   def ivfHammingTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                          rerank: Int = 200, lloydIters: Int = 1,
                          dim: Int = 64, corpusRows: Option[Long] = None,
-                         vecCol: String = "embedding"): DataFrame = {
-    val nLists = Similarity.autoNLists(corpusRows.getOrElse(corpus.count()))
+                         vecCol: String = "embedding",
+                         fullRefine: Boolean = false): DataFrame = {
+    val n = corpusRows.getOrElse(corpus.count())
+    val nLists = Similarity.autoNLists(n)
     val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride =
+      if (fullRefine) 1L else Similarity.coarseTrainStride(n, nLists)
     ivfHammingTopK(corpus, queries, k, rerank, nLists, nProbe, lloydIters,
-      dim, vecCol)
+      dim, vecCol, coarseStride = stride)
   }
 
   /** Code-scheme version baked into every store directory name. Bump
