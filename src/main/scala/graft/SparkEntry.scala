@@ -1986,6 +1986,38 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.ops.Quantization.ivfHammingTopKAuto(
         emb, emb.where(col("vec_id") < 20), 5)
+    }),
+    // The full storage-ladder cascade composed into ONE query (the FAISS
+    // IndexBinaryFlat -> PQ-rerank -> refine chain): 8 B/vector sign
+    // codes rank the whole corpus by Hamming and keep the top-200, ADC
+    // over the 16 B/vector PQ codes rescores only those and keeps the
+    // top-50, the float vectors are read for exactly 50 rows/query by
+    // the exact refine. Full top-5 hash-compares against the three
+    // tiers composed in SQL.
+    "sim_cascade_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.cascadeTopK(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    // ... and its recall gate at the standard 0.8 bar (measured 0.94 /
+    // 0.85 at sf0.01 / sf0.1 — the ADC 200->50 narrowing costs ~1-3
+    // points vs sim_hamming_rerank_recall's exact-on-200).
+    "sim_cascade_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.cascadeTopK(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32,
+            dimHint = Some(64))))),
+    // The managed cascade: PQ codes come from the fingerprinted pqStore
+    // (the `codes` parameter — stage 2 reads stored 16 B/vector rows);
+    // stored codes are bit-identical to fresh ones, so the oracle is
+    // sim_cascade_topk's verbatim.
+    "sim_cascade_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (codes, cb) = graft.ops.ProductQuantization.pqStore(
+        s, emb, s"$dir/embeddings.parquet", "registry")
+      graft.ops.ProductQuantization.cascadeTopK(
+        emb, emb.where(col("vec_id") < 20), 5, cb, codes = Some(codes))
     })
   )
 
@@ -2362,6 +2394,37 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
       |  FROM padc
+      |)""".stripMargin
+
+  /** Cascade stage-2 tail: ADC scoring restricted to the Hamming
+    * top-200 candidates ([[HammingTail]]'s `hranked`), ending in
+    * `cascranked` — `ProductQuantization.cascadeTopK`'s middle tier in
+    * SQL (the same per-pair sum-of-subspace-dots arithmetic as
+    * [[PqAdcTail]], joined to the stage-1 candidate set). */
+  private val CascadeAdcTail: String =
+    """, casc1 AS (
+      |  SELECT query_id, neighbor_id FROM hranked WHERE rank <= 200
+      |), cascparts AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |    list_dot_product(CAST(q.e AS DOUBLE[]),
+      |                     CAST(t.cvec AS DOUBLE[])) AS dd,
+      |    t.cn2
+      |  FROM casc1 d
+      |  JOIN cl c ON c.vec_id = d.neighbor_id
+      |  JOIN ctl t ON t.sub = c.sub AND t.code = c.code
+      |  JOIN ql q ON q.sub = c.sub AND q.query_id = d.query_id
+      |), cascsc AS (
+      |  SELECT query_id, neighbor_id, sum(dd) AS sd, sum(cn2) AS rn2
+      |  FROM cascparts GROUP BY 1, 2
+      |), cascadc AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    s.sd / nullif(sqrt(s.rn2) * q.n, 0) AS a
+      |  FROM cascsc s JOIN nrm q ON q.vec_id = s.query_id
+      |), cascranked AS (
+      |  SELECT query_id, neighbor_id, a,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY round(a, 6) DESC, neighbor_id) AS rank
+      |  FROM cascadc
       |)""".stripMargin
 
   /** Residual CTE over an IvfChain's `assigned`/`cent_n`/`nrm`:
@@ -2960,6 +3023,29 @@ object SparkEntry {
     "sim_ann_ivf_hamming_auto" -> ("WITH " + SampledIvfPqChain + ", " +
       binChain(includeNrm = false) + IvfHammingTail +
       pqRerankTail(200, "ihr") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Three-tier cascade: whole-corpus Hamming ranking (HammingTail) ->
+    // ADC over the top-200 candidates only (CascadeAdcTail) -> the
+    // shared exact-refine of the ADC top-50.
+    "sim_cascade_topk" -> ("WITH " + binChain(includeNrm = false) + ", " +
+      PqChain + HammingTail + CascadeAdcTail +
+      pqRerankTail(50, "cascranked") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_cascade_recall" -> ("WITH " + binChain(includeNrm = false) + ", " +
+      PqChain + HammingTail + CascadeAdcTail +
+      pqRerankTail(50, "cascranked") + recallTail(0.8, "rranked")),
+
+    // Managed = stage-2 codes read from the fingerprinted store, which
+    // round-trip bit-exactly — sim_cascade_topk's oracle verbatim.
+    "sim_cascade_managed" -> ("WITH " + binChain(includeNrm = false) + ", " +
+      PqChain + HammingTail + CascadeAdcTail +
+      pqRerankTail(50, "cascranked") +
       """
         |SELECT query_id, rank, neighbor_id, cos FROM rranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)

@@ -122,6 +122,27 @@ class PqSpec extends SparkSuite {
       "duplicate of query 0 is not residual-ADC top-1")
   }
 
+  test("cascadeTopK: keeping every candidate at both tiers (r1 = r2 = n) " +
+    "IS exact search; r1 < r2 and r2 < k rejected") {
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val nonzero = corpus.where(col("vec_id") < 5)
+    val q = nonzero.where(col("vec_id") < 2)
+    val casc = ProductQuantization
+      .cascadeTopK(nonzero, q, 4, cb, r1 = 5, r2 = 5, dim = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1), r.getDouble(3)))
+    // bruteForceTopK emits (query_id, neighbor_id, cos, rank)
+    val bf = Similarity.bruteForceTopK(nonzero, q, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getDouble(2)))
+    assert(casc.sortBy(_._1) sameElements bf.sortBy(_._1),
+      "keep-everything cascade must equal exact brute force")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.cascadeTopK(nonzero, q, 4, cb, r1 = 2, r2 = 5, dim = 8)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantization.cascadeTopK(nonzero, q, 4, cb, r1 = 5, r2 = 2, dim = 8)
+    }
+  }
+
   test("NaN embeddings: every storage tier degrades deterministically " +
     "and identically to the oracle's NaN ordering — no crash, no " +
     "engine divergence") {
