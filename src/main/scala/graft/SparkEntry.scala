@@ -1932,6 +1932,32 @@ object SparkEntry {
       annRecall(s, dir, (c, q) =>
         graft.ops.ProductQuantization.ivfPqResidualTopKAuto(c, q, 5,
           rerank = 50, dimHint = Some(64)))),
+    // The fully MANAGED residual index (FAISS by_residual made of
+    // parquet): sampled-sqrt-n coarse centroids, residual-trained
+    // codebooks, per-cell cross-term arrays, and (vec_id, cell, code)
+    // rows all come from fingerprinted write-once stores; warm search
+    // touches NO float corpus — only stored codes plus the query
+    // floats. Oracle is the sampled-auto residual chain verbatim
+    // (stored doubles/floats round-trip bit-exactly).
+    "sim_ann_ivf_pq_residual_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (coded, cb, local, cellSide, nProbe) =
+        graft.ops.ProductQuantization.ivfPqResidualStore(
+          s, emb, s"$dir/embeddings.parquet", "registry")
+      graft.ops.ProductQuantization.ivfPqResidualSearch(coded, cb, local,
+        cellSide, emb.where(col("vec_id") < 20), 5, nProbe)
+    }),
+    // ... and the production shape over the same warm store: exact
+    // refine of 50 (reads 50 float rows/query, never the corpus),
+    // standard 0.8 bar — recall matches the fresh residual auto row.
+    "sim_ann_ivf_pq_residual_managed_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) => {
+        val (coded, cb, local, cellSide, nProbe) =
+          graft.ops.ProductQuantization.ivfPqResidualStore(
+            s, c, s"$dir/embeddings.parquet", "registry")
+        graft.ops.ProductQuantization.ivfPqResidualSearch(coded, cb, local,
+          cellSide, q, 5, nProbe, rerank = 50, rerankCorpus = Some(c))
+      })),
     // The roughest storage tier: 1-bit sign codes, one LONG per 64-dim
     // vector (32× vs float32). The code is a plain sortable integer —
     // compared directly, no digest needed.
@@ -2986,6 +3012,19 @@ object SparkEntry {
       pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
 
     "sim_ann_ivf_pq_residual_auto_recall" -> (residualIvfPqSql(SampledIvfPqChain) +
+      pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
+
+    // Managed residual index == sampled-auto residual build read back
+    // from parquet stores: same oracle verbatim (the
+    // sim_ann_ivf_pq_managed precedent).
+    "sim_ann_ivf_pq_residual_managed" ->
+      (residualIvfPqSql(SampledIvfPqChain) +
+      """
+        |SELECT query_id, rank, neighbor_id, round(a, 6) AS adc FROM resranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_ann_ivf_pq_residual_managed_recall" ->
+      (residualIvfPqSql(SampledIvfPqChain) +
       pqRerankTail(50, "resranked") + recallTail(0.8, "rranked")),
 
     // Sign codes are plain BIGINTs — compared directly, no digest.

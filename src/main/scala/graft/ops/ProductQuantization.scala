@@ -554,7 +554,6 @@ object ProductQuantization {
                         rerank: Int = 0,
                         dimHint: Option[Int] = None,
                         coarseStride: Long = 1L): DataFrame = {
-    val spark = corpus.sparkSession
     // stride 1 ≡ the full-corpus Lloyd refine, bit for bit; the auto
     // entry point passes Similarity.coarseTrainStride's bounded sample.
     val local =
@@ -562,8 +561,67 @@ object ProductQuantization {
         coarseStride)
     val res = residuals(corpus, local)
     val cb = train(res, m, kCodes, vecCol = "resid", dimHint = dimHint)
+    val corpusSide = materialized(encode(res, cb, vecCol = "resid")
+      .select(col("vec_id"), col("cell"), col("pq_code")))
+    ivfPqResidualSearch(corpusSide, cb, local,
+      residualCellSide(corpus.sparkSession, local, cb), queries, k, nProbe,
+      rerank, if (rerank > 0) Some(corpus) else None)
+  }
+
+  /** The per-cell side table of the residual-ADC plan: (cell, cvec,
+    * |c|², flat m·k cross-term array Σ-slot 2·dot(c_s, cb_{s,c}) +
+    * |cb_{s,c}|²) — computed DRIVER-side from the collected coarse
+    * centroids + codebooks (nLists rows, kilobytes, always
+    * broadcastable). Driver arithmetic mirrors the VectorDot kernel's
+    * in-order accumulation, so every slot is bit-identical to an
+    * expression-computed value and the oracle chain is unchanged. Also
+    * the persisted `$tag-resxterm` artifact of [[ivfPqResidualStore]]
+    * (doubles round-trip parquet bit-exactly). */
+  private def residualCellSide(spark: SparkSession,
+                               local: Similarity.LocalCentroids,
+                               cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    local.cells.indices.map { ci =>
+      val cvec = local.vecs(ci)
+      val xt = (for { s <- 0 until cb.m; c <- 0 until cb.k } yield {
+        val j = cb.subs(s).cells.indexOf(c.toLong)
+        if (j < 0) 0.0
+        else {
+          val bv = cb.subs(s).vecs(j)
+          var acc = 0.0
+          var i = 0
+          while (i < cb.subDim) {
+            acc += cvec(s * cb.subDim + i).toDouble * bv(i).toDouble
+            i += 1
+          }
+          2.0 * acc + cb.subs(s).norms(j) * cb.subs(s).norms(j)
+        }
+      }).toIndexedSeq
+      (local.cells(ci), cvec.toSeq,
+        local.norms(ci) * local.norms(ci), xt)
+    }.toDF("cell", "cvec", "_cn2c", "_xt")
+  }
+
+  /** The residual-ADC search plan over PRE-BUILT state — shared by
+    * [[ivfPqResidualTopK]] (in-plan residual/train/encode) and the
+    * managed [[ivfPqResidualStore]] path (stored coarse + books +
+    * cross-terms + codes; zero construction, zero float-corpus reads).
+    * `coded` is (vec_id, cell, pq_code) with codes over RESIDUALS;
+    * `cellSide` is [[residualCellSide]]'s shape. The corpus side carries
+    * (cell, residual code) map-only; probes, the per-query LUT arrays,
+    * and the per-cell cross-term table all broadcast (each
+    * query-bounded or nLists-bounded); the only exchange downstream of
+    * `coded` is the top-k window. Same bounded-query-batch contract as
+    * [[adcSearch]] ([[AdcMaxQueryBatch]]). */
+  def ivfPqResidualSearch(coded: DataFrame, cb: Codebooks,
+                          local: Similarity.LocalCentroids,
+                          cellSide: DataFrame, queries: DataFrame, k: Int,
+                          nProbe: Int, rerank: Int = 0,
+                          rerankCorpus: Option[DataFrame] = None): DataFrame = {
+    require(rerank <= 0 || rerankCorpus.nonEmpty,
+      "rerank > 0 needs rerankCorpus (the float vectors to rescore)")
+    val spark = coded.sparkSession
     val cent = Similarity.centroidsDf(spark, local)
-    val assigned = res.select(col("vec_id"), col("cell"))
     val qn = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("_qe"), Similarity.norm(col("embedding")).as("_qn"))
     val qw = Window.partitionBy(col("query_id"))
@@ -576,46 +634,14 @@ object ProductQuantization {
       .withColumn("_pr", row_number().over(qw))
       .where(col("_pr") <= nProbe)
       .select(col("query_id"), col("cell"))
-    // Round-16 rewrite, the [[ivfPqTopK]] map-only shape adapted to
-    // residual scoring: the corpus side carries (cell, residual code)
-    // from one map pipeline; per-query LUT arrays broadcast; the
-    // cross-term Σ_i (2·dot(c_i, cb) + |cb|²) collapses to a per-CELL
-    // flat m·k-double array computed driver-side from the (local) coarse
-    // centroids + codebooks, broadcast with the centroid vector and |c|²
-    // — nLists rows, the same kilobyte scale as the former row-form
-    // lookup. Driver arithmetic mirrors the VectorDot kernel's in-order
-    // accumulation, so every slot is bit-identical to the former
-    // expression-computed value and the oracle chain is unchanged.
-    val cellSide = {
-      import spark.implicits._
-      local.cells.indices.map { ci =>
-        val cvec = local.vecs(ci)
-        val xt = (for { s <- 0 until cb.m; c <- 0 until cb.k } yield {
-          val j = cb.subs(s).cells.indexOf(c.toLong)
-          if (j < 0) 0.0
-          else {
-            val bv = cb.subs(s).vecs(j)
-            var acc = 0.0
-            var i = 0
-            while (i < cb.subDim) {
-              acc += cvec(s * cb.subDim + i).toDouble * bv(i).toDouble
-              i += 1
-            }
-            2.0 * acc + cb.subs(s).norms(j) * cb.subs(s).norms(j)
-          }
-        }).toIndexedSeq
-        (local.cells(ci), cvec.toSeq,
-          local.norms(ci) * local.norms(ci), xt)
-      }.toDF("cell", "cvec", "_cn2c", "_xt")
-    }
-    val corpusSide = materialized(encode(res, cb, vecCol = "resid")
-      .select(col("vec_id"), col("cell"), col("pq_code")))
     val qlut = qn.select(col("query_id"), col("_qe"), col("_qn"),
       lutArray(cb, col("_qe")).as("_lut"))
-    val scored = corpusSide.join(broadcast(probes), "cell")
+    val scored = coded.join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("vec_id"))
       .join(broadcast(qlut), "query_id")
-      .join(broadcast(cellSide), "cell")
+      .join(broadcast(
+        cellSide.select(col("cell"), col("cvec"), col("_cn2c"), col("_xt"))),
+        "cell")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.cosFromDot(
           Similarity.dot(col("_qe"), col("cvec")) +
@@ -623,8 +649,7 @@ object ProductQuantization {
           sqrt(col("_cn2c") +
             sumLookup(col("_xt"), col("pq_code"), cb.m, cb.k)),
           col("_qn")).as("_adc"))
-    finishAdc(scored, qn, k, rerank,
-      if (rerank > 0) Some(corpus) else None, "embedding")
+    finishAdc(scored, qn, k, rerank, rerankCorpus, "embedding")
   }
 
   /** [[ivfPqResidualTopK]] at the scale-aware dials
@@ -752,6 +777,13 @@ object ProductQuantization {
       } yield (i, cb.subs(i).cells(j), cb.subs(i).vecs(j).toSeq))
         .toDF("sub", "cell", "cvec")
     }
+    codebooksFromDf(booksDf, m, k)
+  }
+
+  /** Read a long-form (sub, cell, cvec) codebook table back as
+    * [[Codebooks]] — norms recomputed with [[train]]'s in-order driver
+    * fold; float parquet round-trips bit-exactly. */
+  private def codebooksFromDf(booksDf: DataFrame, m: Int, k: Int): Codebooks = {
     val rows = booksDf.select(col("sub"), col("cell"), col("cvec")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
     val subDim = rows.head._3.length
@@ -761,6 +793,16 @@ object ProductQuantization {
       Similarity.LocalCentroids(sub.map(_._2), vecs,
         vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
     })
+  }
+
+  /** Read a (cell, cvec) coarse-centroid table back as LocalCentroids
+    * (cells ascending, norms recomputed with the in-order driver fold). */
+  private def localFromCoarseDf(coarseDf: DataFrame): Similarity.LocalCentroids = {
+    val crows = coarseDf.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    Similarity.LocalCentroids(crows.map(_._1), crows.map(_._2),
+      crows.map(c => math.sqrt(
+        c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
   }
 
   /** Persistent IVF-PQ index — the full managed production shape: ONE
@@ -802,11 +844,7 @@ object ProductQuantization {
         .map(i => (local.cells(i), local.vecs(i).toSeq))
         .toDF("cell", "cvec")
     }
-    val crows = coarseDf.select(col("cell"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val local = Similarity.LocalCentroids(crows.map(_._1), crows.map(_._2),
-      crows.map(c => math.sqrt(
-        c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
+    val local = localFromCoarseDf(coarseDf)
     val coded = FingerprintStore.getOrBuild(spark, sourcePath, s"$tag-ivf",
       s"$CodeStoreVersion-m$m-k$k-L$nLists-s$stride", storeRoot)(
       encode(
@@ -815,6 +853,84 @@ object ProductQuantization {
             Similarity.norm(col(vecCol)).as("_n")): _*), local), cb, "embedding")
         .select((idCols.map(col) :+ col("cell") :+ col("pq_code")): _*))
     (coded, cb, local, nProbe)
+  }
+
+  /** Persistent RESIDUAL IVF-PQ index — the managed form of the
+    * best-recall configuration ([[ivfPqResidualTopK]], the FAISS
+    * `by_residual` scheme), which is the index a 100 TB deployment
+    * would actually build write-once. ONE build pass trains the
+    * sampled-√n coarse quantizer and the residual codebooks, then
+    * persists FOUR fingerprinted artifacts under the
+    * [[FingerprintStore]] contract:
+    *
+    *   - `$tag-rescoarse`: (cell, cvec) sampled-trained coarse
+    *     centroids — nLists ≈ √n rows;
+    *   - `$tag-resbooks`: long-form (sub, cell, cvec) codebooks trained
+    *     on RESIDUALS (kept separate from [[pqStore]]'s raw-vector
+    *     `$tag-books` — different training frame, different scheme key);
+    *   - `$tag-resxterm`: the per-cell cross-term side
+    *     ([[residualCellSide]] — cell, cvec, |c|², flat m·k array of
+    *     2·dot(c_s, cb) + |cb|²; nLists rows, kilobytes);
+    *   - `$tag-resivf`: (vec_id, cell, pq_code) residual index rows —
+    *     8+16 B/vector.
+    *
+    * A warm read costs three kilobyte-scale collects/scans plus the
+    * index scan; NO training, NO residual computation, NO float-corpus
+    * read — [[ivfPqResidualSearch]] over the returned state touches
+    * only stored codes and the query floats (plus `rerank` float rows
+    * per query if an exact refine is requested). Version keys embed
+    * scheme + m/k + nLists + stride, so any dial change rebuilds by
+    * key-miss; doubles and floats round-trip parquet bit-exactly, so a
+    * warm index is indistinguishable from a fresh build (the
+    * [[pqStore]] precedent).
+    *
+    * Returns (index rows, codebooks, coarse centroids, cell side,
+    * nProbe) with nProbe = max(4, ⌈√nLists⌉) — the
+    * [[ivfPqResidualTopKAuto]] dials, derived from the same count the
+    * build used. */
+  def ivfPqResidualStore(spark: SparkSession, embeddings: DataFrame,
+                         sourcePath: String, tag: String,
+                         storeRoot: Option[String] = None, m: Int = 16,
+                         k: Int = 32, corpusRows: Option[Long] = None,
+                         vecCol: String = "embedding"):
+      (DataFrame, Codebooks, Similarity.LocalCentroids, DataFrame, Int) = {
+    import spark.implicits._
+    val n = corpusRows.getOrElse(embeddings.count())
+    val nLists = Similarity.autoNLists(n)
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = Similarity.coarseTrainStride(n, nLists)
+    val corpus = embeddings.select(col("vec_id"), col(vecCol).as("embedding"))
+    val coarseDf = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-rescoarse", s"$CodeStoreVersion-res-L$nLists-s$stride",
+      storeRoot) {
+      val local = Similarity.trainCentroidsSampled(corpus, nLists,
+        lloydIters = 1, stride = stride)
+      local.cells.indices
+        .map(i => (local.cells(i), local.vecs(i).toSeq))
+        .toDF("cell", "cvec")
+    }
+    val local = localFromCoarseDf(coarseDf)
+    val schemeVer = s"$CodeStoreVersion-res-m$m-k$k-L$nLists-s$stride"
+    // Build order: books train on the residual frame exactly once on a
+    // cold store; the codes and cross-terms derive from THOSE books.
+    val booksDf = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-resbooks", schemeVer, storeRoot) {
+      val cbF = train(residuals(corpus, local), m, k, vecCol = "resid")
+      (for {
+        i <- 0 until m
+        j <- cbF.subs(i).cells.indices
+      } yield (i, cbF.subs(i).cells(j), cbF.subs(i).vecs(j).toSeq))
+        .toDF("sub", "cell", "cvec")
+    }
+    val cb = codebooksFromDf(booksDf, m, k)
+    val cellSide = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-resxterm", schemeVer, storeRoot)(
+      residualCellSide(spark, local, cb))
+    val coded = FingerprintStore.getOrBuild(spark, sourcePath, s"$tag-resivf",
+      schemeVer, storeRoot)(
+      encode(residuals(corpus, local), cb, vecCol = "resid")
+        .select(col("vec_id"), col("cell"), col("pq_code")))
+    (coded, cb, local, cellSide, nProbe)
   }
 
   /** Code-only view of [[pqStore]] (the [[Quantization.int8CodeStore]]

@@ -271,6 +271,45 @@ class PqSpec extends SparkSuite {
         s"missing $part artifact in ${names.mkString(", ")}")
   }
 
+  test("ivfPqResidualStore + ivfPqResidualSearch: the managed residual " +
+    "index searches identically to the fresh sampled-auto build and " +
+    "publishes four artifacts") {
+    val src = tmpDir("resivfpq-src") + "/embeddings.parquet"
+    corpus.write.parquet(src)
+    val emb = spark.read.parquet(src)
+    val root = tmpDir("resivfpq-store")
+    val q = emb.where(col("vec_id") < 2)
+    val fresh = ProductQuantization
+      .ivfPqResidualTopKAuto(emb, q, 2, m = 4, kCodes = 2,
+        dimHint = Some(8))
+      .collect().map(_.toSeq).toSeq
+    for (_ <- 1 to 2) { // second pass serves everything from the store
+      val (coded, cb, local, cellSide, nProbe) =
+        ProductQuantization.ivfPqResidualStore(
+          spark, emb, src, "t", Some(root), m = 4, k = 2)
+      val managed = ProductQuantization
+        .ivfPqResidualSearch(coded, cb, local, cellSide, q, 2, nProbe)
+        .collect().map(_.toSeq).toSeq
+      assert(managed == fresh)
+      // the rerank shape over the same warm state matches brute force
+      // on the pairs it keeps (exact cosines, the adcTopK contract)
+      val rr = ProductQuantization
+        .ivfPqResidualSearch(coded, cb, local, cellSide, q, 2, nProbe,
+          rerank = 4, rerankCorpus = Some(emb))
+        .collect().filter(!_.isNullAt(3)) // zero-vector neighbor: null cos
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+        .collect().filter(!_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for ((pair, cos) <- rr)
+        assert(exact(pair) == cos, s"managed rerank cos drifted on $pair")
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    for (part <- Seq("t-rescoarse", "t-resbooks", "t-resxterm", "t-resivf"))
+      assert(names.exists(_.startsWith(s"graft_sigstore_$part")),
+        s"missing $part artifact in ${names.mkString(", ")}")
+  }
+
   test("pqCodeStore: build-once/read-many round trip is stable and " +
     "reuses the published store") {
     val src = tmpDir("pq-src") + "/embeddings.parquet"
