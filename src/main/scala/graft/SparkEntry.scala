@@ -487,6 +487,52 @@ object SparkEntry {
       TextAnalysis.commonnessQuery(docs(s, dir)))
   )
 
+  /** Exact-substring run oracle (`Dedup.substringRuns` digit-for-digit):
+    * k-token window hashes (the 48-bit md5-prefix [[graft.ops.Dedup
+    * .shingleHash]] mirror), optional hot-window df-cut, posting
+    * self-join, per-diagonal gaps-and-islands run merge, and the
+    * span-equality verification join. */
+  private def substringRunsSql(k: Int, maxDf: Option[Long]): String = {
+    val cut = maxDf match {
+      case Some(cap) =>
+        s""", wdf AS (
+           |  SELECT wh, count(*) AS df FROM wins0 GROUP BY wh
+           |), wins AS (
+           |  SELECT w.* FROM wins0 w JOIN wdf USING (wh) WHERE wdf.df <= $cap
+           |)""".stripMargin
+      case None => ", wins AS (SELECT * FROM wins0)"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents
+       |), wins0 AS (
+       |  SELECT doc_id, g.i - 1 AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(t[g.i:g.i+${k - 1}], ' ')), 1, 12)) AS BIGINT) AS wh
+       |  FROM toks, LATERAL (
+       |    SELECT unnest(generate_series(1, greatest(len(t) - ${k - 1}, 0))) AS i) g
+       |)$cut, cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+       |  FROM wins a JOIN wins b ON a.wh = b.wh AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT d1, d2, p1 - p2 AS diag,
+       |    p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp,
+       |    p1, p2
+       |  FROM cand
+       |), agg AS (
+       |  SELECT d1, d2, CAST(min(p1) AS BIGINT) AS d1_pos,
+       |    CAST(min(p2) AS BIGINT) AS d2_pos,
+       |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_tokens
+       |  FROM runs GROUP BY d1, d2, diag, grp
+       |)
+       |SELECT r.d1, r.d2, r.d1_pos, r.d2_pos, r.run_tokens
+       |FROM agg r
+       |JOIN toks a ON a.doc_id = r.d1
+       |JOIN toks b ON b.doc_id = r.d2
+       |WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
+       |      array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
+       |ORDER BY d1, d2, d1_pos, d2_pos""".stripMargin
+  }
+
   /** Shared DuckDB tokenization CTE over `documents`. */
   private val T =
     """WITH toks AS (
@@ -1028,6 +1074,18 @@ object SparkEntry {
     // Asymmetric containment (quote/subset detection) on the same blocks.
     "dedup_containment" -> ((s, dir) =>
       Dedup.blockedContainment(docs(s, dir), 0.01)),
+    // Exact-substring duplication: maximal runs of >= 8 consecutive
+    // tokens shared verbatim between two documents (shingle-anchor
+    // candidates -> diagonal gaps-and-islands extension -> span-equality
+    // verification). The repeated-substring class document-level dedup
+    // cannot see; every run row hash-compares.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringRuns(docs(s, dir), 8)),
+    // ... with the hot-window guard (window hashes in more than 3
+    // positions are dropped before the posting join — the dfcut
+    // precedent; a cut window splits the runs it interrupts).
+    "dedup_substring_dfcut" -> ((s, dir) =>
+      Dedup.substringRuns(docs(s, dir), 8, Some(3L))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Embedding-level benchmark decontamination (the n-gram
@@ -1333,6 +1391,13 @@ object SparkEntry {
         |               JOIN sizes y ON i.d2 = y.doc_id
         |) WHERE jaccard >= 0.02
         |ORDER BY d1, d2""".stripMargin,
+
+    // Exact-substring runs: window-hash anchors -> diagonal
+    // gaps-and-islands extension -> span-equality verification
+    // (Dedup.substringRuns digit-for-digit).
+    "dedup_substring" -> substringRunsSql(8, None),
+
+    "dedup_substring_dfcut" -> substringRunsSql(8, Some(3L)),
 
     "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (

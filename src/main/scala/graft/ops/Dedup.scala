@@ -614,6 +614,99 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Exact-substring duplication: every maximal run of >= `kTokens`
+    * consecutive tokens shared verbatim between two documents — the
+    * published repeated-substring removal target (suffix-array-style
+    * dedup a la "Deduplicating Training Data Makes Language Models
+    * Better") re-expressed relationally: cross-document boilerplate
+    * INSIDE otherwise-unique documents is the residual duplication class
+    * document-level dedup (exact/MinHash/SimHash) cannot see.
+    *
+    * Shape, never all-pairs (the suffix array is replaced by the
+    * family's standard bucketed posting join):
+    *   1. shingle-anchor candidates — hash every k-token window
+    *      ([[TextAnalysis.shinglesK]], one 48-bit [[shingleHash]] per
+    *      position; the window table is LINEAR in corpus tokens) and
+    *      self-join on the window hash: only positions sharing a window
+    *      ever pair up;
+    *   2. extension — matching positions on one (d1, d2) DIAGONAL
+    *      (p1 − p2 constant) are consecutive exactly where the shared
+    *      run extends, so a gaps-and-islands pass (row_number per
+    *      diagonal, group by pos − rn) merges each anchor chain into
+    *      ONE maximal run of `count + k − 1` tokens — the
+    *      longest-common-extension step as a window aggregate instead
+    *      of per-pair character scanning;
+    *   3. verification — each run re-reads BOTH documents' token
+    *      slices and requires string equality, so a 48-bit hash
+    *      collision yields a dropped candidate, never a false pair
+    *      (runs are bounded by candidate count — a linear tail).
+    *
+    * `maxWindowDf` is the boilerplate guard ([[blockedNgramJaccard]]'s
+    * df-cut precedent): window hashes occurring more than the cap are
+    * dropped BEFORE the posting join, bounding the largest posting
+    * group by the cap instead of corpus size (a license-header window
+    * of posting length L otherwise contributes L² join pairs). A cut
+    * window splits a run it interrupts into two shorter verified runs
+    * (each still >= k) — the documented trade.
+    *
+    * Output: (d1, d2, d1_pos, d2_pos, run_tokens), 0-based token
+    * positions, d1 < d2, one row per maximal verified run. At 100 TB:
+    * the window table shuffles (8 B hash + ids), the posting self-join
+    * is pinned SHUFFLE_MERGE (both sides corpus-derived — the Generate
+    * size-estimate trap), the islands window partitions by (d1, d2,
+    * diag) — bounded by per-pair overlap — and verification joins are
+    * pinned on the corpus-sized token table. */
+  def substringRuns(docs: DataFrame, kTokens: Int = 8,
+                    maxWindowDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kTokens >= 2, s"substringRuns: kTokens must be >= 2, got $kTokens")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("_t"))
+    val wins0 = toks
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.shinglesK(col("_t"), kTokens)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        shingleHash(col("col")).as("wh"))
+    val wins = maxWindowDf match {
+      case Some(cap) =>
+        // Anti-join against the hot-window stop set — boilerplate-sized
+        // by construction; no broadcast hint (the blockedNgramJaccard
+        // rationale: an oversized stop set must degrade, not OOM).
+        val stop = wins0.groupBy("wh").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > cap).select("wh")
+        wins0.join(stop, Seq("wh"), "left_anti")
+      case None => wins0
+    }
+    // Posting self-join: both sides the corpus-sized window table —
+    // pinned SHUFFLE_MERGE, never broadcast (round-15/16 audit rule).
+    val cand = wins.as("a")
+      .join(wins.as("b").hint("SHUFFLE_MERGE"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+    val iw = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = cand
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(iw))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(min("p1").as("d1_pos"), min("p2").as("d2_pos"),
+        (count(lit(1)) + (kTokens - 1)).cast(LongType).as("run_tokens"))
+    val verified = runs
+      .join(toks.select(col("doc_id").as("d1"), col("_t").as("_ta"))
+        .hint("SHUFFLE_MERGE"), "d1") // token table: corpus-sized side
+      .join(toks.select(col("doc_id").as("d2"), col("_t").as("_tb"))
+        .hint("SHUFFLE_MERGE"), "d2")
+      .where(
+        array_join(slice(col("_ta"), (col("d1_pos") + 1).cast("int"),
+          col("run_tokens").cast("int")), " ") ===
+        array_join(slice(col("_tb"), (col("d2_pos") + 1).cast("int"),
+          col("run_tokens").cast("int")), " "))
+      .select(col("d1"), col("d2"), col("d1_pos"), col("d2_pos"),
+        col("run_tokens"))
+    verified.orderBy("d1", "d2", "d1_pos", "d2_pos")
+  }
+
   /** Containment score |A∩B| / min(|A|,|B|) over distinct 3-shingles —
     * the asymmetric near-dup metric for quote/subset detection (a short
     * document fully contained in a long one scores 1.0 where Jaccard is

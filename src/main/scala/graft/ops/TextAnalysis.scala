@@ -68,6 +68,18 @@ object TextAnalysis {
           element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Sliding k-gram array over the token sequence (the generalized
+    * [[shingles3]]); empty when the document has fewer than `k` tokens.
+    * Window i (1-based) is `array_join(slice(toks, i, k), " ")` —
+    * `array_to_string(t[i:i+k-1], ' ')` in the DuckDB mirror. The token
+    * array is referenced, never re-derived, inside the lambda (the
+    * Dedup.scala re-tokenize trap). */
+  def shinglesK(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+        array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Sliding 2-gram array over the token sequence; empty when the document
     * has fewer than 2 tokens. Same 1-based indexing contract as
     * [[shingles3]] (`t[i] || ' ' || t[i+1]` in the DuckDB mirror). */

@@ -950,4 +950,41 @@ class OpsSpec extends SparkSuite {
     val up = ImageCodec.resizeNearest(2, 2, Array(1, 2, 3, 4), 5, 5)
     assert(up.length == 25 && up.forall(Set(1, 2, 3, 4)))
   }
+
+  test("substringRuns: merges anchor windows into ONE maximal run with " +
+    "exact positions/length; short docs emit nothing; k bound enforced") {
+    val run = "a b c d e f g h i j" // 10 shared tokens
+    val d = Seq(
+      (0L, s"$run x y z"),          // run at pos 0
+      (1L, s"p q $run w"),          // run at pos 2
+      (2L, "too short"))            // 2 tokens < k
+      .toDF("doc_id", "text")
+    val r = Dedup.substringRuns(d, kTokens = 8).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == (0L, 1L, 0L, 2L, 10L))
+    intercept[IllegalArgumentException] {
+      Dedup.substringRuns(d, kTokens = 1)
+    }
+  }
+
+  test("substringRuns: identical docs yield one whole-doc run; the " +
+    "hot-window df-cut drops over-cap windows and SPLITS the runs they " +
+    "interrupt") {
+    val text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    val d = Seq((0L, text), (1L, text), (2L, text)).toDF("doc_id", "text")
+    val full = Dedup.substringRuns(d, kTokens = 8).collect()
+    // 3 doc pairs, each one maximal 16-token run
+    assert(full.length == 3 && full.forall(_.getLong(4) == 16L))
+    assert(full.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // every window occurs 3 times (once per doc): cap 2 cuts them ALL —
+    // no candidates survive
+    val cut = Dedup.substringRuns(d, kTokens = 8, maxWindowDf = Some(2L))
+    assert(cut.count() == 0L)
+    // cap 3 keeps everything
+    assert(Dedup.substringRuns(d, kTokens = 8, maxWindowDf = Some(3L))
+      .count() == 3L)
+  }
 }

@@ -42,7 +42,7 @@ class PlanInvariantSpec extends SparkSuite {
     "cartesian or broadcast nested loop, and the posting SELF-join is " +
     "pinned to a shuffle join (never broadcast)") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
-      "dedup_containment")) {
+      "dedup_containment", "dedup_substring", "dedup_substring_dfcut")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
@@ -53,6 +53,21 @@ class PlanInvariantSpec extends SparkSuite {
       assert(p.contains("SortMergeJoin"),
         s"$q lost the SHUFFLE_MERGE pin on the posting self-join")
     }
+    // the substring family additionally pins the verification joins on
+    // the corpus-sized token table: zero BroadcastExchange in the
+    // uncut plan (window + token tables are both corpus-sized); the
+    // dfcut variant may broadcast ONLY the aggregation-bounded
+    // stop-window set (its LeftAnti guard — the blockedNgramJaccard
+    // optimizer-decides rationale), nothing else
+    assert(!planOf("dedup_substring").contains("BroadcastExchange"),
+      "dedup_substring broadcasts a corpus-derived side")
+    val pc = planOf("dedup_substring_dfcut")
+    val nBroadcast = pc.linesIterator.count(_.contains("BroadcastExchange"))
+    val nAnti = pc.linesIterator.count(
+      l => l.contains("LeftAnti") && l.contains("Broadcast"))
+    assert(nBroadcast <= nAnti,
+      s"dedup_substring_dfcut broadcasts beyond the stop-set anti-join " +
+        s"($nBroadcast broadcasts, $nAnti anti-join builds)")
   }
 
   test("dedup_simhash64: equi-joins only (no cartesian / nested loop), " +
