@@ -396,6 +396,34 @@ object SparkEntry {
           TextAnalysis.bpeRealTokenCount(col("text")).as("n_bpe_real"),
           md5(TextAnalysis.bpeRealEncode(col("text"))).as("bpe_md5"))
         .orderBy("doc_id")),
+    // Corpus-scale BPE TRAINING (graft.ops.Bpe.train): the iterative
+    // pair-count/merge loop as Spark jobs — one corpus pass builds the
+    // (word, count) vocab, then each round is one vocab groupBy + a
+    // 1-row argmax collect + a map-only merge application. At sf0.01
+    // the 40 trained rows ARE the committed Bpe.Merges fixture
+    // byte-for-byte (its provenance, reproduced in-engine); the oracle
+    // replays every round symbolically.
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Bpe.train(docs(s, dir), 40).zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "ma", "mb").orderBy("rank")
+    }),
+    // ... and the trained table CONSUMED: text_token_count_bpe's shape
+    // with a 12-merge vocabulary trained from the corpus at query time
+    // (the coder-parametric expression overloads) — trainer and
+    // tokenizer composed end-to-end, oracle-replayed end-to-end.
+    "text_token_count_bpe_trained" -> ((s, dir) => {
+      val coder = new graft.ops.Bpe.Coder(
+        graft.ops.Bpe.train(docs(s, dir), 12))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeRealTokenCountWith(col("text"), coder)
+            .as("n_bpe_real"),
+          md5(TextAnalysis.bpeRealEncodeWith(col("text"), coder))
+            .as("bpe_md5"))
+        .orderBy("doc_id")
+    }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
     // composite keep, verified per-document by the oracle.
@@ -549,8 +577,14 @@ object SparkEntry {
     * leftmost occurrence — `Bpe.Coder.encodeWord` exactly; validated
     * symbol-for-symbol), then per-doc counts and the rebuilt token
     * string in `dbpe(doc_id, n_bpe_real, bpe_md5)`. */
-  private def bpeSqlChain: String =
-    s"""bpem AS (SELECT * FROM (VALUES ${graft.ops.Bpe.mergesSqlValues}) t(rnk, ma, mb)),
+  private def bpeSqlChain: String = bpeSqlChainWith(
+    s"bpem AS (SELECT * FROM (VALUES ${graft.ops.Bpe.mergesSqlValues}) t(rnk, ma, mb))")
+
+  /** [[bpeSqlChain]] over an arbitrary `bpem(rnk, ma, mb)` CTE — the
+    * fixture VALUES normally, the symbolically-TRAINED table for the
+    * trained-tokenizer row (see [[bpeTrainChain]]). */
+  private def bpeSqlChainWith(bpemCte: String): String =
+    s"""$bpemCte,
        |words AS (
        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |  FROM documents
@@ -586,7 +620,82 @@ object SparkEntry {
        |  GROUP BY d.doc_id
        |)""".stripMargin
 
+  /** BPE TRAINING replayed symbolically, round by round
+    * (`graft.ops.Bpe.train` digit-for-digit): the (word, count) vocab
+    * (`btw`), char-split symbol strings (`bts0`), then per round r a
+    * pair-count CTE (`btp$r` — adjacent symbols weighted by word
+    * count), the argmax merge (`btm$r` — count desc, pair
+    * lexicographic), and a recursive one-occurrence-at-a-time
+    * leftmost-replacement fixpoint (`btr$r`/`bts${r+1}` — the
+    * [[bpeSqlChain]] surgery specialized to a single pair; equivalent
+    * to the trainer's single left-to-right pass because a merge never
+    * creates a new occurrence of its own pair). MATERIALIZED hints
+    * keep the chained rounds linear — DuckDB would otherwise inline
+    * the multi-referenced round CTEs exponentially. */
+  private def bpeTrainChain(n: Int): String = {
+    val head =
+      """btw AS MATERIALIZED (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY w
+        |), bts0 AS MATERIALIZED (
+        |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq
+        |  FROM btw
+        |)""".stripMargin
+    val rounds = (0 until n).map { r =>
+      s""", btp$r AS MATERIALIZED (
+         |  SELECT l[g.i] AS a, l[g.i+1] AS b, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS l FROM bts$r) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+         |  GROUP BY a, b
+         |), btm$r AS MATERIALIZED (
+         |  SELECT a, b, ' ' || a || ' ' || b || ' ' AS pat,
+         |         ' ' || a || b || ' ' AS rep
+         |  FROM btp$r ORDER BY c DESC, a, b LIMIT 1
+         |), btr$r(w, cnt, seq) AS (
+         |  SELECT w, cnt, seq FROM bts$r
+         |  UNION ALL
+         |  SELECT s.w, s.cnt,
+         |    substr(s.seq, 1, instr(s.seq, m.pat) - 1) || m.rep ||
+         |      substr(s.seq, instr(s.seq, m.pat) + length(m.pat))
+         |  FROM btr$r s, btm$r m
+         |  WHERE instr(s.seq, m.pat) > 0
+         |), bts${r + 1} AS MATERIALIZED (
+         |  SELECT w, cnt, seq FROM btr$r s
+         |  WHERE NOT EXISTS (SELECT 1 FROM btm$r m
+         |                    WHERE instr(s.seq, m.pat) > 0)
+         |)""".stripMargin
+    }.mkString
+    head + rounds
+  }
+
+  /** The trained merge rows as a SELECT (rank, ma, mb) union over
+    * [[bpeTrainChain]]'s argmax CTEs — rounds whose corpus ran out of
+    * pairs contribute zero rows on both engines. */
+  private def bpeTrainSelect(n: Int): String =
+    (0 until n)
+      .map(r => s"SELECT $r AS rank, a AS ma, b AS mb FROM btm$r")
+      .mkString("\n  UNION ALL ")
+
   private def textOracles: Map[String, String] = Map(
+    "bpe_train" -> ("WITH RECURSIVE " + bpeTrainChain(40) +
+      s"""
+         |SELECT CAST(rank AS BIGINT) AS rank, ma, mb FROM (
+         |  ${bpeTrainSelect(40)}
+         |) ORDER BY rank""".stripMargin),
+
+    // Trained-tokenizer composition: 12 training rounds replayed, the
+    // replayed table fed into the encode chain as `bpem`.
+    "text_token_count_bpe_trained" -> ("WITH RECURSIVE " + bpeTrainChain(12) +
+      ", " + bpeSqlChainWith(
+        s"""bpem AS MATERIALIZED (
+           |  SELECT CAST(rank AS INT) AS rnk, ma, mb FROM (
+           |  ${bpeTrainSelect(12)}
+           |  )
+           |)""".stripMargin) +
+      """
+        |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),
+
     "text_token_count_bpe" -> ("WITH RECURSIVE " + bpeSqlChain +
       """
         |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),

@@ -16,7 +16,9 @@ import graft.ops.Bpe
   * is a single call into the shared [[Bpe.Coder]] reference object,
   * whose per-executor memo makes the merge loop run ~once per distinct
   * word, not once per token occurrence. */
-case class BpeTokenCount(child: Expression) extends UnaryExpression {
+case class BpeTokenCount(child: Expression,
+                         coder: Bpe.Coder = Bpe.coder)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -26,12 +28,11 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(a: Any): Any =
-    Bpe.coder.countAll(a.asInstanceOf[ArrayData])
+    coder.countAll(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val coder = ctx.addReferenceObj("bpeCoder", Bpe.coder,
-      classOf[Bpe.Coder].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $coder.countAll($a);")
+    val c = ctx.addReferenceObj("bpeCoder", coder, classOf[Bpe.Coder].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $c.countAll($a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
@@ -41,7 +42,9 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
 /** The full BPE tokenization as one space-joined string — the form a
   * digest can pin symbol-for-symbol against the oracle's recursive
   * replay. */
-case class BpeEncode(child: Expression) extends UnaryExpression {
+case class BpeEncode(child: Expression,
+                     coder: Bpe.Coder = Bpe.coder)
+    extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -51,14 +54,13 @@ case class BpeEncode(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(a: Any): Any =
-    UTF8String.fromString(Bpe.coder.encodeAll(a.asInstanceOf[ArrayData]))
+    UTF8String.fromString(coder.encodeAll(a.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val coder = ctx.addReferenceObj("bpeCoder", Bpe.coder,
-      classOf[Bpe.Coder].getName)
+    val c = ctx.addReferenceObj("bpeCoder", coder, classOf[Bpe.Coder].getName)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = org.apache.spark.unsafe.types.UTF8String" +
-        s".fromString($coder.encodeAll($a));")
+        s".fromString($c.encodeAll($a));")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
@@ -66,11 +68,21 @@ case class BpeEncode(child: Expression) extends UnaryExpression {
 }
 
 object BpeExpressions {
-  /** Total real-BPE token count of a token array. */
+  /** Total real-BPE token count of a token array (the committed
+    * [[Bpe.Merges]] fixture coder). */
   def bpeTokenCount(tokens: Column): Column =
     GraftBridge.column(BpeTokenCount(GraftBridge.expression(tokens)))
+
+  /** As above over an arbitrary coder — the consumer of a
+    * [[Bpe.train]]-ed merge table. */
+  def bpeTokenCount(tokens: Column, coder: Bpe.Coder): Column =
+    GraftBridge.column(BpeTokenCount(GraftBridge.expression(tokens), coder))
 
   /** Space-joined real-BPE tokenization of a token array. */
   def bpeEncode(tokens: Column): Column =
     GraftBridge.column(BpeEncode(GraftBridge.expression(tokens)))
+
+  /** As above over an arbitrary coder. */
+  def bpeEncode(tokens: Column, coder: Bpe.Coder): Column =
+    GraftBridge.column(BpeEncode(GraftBridge.expression(tokens), coder))
 }

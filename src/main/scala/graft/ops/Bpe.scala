@@ -1,5 +1,8 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
 /** Real merge-table byte-pair encoding — the tokenizer the packing /
   * token-budget family counts with (beyond the `BpeIshPattern` regex
   * proxy in [[TextAnalysis]]).
@@ -123,4 +126,97 @@ object Bpe {
     Merges.zipWithIndex
       .map { case ((a, b), r) => s"($r, '$a', '$b')" }
       .mkString(", ")
+
+  /** Adjacent (symbol, next-symbol) struct pairs of a symbol array —
+    * the per-round pair-count input. Map-only; empty under 2 symbols. */
+  private def adjacentPairs(seq: Column): Column =
+    when(size(seq) >= 2,
+      transform(sequence(lit(1), size(seq) - 1), i =>
+        struct(element_at(seq, i).as("a"), element_at(seq, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** ONE merge (a, b) applied to a symbol array, greedy left-to-right
+    * non-overlapping — classic BPE round semantics — as a sequential
+    * `aggregate` fold (codegen'd, map-only, no shuffle): carry (emitted
+    * symbols, pending previous symbol); when pending == a and the
+    * current symbol == b, emit the merged token and clear the pending
+    * slot (so an `a a a` run merges at even offsets only — the
+    * left-to-right parity rule the oracle's one-occurrence-at-a-time
+    * replacement reproduces; a merge never creates a NEW (a, b)
+    * occurrence because a+b equals neither a nor b, so single-pass and
+    * to-fixpoint application coincide). */
+  private[ops] def applyMerge(seq: Column, a: String, b: String): Column = {
+    def out(st: Column) = st.getField("out")
+    def prev(st: Column) = st.getField("prev")
+    aggregate(
+      seq,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("prev")),
+      (st, x) => {
+        val merged = prev(st).isNotNull && prev(st) === lit(a) && (x === lit(b))
+        struct(
+          when(merged, concat(out(st), array(lit(a + b))))
+            .when(prev(st).isNull, out(st))
+            .otherwise(concat(out(st), array(prev(st)))).as("out"),
+          when(merged, lit(null).cast("string")).otherwise(x).as("prev"))
+      },
+      st => when(prev(st).isNull, out(st))
+        .otherwise(concat(out(st), array(prev(st)))))
+  }
+
+  /** Corpus-scale BPE TRAINING — the iterative pair-count/merge loop
+    * that produced [[Merges]] (which this trainer byte-reproduces on
+    * the gate corpus — the `bpe_train` oracle row at sf0.01 emits the
+    * fixture exactly), run as Spark jobs so the vocabulary never has to
+    * fit on the driver:
+    *
+    *   1. ONE corpus pass builds the (word, count) table — the
+    *      Zipf-collapsed training frame every published BPE trainer
+    *      iterates on; all later rounds touch only this vocab table;
+    *   2. per round: adjacent symbol pairs (map-only
+    *      [[adjacentPairs]]) → one groupBy(a, b) weighted by word
+    *      count → the single argmax row collected (count desc, then
+    *      (a, b) lexicographic — the fixture's tie rule) → the merge
+    *      applied map-only ([[applyMerge]]) and the symbol table
+    *      re-materialized via localCheckpoint (truncates lineage: each
+    *      round's plan stays O(1) instead of nesting 40 fold
+    *      expressions — the CC-loop driver-iteration precedent).
+    *
+    * Per-round cost at 100 TB: one shuffle of (a, b, count) partial
+    * aggregates over the vocab table plus a 1-row collect — the corpus
+    * is read exactly once, in step 1. Stops early when no pair is left
+    * (every word fully merged). Returns the rank-ordered merge table;
+    * feed it to [[Coder]] / the coder-parametric
+    * [[graft.functions.BpeExpressions]] overloads to tokenize with the
+    * trained vocabulary ([[graft.ops.TextAnalysis.bpeRealTokenCountWith]]). */
+  def train(docs: DataFrame, nMerges: Int = Merges.length): IndexedSeq[(String, String)] = {
+    require(nMerges >= 1, s"bpe train: nMerges must be >= 1, got $nMerges")
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var syms = words
+      .select(col("w"), col("cnt"), split(col("w"), "").as("seq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val top = syms
+        .select(col("cnt"), explode(adjacentPairs(col("seq"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+        .groupBy("a", "b").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((a, b))
+        if (merges.length < nMerges)
+          syms = syms
+            .select(col("w"), col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
+            .localCheckpoint()
+      }
+    }
+    merges.toIndexedSeq
+  }
 }

@@ -58,6 +58,15 @@ object TextAnalysis {
   def bpeRealEncode(text: Column): Column =
     graft.functions.BpeExpressions.bpeEncode(tokens(text))
 
+  /** [[bpeRealTokenCount]] over an ARBITRARY merge table — the consumer
+    * of a [[Bpe.train]]-ed vocabulary instead of the committed fixture. */
+  def bpeRealTokenCountWith(text: Column, coder: Bpe.Coder): Column =
+    graft.functions.BpeExpressions.bpeTokenCount(tokens(text), coder)
+
+  /** [[bpeRealEncode]] over an arbitrary merge table. */
+  def bpeRealEncodeWith(text: Column, coder: Bpe.Coder): Column =
+    graft.functions.BpeExpressions.bpeEncode(tokens(text), coder)
+
   /** Sliding 3-gram (shingle) array over the token sequence; empty when the
     * document has fewer than 3 tokens. 1-based indexing matches the DuckDB
     * mirror (`t[i] || ' ' || t[i+1] || ' ' || t[i+2]`). */

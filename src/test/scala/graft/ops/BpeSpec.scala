@@ -54,4 +54,43 @@ class BpeSpec extends SparkSuite {
     }
     assert(Bpe.Merges.distinct.size == Bpe.Merges.size)
   }
+
+  test("train: classic weighted pair-count/merge loop with lexicographic " +
+    "ties, left-to-right non-overlapping application, early stop when no " +
+    "pair remains") {
+    // counts: 'abab' x3 contributes (a,b)x2x3=6, (b,a)x3; 'abc' x2 gives
+    // (a,b)x2, (b,c)x2 -> round 0 merges (a,b) [8 votes]
+    val d = Seq((0L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val m = Bpe.train(d, 3)
+    assert(m.head == ("a", "b"))
+    // after (a,b): 'abab' -> [ab, ab] x3 -> (ab,ab)x3; 'abc' -> [ab, c]
+    // x2 -> (ab,c)x2 -> round 1 merges (ab,ab)
+    assert(m(1) == ("ab", "ab"))
+    assert(m(2) == ("ab", "c"))
+    // nothing left to merge once 'abab'/'abc' collapse to single symbols
+    assert(Bpe.train(d, 10).length == 3)
+    // encoding with the trained coder reproduces the training collapse
+    val c = new Bpe.Coder(Bpe.train(d, 10))
+    assert(c.encodeWord("abab").length == 1)
+    assert(c.encodeWord("abc").length == 1)
+  }
+
+  test("train: a a a runs merge at even offsets only (left-to-right " +
+    "parity), matching the coder's greedy application") {
+    val d = Seq((0L, "aaaaa aaaaa")).toDF("doc_id", "text")
+    val m = Bpe.train(d, 1)
+    assert(m == Seq(("a", "a")))
+    // apply through the relational fold: 'aaaaa' -> [aa, aa, a]
+    val seq = d.select(Bpe.applyMerge(
+      split(lit("aaaaa"), ""), "a", "a").as("s")).head().getSeq[String](0)
+    assert(seq == Seq("aa", "aa", "a"))
+  }
+
+  test("train reproduces the committed Merges fixture byte-for-byte on " +
+    "the gate corpus (the fixture's provenance, in-engine)") {
+    val dir = new java.io.File("/root/testdata/sf0.01/documents.parquet")
+    assume(dir.exists, "gate corpus not present")
+    val docs = spark.read.parquet(dir.getPath)
+    assert(Bpe.train(docs, 40) == Bpe.Merges)
+  }
 }
