@@ -128,9 +128,8 @@ private[sources] class SyntheticKafkaStream(topics: Seq[String],
   require(topics.nonEmpty && partitions > 0 && rowsPerPartition >= 0 &&
     rowsPerBatch > 0, "synthetic kafka source: bad dials")
 
-  // advances by rowsPerBatch per poll, capped at the finite end; a
-  // restarted query begins polling from 0 again but planInputPartitions
-  // clamps empty ranges and content is offset-deterministic, so replays
+  // advances by rowsPerBatch per poll, capped at the finite end; content
+  // is offset-deterministic, so replayed ranges (checkpoint restart)
   // rewrite identical bytes (at-least-once, like the real source)
   private var admitted = 0L
 
@@ -141,8 +140,17 @@ private[sources] class SyntheticKafkaStream(topics: Seq[String],
     SyntheticOffset(admitted)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    SyntheticOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toLong
+    // A restarted query hands the checkpointed offsets back through
+    // here BEFORE its first poll: resume the admission pacing from the
+    // restored position (a broker-backed source's latest offset is
+    // likewise independent of the consumer's restart) — otherwise the
+    // first post-restart latestOffset() returns exactly the committed
+    // offset and processAllAvailable() sees a caught-up stream.
+    admitted = math.max(admitted, n)
+    SyntheticOffset(n)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
