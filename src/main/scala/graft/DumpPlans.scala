@@ -80,7 +80,16 @@ object DumpPlans {
     // decontamination max-cosine into the CC keep-list plan
     "sim_ann_ivf_pq_residual", "sim_ann_ivf_hamming",
     "sim_ann_ivf_pq_auto_sampled", "sim_ann_ivf_pq_managed",
-    "text_token_count_bpe", "pipeline_clean_corpus_v2")
+    "text_token_count_bpe", "pipeline_clean_corpus_v2",
+    // round-17: the cascade must show the three tiers in ONE plan (sign
+    // code scan + WindowGroupLimit prefilter, SHUFFLE_MERGE-pinned code
+    // join, query-bounded broadcasts only); dedup_substring must show
+    // the pinned posting self-join + islands window + pinned
+    // verification joins, zero corpus-side broadcast; the managed
+    // residual row must plan a pure store-scan search (no training
+    // aggregate, no residual computation)
+    "sim_cascade_topk", "dedup_substring",
+    "sim_ann_ivf_pq_residual_managed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
