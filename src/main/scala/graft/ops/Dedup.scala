@@ -678,15 +678,33 @@ object Dedup {
         posexplode(TextAnalysis.shinglesK(col("_t"), kTokens)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         shingleHash(col("col")).as("wh"))
+    // Cache the window table pre-partitioned on the window hash — the
+    // key every consumer groups or joins on: the df-cut aggregate, the
+    // stop-set anti-join, and BOTH posting self-join sides. Catalyst
+    // does not reuse a self-join's duplicated exchanges here, so
+    // without the pin the tokenize+shingle+hash pass runs once per
+    // consumer and each consumer re-shuffles the corpus-sized table
+    // (the round-17 fresh-vocab probe measured the df-cut guard
+    // costing ~2x the UNcut run at 10x/100x from exactly those
+    // re-computations — the simhash sig-cache precedent, applied to
+    // the posting table). Everything downstream of the ONE exchange is
+    // partition-local. Skew note: a corpus-hot window's postings land
+    // in one cache partition before the cut drops them — a LINEAR
+    // single-task count of the hottest key, accepted in exchange for
+    // never re-shuffling the corpus per consumer; the cut still
+    // removes the L^2 pairing the cap exists to prevent.
+    val winsP = wins0.repartition(col("wh")).cache()
     val wins = maxWindowDf match {
       case Some(cap) =>
         // Anti-join against the hot-window stop set — boilerplate-sized
         // by construction; no broadcast hint (the blockedNgramJaccard
         // rationale: an oversized stop set must degrade, not OOM).
-        val stop = wins0.groupBy("wh").agg(count(lit(1)).as("_df"))
+        // Derived FROM the cache, so the aggregate and the anti-join's
+        // corpus side add zero exchanges.
+        val stop = winsP.groupBy("wh").agg(count(lit(1)).as("_df"))
           .where(col("_df") > cap).select("wh")
-        wins0.join(stop, Seq("wh"), "left_anti")
-      case None => wins0
+        winsP.join(stop, Seq("wh"), "left_anti")
+      case None => winsP
     }
     // Posting self-join: both sides the corpus-sized window table —
     // pinned SHUFFLE_MERGE, never broadcast (round-15/16 audit rule).

@@ -90,13 +90,15 @@ object ProductQuantization {
       corpus.select(size(col(vecCol)).as("d")).head().getInt(0))
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    def sliceBook(rows: Seq[(Long, Array[Float])]): IndexedSeq[Similarity.LocalCentroids] =
+    def sliceBook(rows: Seq[(Long, Array[Float])]): IndexedSeq[Similarity.LocalCentroids] = {
+      val sorted = rows.sortBy(_._1)
+      val ids = sorted.map(_._1).toArray
       (0 until m).map { i =>
-        val sorted = rows.sortBy(_._1)
         val vecs = sorted.map(_._2.slice(i * subDim, (i + 1) * subDim)).toArray
-        Similarity.LocalCentroids(sorted.map(_._1).toArray, vecs,
+        Similarity.LocalCentroids(ids, vecs,
           vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))))
       }
+    }
     val seeds = sliceBook(
       corpus.where(col("vec_id") < k).select(col("vec_id"), col(vecCol))
         .collect().toSeq
