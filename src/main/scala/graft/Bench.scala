@@ -4,6 +4,21 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
+  /** Execute a query's OWN physical plan and count its rows at the RDD
+    * layer. `df.count()` re-optimizes the plan UNDER the count: column
+    * pruning strips every map-side projection (a pure-map query times as
+    * a bare parquet-scan count) and distinct-key join elimination can
+    * drop a row-preserving left join's entire build subtree (the round-17
+    * finding: `dedup_substring_remove` "counted" in 0.58 s at the 100×
+    * probe while its real plan — the full posting-join detection chain —
+    * runs ~25 s; `text_token_count_bpe`'s flat 0.15 s rows were scan
+    * counts, not BPE encodes). `queryExecution.toRdd` executes the plan
+    * the query DECLARES — every projected column materializes, the output
+    * sort runs — which is the work Verify's parquet dump pays minus file
+    * I/O, so bench rows now bound the cost a consumer actually sees. */
+  private def runPlan(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Cumulative stop-the-world GC time across all collectors (ms). */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -40,7 +55,7 @@ object Bench {
       if (small.isDirectory) small.getPath else sfDir
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try runPlan(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     // median-of-3 per query: the variance protocol. Single runs produced
@@ -77,7 +92,7 @@ object Bench {
           if (err.isDefined) None // one crash condemns the query; don't re-crash x3
           else {
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch {
+            try { runPlan(fn(spark, sfDir)) } catch {
               case e: Throwable =>
                 err = Some(s"${e.getClass.getSimpleName}: " +
                   Option(e.getMessage).getOrElse("").linesIterator

@@ -520,7 +520,7 @@ object SparkEntry {
     * .shingleHash]] mirror), optional hot-window df-cut, posting
     * self-join, per-diagonal gaps-and-islands run merge, and the
     * span-equality verification join. */
-  private def substringRunsSql(k: Int, maxDf: Option[Long]): String = {
+  private def substringChainSql(k: Int, maxDf: Option[Long]): String = {
     val cut = maxDf match {
       case Some(cap) =>
         s""", wdf AS (
@@ -551,15 +551,61 @@ object SparkEntry {
        |    CAST(min(p2) AS BIGINT) AS d2_pos,
        |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_tokens
        |  FROM runs GROUP BY d1, d2, diag, grp
-       |)
-       |SELECT r.d1, r.d2, r.d1_pos, r.d2_pos, r.run_tokens
-       |FROM agg r
-       |JOIN toks a ON a.doc_id = r.d1
-       |JOIN toks b ON b.doc_id = r.d2
-       |WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
-       |      array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
-       |ORDER BY d1, d2, d1_pos, d2_pos""".stripMargin
+       |), vruns AS (
+       |  SELECT r.d1, r.d2, r.d1_pos, r.d2_pos, r.run_tokens
+       |  FROM agg r
+       |  JOIN toks a ON a.doc_id = r.d1
+       |  JOIN toks b ON b.doc_id = r.d2
+       |  WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
+       |        array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
+       |)""".stripMargin
   }
+
+  private def substringRunsSql(k: Int, maxDf: Option[Long]): String =
+    substringChainSql(k, maxDf) +
+      "\nSELECT d1, d2, d1_pos, d2_pos, run_tokens FROM vruns" +
+      "\nORDER BY d1, d2, d1_pos, d2_pos"
+
+  /** [[Dedup.substringRemove]] replayed: verified runs -> d2-side cut
+    * intervals -> running-max interval merge -> positional token filter
+    * -> per-doc rejoin digest. */
+  private def substringRemoveSql(k: Int, maxDf: Option[Long]): String =
+    substringChainSql(k, maxDf) +
+      """, iv0 AS (
+        |  SELECT DISTINCT d2 AS doc_id, d2_pos AS s,
+        |    d2_pos + run_tokens AS e
+        |  FROM vruns
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |  FROM (
+        |    SELECT doc_id, s, e,
+        |      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |    FROM iv0)
+        |), cuts AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+        |  GROUP BY doc_id, grp
+        |), pos AS (
+        |  SELECT doc_id, t, g.i AS i, t[g.i] AS tok
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(generate_series(1, len(t))) AS i) g
+        |), kept AS (
+        |  SELECT p.doc_id, p.i, p.tok
+        |  FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+        |    WHERE c.doc_id = p.doc_id AND p.i - 1 >= c.s AND p.i - 1 < c.e)
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(d.t) - coalesce(kc.n, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(kc.txt, '')) AS clean_md5
+        |FROM toks d
+        |LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n,
+        |    string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM kept GROUP BY doc_id) kc ON kc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   /** Shared DuckDB tokenization CTE over `documents`. */
   private val T =
@@ -1195,6 +1241,12 @@ object SparkEntry {
     // precedent; a cut window splits the runs it interrupts).
     "dedup_substring_dfcut" -> ((s, dir) =>
       Dedup.substringRuns(docs(s, dir), 8, Some(3L))),
+    // ... and the removal ACTION on those detections (the suffix-array
+    // paper's actual operation): lowest-id doc keeps each shared run,
+    // every other holder has the merged spans cut from its token
+    // stream. One row per doc; cleaned text digested.
+    "dedup_substring_remove" -> ((s, dir) =>
+      Dedup.substringRemove(docs(s, dir), 8)),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Embedding-level benchmark decontamination (the n-gram
@@ -1507,6 +1559,8 @@ object SparkEntry {
     "dedup_substring" -> substringRunsSql(8, None),
 
     "dedup_substring_dfcut" -> substringRunsSql(8, Some(3L)),
+
+    "dedup_substring_remove" -> substringRemoveSql(8, None),
 
     "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (

@@ -669,6 +669,16 @@ object Dedup {
     * pinned on the corpus-sized token table. */
   def substringRuns(docs: DataFrame, kTokens: Int = 8,
                     maxWindowDf: Option[Long] = None): DataFrame = {
+    val (verified, _) = substringRunsRaw(docs, kTokens, maxWindowDf)
+    verified.orderBy("d1", "d2", "d1_pos", "d2_pos")
+  }
+
+  /** [[substringRuns]]'s unordered body, plus the tokenized corpus it
+    * was computed from — so [[substringRemove]] can compose without a
+    * wasted total sort between detection and removal. */
+  private def substringRunsRaw(docs: DataFrame, kTokens: Int,
+                               maxWindowDf: Option[Long])
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(kTokens >= 2, s"substringRuns: kTokens must be >= 2, got $kTokens")
     val toks = docs.select(col("doc_id"),
@@ -733,7 +743,69 @@ object Dedup {
           col("run_tokens").cast("int")), " "))
       .select(col("d1"), col("d2"), col("d1_pos"), col("d2_pos"),
         col("run_tokens"))
-    verified.orderBy("d1", "d2", "d1_pos", "d2_pos")
+    (verified, toks)
+  }
+
+  /** The removal ACTION on [[substringRuns]]'s detections — the actual
+    * operation of suffix-array dedup ("Deduplicating Training Data Makes
+    * Language Models Better" removes all but one occurrence of every
+    * duplicated >= k-token substring; detection alone just reports it).
+    * Keep policy is deterministic lowest-id-keeps: every verified run
+    * (d1 < d2) marks its d2-side span for removal, so of N documents
+    * sharing a span only the lowest doc_id retains it (doc 5 loses its
+    * copy to doc 3 as the pair (3,5), and doc 7 to both 3 and 5 — one
+    * surviving occurrence, no coordination step).
+    *
+    * Per document the marked spans are merged with a running-max
+    * gaps-and-islands pass (overlapping/adjacent spans from different
+    * partners collapse into one cut), then the cut list — DISJOINT
+    * intervals in [0, len), so at most len/2 of them, bounded by the
+    * document's OWN length, never by its partner count — is collected
+    * per doc and applied map-side with a positional higher-order filter
+    * over the token array. No token ever shuffles attached to a pair.
+    *
+    * Output: one row per document, (doc_id, n_removed, clean_md5) where
+    * `clean_md5` digests the cleaned NORMALIZED text (lowercased,
+    * whitespace-collapsed token rejoin — the family's tokenization; a
+    * raw-text splice would misattribute inter-token whitespace). At
+    * 100 TB: detection is [[substringRuns]]'s pinned shape; the interval
+    * table is duplication-bounded; the final corpus join is pinned
+    * SHUFFLE_MERGE (interval side corpus-derived — never broadcast);
+    * removal itself is a map. */
+  def substringRemove(docs: DataFrame, kTokens: Int = 8,
+                      maxWindowDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (runs, toks) = substringRunsRaw(docs, kTokens, maxWindowDf)
+    // Distinct: two partners sharing the SAME d2 span emit identical
+    // intervals; drop them before the window pass so tie ordering is
+    // immaterial (the rows are identical either way).
+    val iv0 = runs.select(col("d2").as("doc_id"), col("d2_pos").as("s"),
+      (col("d2_pos") + col("run_tokens")).as("e")).distinct()
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val islands = iv0
+      .withColumn("maxe",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+        .over(w))
+      .groupBy("doc_id", "isl").agg(min("s").as("s"), max("e").as("e"))
+    // Disjoint merged cuts per doc: <= len/2 entries (see scaladoc), so
+    // the collect_list is bounded by the doc's own token length.
+    val perDoc = islands.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    toks.join(perDoc.hint("SHUFFLE_MERGE"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(col("_t"), (_: Column, i: Column) =>
+          // null iv (nothing removed) => exists is null => keep
+          !coalesce(exists(col("iv"), v =>
+            i >= v.getField("s") && i < v.getField("e")), lit(false)))
+          .as("_kept"),
+        col("_t"))
+      .select(col("doc_id"),
+        (size(col("_t")) - size(col("_kept"))).cast(LongType)
+          .as("n_removed"),
+        md5(array_join(col("_kept"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
   }
 
   /** Containment score |A∩B| / min(|A|,|B|) over distinct 3-shingles —

@@ -987,4 +987,36 @@ class OpsSpec extends SparkSuite {
     assert(Dedup.substringRuns(d, kTokens = 8, maxWindowDf = Some(3L))
       .count() == 3L)
   }
+
+  test("substringRemove: lowest id keeps every shared run; identical docs " +
+    "empty all but the first; untouched docs digest their normalized text") {
+    val text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val d = Seq((0L, text), (1L, text), (2L, text), (3L, "all alone here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringRemove(d, kTokens = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    val emptyMd5 = org.apache.commons.codec.digest.DigestUtils.md5Hex("")
+    assert(r(0L) == ((0L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(text))))
+    assert(r(1L) == ((10L, emptyMd5)) && r(2L) == ((10L, emptyMd5)))
+    assert(r(3L) == ((0L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("all alone here"))))
+  }
+
+  test("substringRemove: overlapping cuts from DIFFERENT partners merge " +
+    "into one interval before removal") {
+    // doc 2 shares tokens 0..9 with doc 0 and tokens 4..13 with doc 1:
+    // merged cut [0, 14) — 14 tokens removed, 2 survive.
+    val shared = (0 until 14).map(i => s"s$i").mkString(" ") // s0..s13
+    val d = Seq(
+      (0L, (0 until 10).map(i => s"s$i").mkString(" ")),  // s0..s9
+      (1L, (4 until 14).map(i => s"s$i").mkString(" ")),  // s4..s13
+      (2L, s"$shared tail1 tail2"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringRemove(d, kTokens = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(0L)._1 == 0L && r(1L)._1 == 0L)
+    assert(r(2L) == ((14L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("tail1 tail2"))))
+  }
 }

@@ -42,7 +42,8 @@ class PlanInvariantSpec extends SparkSuite {
     "cartesian or broadcast nested loop, and the posting SELF-join is " +
     "pinned to a shuffle join (never broadcast)") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
-      "dedup_containment", "dedup_substring", "dedup_substring_dfcut")) {
+      "dedup_containment", "dedup_substring", "dedup_substring_dfcut",
+      "dedup_substring_remove")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
@@ -61,6 +62,10 @@ class PlanInvariantSpec extends SparkSuite {
     // optimizer-decides rationale), nothing else
     assert(!planOf("dedup_substring").contains("BroadcastExchange"),
       "dedup_substring broadcasts a corpus-derived side")
+    // ... and the removal action inherits them, PLUS its final
+    // corpus-tokens <- merged-cuts join (both sides corpus-derived)
+    assert(!planOf("dedup_substring_remove").contains("BroadcastExchange"),
+      "dedup_substring_remove broadcasts a corpus-derived side")
     val pc = planOf("dedup_substring_dfcut")
     val nBroadcast = pc.linesIterator.count(_.contains("BroadcastExchange"))
     val nAnti = pc.linesIterator.count(
