@@ -424,6 +424,24 @@ object SparkEntry {
             .as("bpe_md5"))
         .orderBy("doc_id")
     }),
+    // ... and the trained table MANAGED (the pqStore precedent): the
+    // 40-merge vocabulary is trained once per corpus fingerprint and
+    // persisted; a warm call reads 40 parquet rows and runs zero
+    // training jobs before the map-only encode. At sf0.01 the stored
+    // table is bpe_train's — i.e. the committed fixture — so this row
+    // also re-proves the store round-trips the trainer bit-for-bit.
+    "text_token_count_bpe_managed" -> ((s, dir) => {
+      val coder = new graft.ops.Bpe.Coder(
+        graft.ops.Bpe.mergesStore(s, docs(s, dir),
+          s"$dir/documents.parquet", 40))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeRealTokenCountWith(col("text"), coder)
+            .as("n_bpe_real"),
+          md5(TextAnalysis.bpeRealEncodeWith(col("text"), coder))
+            .as("bpe_md5"))
+        .orderBy("doc_id")
+    }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
     // composite keep, verified per-document by the oracle.
@@ -743,6 +761,19 @@ object SparkEntry {
         |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),
 
     "text_token_count_bpe" -> ("WITH RECURSIVE " + bpeSqlChain +
+      """
+        |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),
+
+    // Managed-tokenizer row: the stored table IS train(40)'s output, so
+    // the oracle replays the full 40-round training symbolically and
+    // feeds the replayed table into the encode chain.
+    "text_token_count_bpe_managed" -> ("WITH RECURSIVE " + bpeTrainChain(40) +
+      ", " + bpeSqlChainWith(
+        s"""bpem AS MATERIALIZED (
+           |  SELECT CAST(rank AS INT) AS rnk, ma, mb FROM (
+           |  ${bpeTrainSelect(40)}
+           |  )
+           |)""".stripMargin) +
       """
         |SELECT doc_id, n_bpe_real, bpe_md5 FROM dbpe ORDER BY doc_id""".stripMargin),
 

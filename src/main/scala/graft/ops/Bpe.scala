@@ -219,4 +219,33 @@ object Bpe {
     }
     merges.toIndexedSeq
   }
+
+  /** Build-once/read-many TRAINED tokenizer: [[train]]'s merge table
+    * persisted through [[FingerprintStore]] (the `pqStore`/`ivfPqStore`
+    * precedent — a pipeline that ships its own tokenizer trains it once
+    * per corpus snapshot, then every tokenize/count/pack job consumes the
+    * stored table). The store is keyed by the SOURCE corpus fingerprint
+    * plus `nMerges`, so a regenerated corpus or a resized vocabulary
+    * retrains; a warm call reads `nMerges` parquet rows and runs ZERO
+    * training jobs — at 100 TB the ~40-round pair-count bill (one corpus
+    * pass + one vocab-sized shuffle per round) is paid once, while the
+    * consuming encode jobs are map-only. The collect is `nMerges` rows
+    * (a tokenizer vocabulary, bytes) — bounded and driver-safe, the
+    * codebook-collect precedent. */
+  def mergesStore(spark: org.apache.spark.sql.SparkSession,
+                  docs: DataFrame, sourcePath: String,
+                  nMerges: Int = Merges.length,
+                  storeRoot: Option[String] = None)
+      : IndexedSeq[(String, String)] = {
+    val stored = FingerprintStore.getOrBuild(spark, sourcePath,
+      "bpemerges", s"v1-bpe-n$nMerges", storeRoot) {
+      import spark.implicits._
+      train(docs, nMerges).zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "ma", "mb")
+        .coalesce(1) // nMerges rows: one file, one footer
+    }
+    stored.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+  }
 }

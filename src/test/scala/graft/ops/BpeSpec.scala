@@ -93,4 +93,40 @@ class BpeSpec extends SparkSuite {
     val docs = spark.read.parquet(dir.getPath)
     assert(Bpe.train(docs, 40) == Bpe.Merges)
   }
+
+  test("mergesStore: warm read returns the fresh-trained table from the " +
+    "published artifact without running training jobs; fingerprint keyed " +
+    "by nMerges") {
+    val src = tmpDir("bpe-store-src") + "/documents.parquet"
+    Seq((0L, "low lower lowest"), (1L, "low low new"), (2L, "newer newest"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val docs = spark.read.parquet(src)
+    val root = tmpDir("bpe-store")
+    val fresh = Bpe.train(docs, 6)
+    assert(Bpe.mergesStore(spark, docs, src, 6, Some(root)) == fresh)
+    // warm: the table is served from the store — zero Spark JOBS beyond
+    // the 6-row parquet read (training would run one groupBy job per
+    // merge round; the listener would count them)
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Bpe.mergesStore(spark, docs, src, 6, Some(root)) == fresh)
+      Thread.sleep(200) // listener bus is async; drain before counting
+    } finally spark.sparkContext.removeSparkListener(l)
+    // warm read = parquet listing + sort sampling + collect (~4 jobs);
+    // retraining runs a vocab build plus a groupBy+argmax pair per merge
+    // round (>= 13 jobs at nMerges=6), so 6 cleanly separates the two
+    assert(jobs <= 6, s"warm mergesStore ran $jobs jobs — it retrained")
+    // a different vocabulary size is a different store key
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("graft_sigstore_bpemerges_v1-bpe-n6")))
+    Bpe.mergesStore(spark, docs, src, 3, Some(root))
+    assert(new java.io.File(root).listFiles().map(_.getName)
+      .exists(_.startsWith("graft_sigstore_bpemerges_v1-bpe-n3")))
+  }
 }
