@@ -89,7 +89,11 @@ object DumpPlans {
     // residual row must plan a pure store-scan search (no training
     // aggregate, no residual computation)
     "sim_cascade_topk", "dedup_substring",
-    "sim_ann_ivf_pq_residual_managed")
+    "sim_ann_ivf_pq_residual_managed",
+    // round 17: the removal ACTION — must inherit detection's pins and
+    // keep the final tokens<-cuts join shuffle-pinned with the interval
+    // apply as a map (no explode of corpus tokens, no pair-attached text)
+    "dedup_substring_remove")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
