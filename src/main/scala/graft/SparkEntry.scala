@@ -2272,6 +2272,20 @@ object SparkEntry {
       graft.ops.Quantization.ivfHammingTopKAuto(
         emb, emb.where(col("vec_id") < 20), 5)
     }),
+    // ... and the binary tier MANAGED: coarse centroids + (id, cell,
+    // 8 B sign code) persisted write-once (16 B/vector — the cheapest
+    // index artifact of the ladder); warm search trains nothing,
+    // assigns nothing, binarizes nothing. Deterministic training +
+    // bit-exact parquet round-trip => identical output to the fresh
+    // sampled-auto build, so it shares that oracle.
+    "sim_ann_ivf_hamming_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (codes, local, nProbe) = graft.ops.Quantization.ivfHammingStore(
+        s, emb, s"$dir/embeddings.parquet", "hamq")
+      graft.ops.Quantization.ivfHammingSearch(
+        codes, local, emb, emb.where(col("vec_id") < 20), 5,
+        rerank = 200, nProbe = nProbe)
+    }),
     // The full storage-ladder cascade composed into ONE query (the FAISS
     // IndexBinaryFlat -> PQ-rerank -> refine chain): 8 B/vector sign
     // codes rank the whole corpus by Hamming and keep the top-200, ADC
@@ -3319,6 +3333,15 @@ object SparkEntry {
       pqRerankTail(200, "ihr") + recallTail(0.8, "rranked")),
 
     "sim_ann_ivf_hamming_auto" -> ("WITH " + SampledIvfPqChain + ", " +
+      binChain(includeNrm = false) + IvfHammingTail +
+      pqRerankTail(200, "ihr") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Warm store == fresh sampled-auto build (deterministic training,
+    // bit-exact parquet round-trip): same replay.
+    "sim_ann_ivf_hamming_managed" -> ("WITH " + SampledIvfPqChain + ", " +
       binChain(includeNrm = false) + IvfHammingTail +
       pqRerankTail(200, "ihr") +
       """

@@ -799,7 +799,7 @@ object ProductQuantization {
 
   /** Read a (cell, cvec) coarse-centroid table back as LocalCentroids
     * (cells ascending, norms recomputed with the in-order driver fold). */
-  private def localFromCoarseDf(coarseDf: DataFrame): Similarity.LocalCentroids = {
+  private[ops] def localFromCoarseDf(coarseDf: DataFrame): Similarity.LocalCentroids = {
     val crows = coarseDf.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     Similarity.LocalCentroids(crows.map(_._1), crows.map(_._2),

@@ -147,9 +147,6 @@ object Quantization {
                      lloydIters: Int = 1, dim: Int = 64,
                      vecCol: String = "embedding",
                      coarseStride: Long = 1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val spark = corpus.sparkSession
     // stride 1 ≡ the full-corpus Lloyd refine, bit for bit; the auto
     // entry point passes Similarity.coarseTrainStride's bounded sample.
     val local = Similarity.trainCentroidsSampled(corpus, nLists, lloydIters,
@@ -160,6 +157,25 @@ object Quantization {
           Similarity.norm(col(vecCol)).as("_n")), local),
       "embedding", dim)
       .select(col("vec_id"), col("cell"), col("bcode"))
+    ivfHammingSearch(ccodes, local, corpus, queries, k, rerank, nProbe,
+      dim, vecCol)
+  }
+
+  /** [[ivfHammingTopK]]'s search plan over PRE-BUILT state — the
+    * warm-store half ([[ProductQuantization.ivfPqResidualSearch]]'s
+    * twin): probe assignment, in-cell Hamming ranking, and the exact
+    * top-k refine, given an existing (vec_id, cell, bcode) index and its
+    * coarse centroids. Touches stored codes and query floats through the
+    * Hamming ranking; the refine joins the float corpus for the
+    * `rerank`-bounded exact pass (every rerank row's contract — the
+    * pinned corpus-float join below). */
+  def ivfHammingSearch(ccodes: DataFrame, local: Similarity.LocalCentroids,
+                       corpus: DataFrame, queries: DataFrame, k: Int,
+                       rerank: Int, nProbe: Int, dim: Int = 64,
+                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val spark = ccodes.sparkSession
     val cent = Similarity.centroidsDf(spark, local)
     val qn = queries.select(col("vec_id").as("query_id"),
       col(vecCol).as("_qe"), Similarity.norm(col(vecCol)).as("_qn"))
@@ -229,6 +245,64 @@ object Quantization {
       if (fullRefine) 1L else Similarity.coarseTrainStride(n, nLists)
     ivfHammingTopK(corpus, queries, k, rerank, nLists, nProbe, lloydIters,
       dim, vecCol, coarseStride = stride)
+  }
+
+  /** Persistent IVF-Hamming index — the managed form of the binary tier
+    * composed with IVF, completing the storage ladder's
+    * write-once/search-many story (float → int8 → PQ → binary, every
+    * tier now persisted AND searchable). ONE build pass trains the
+    * sampled-√n coarse quantizer and persists TWO fingerprinted
+    * artifacts under the [[FingerprintStore]] contract:
+    *
+    *   - `$tag-hcoarse`: (cell, cvec) sampled-trained coarse centroids —
+    *     nLists ≈ √n rows (the `ivfPqStore` coarse shape);
+    *   - `$tag-hivf`: (vec_id, cell, bcode) — 8+8 B/vector, the
+    *     inverted file and the 1-bit sign codes in one scan (the
+    *     cheapest index artifact of the ladder: 16 B/vector total).
+    *
+    * A warm read costs one kilobyte-scale collect plus the index scan;
+    * NO training, NO assignment, NO binarize — [[ivfHammingSearch]] over
+    * the returned state runs probe assignment + in-cell Hamming from
+    * stored codes (the exact refine still joins `rerank` float rows per
+    * query — the contract of every rerank row). Version keys embed
+    * dim + nLists + stride, so a dial change rebuilds by key-miss;
+    * training is deterministic and floats round-trip parquet bit-exactly,
+    * so a warm index searches identically to a fresh sampled-auto build.
+    *
+    * Returns (index rows, coarse centroids, nProbe) at the
+    * [[ivfHammingTopKAuto]] dials, derived from the same count the
+    * build used. */
+  def ivfHammingStore(spark: org.apache.spark.sql.SparkSession,
+                      embeddings: DataFrame, sourcePath: String, tag: String,
+                      storeRoot: Option[String] = None,
+                      corpusRows: Option[Long] = None, dim: Int = 64,
+                      vecCol: String = "embedding"):
+      (DataFrame, Similarity.LocalCentroids, Int) = {
+    import spark.implicits._
+    val n = corpusRows.getOrElse(embeddings.count())
+    val nLists = Similarity.autoNLists(n)
+    val nProbe = math.max(4, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    val stride = Similarity.coarseTrainStride(n, nLists)
+    val corpus = embeddings.select(col("vec_id"), col(vecCol).as("embedding"))
+    val coarseDf = FingerprintStore.getOrBuild(spark, sourcePath,
+      s"$tag-hcoarse", s"$CodeStoreVersion-ham-L$nLists-s$stride",
+      storeRoot) {
+      val local = Similarity.trainCentroidsSampled(corpus, nLists,
+        lloydIters = 1, stride = stride)
+      local.cells.indices
+        .map(i => (local.cells(i), local.vecs(i).toSeq))
+        .toDF("cell", "cvec")
+    }
+    val local = ProductQuantization.localFromCoarseDf(coarseDf)
+    val coded = FingerprintStore.getOrBuild(spark, sourcePath, s"$tag-hivf",
+      s"$CodeStoreVersion-ham-d$dim-L$nLists-s$stride", storeRoot)(
+      binarize(
+        Similarity.assignCells(
+          corpus.select(col("vec_id"), col("embedding"),
+            Similarity.norm(col("embedding")).as("_n")), local),
+        "embedding", dim)
+        .select(col("vec_id"), col("cell"), col("bcode")))
+    (coded, local, nProbe)
   }
 
   /** Code-scheme version baked into every store directory name. Bump

@@ -686,6 +686,36 @@ class OpsSpec extends SparkSuite {
       "all-cells + full-refine ivfHamming must equal exact brute force")
   }
 
+  test("ivfHammingStore: warm-store search equals a fresh sampled-auto " +
+    "build; both artifacts publish; dim keys the code artifact") {
+    import graft.ops.Quantization
+    import org.apache.spark.sql.functions.col
+    val srcDir = "/root/testdata/sf0.001/embeddings.parquet"
+    val emb = spark.read.parquet(srcDir)
+    val root = tmpDir("ivfham-store")
+    val q = emb.where(col("vec_id") < 3)
+    val fresh = Quantization.ivfHammingTopKAuto(emb, q, 5)
+      .collect().map(_.toSeq).toSeq
+    for (_ <- 1 to 2) { // second pass serves everything from the store
+      val (codes, local, nProbe) = Quantization.ivfHammingStore(
+        spark, emb, srcDir, "ht", Some(root))
+      val managed = Quantization.ivfHammingSearch(
+        codes, local, emb, q, 5, rerank = 200, nProbe = nProbe)
+        .collect().map(_.toSeq).toSeq
+      assert(managed == fresh,
+        "warm IVF-Hamming store must search identically to a fresh build")
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("graft_sigstore_ht-hcoarse")) &&
+      names.exists(_.startsWith("graft_sigstore_ht-hivf")),
+      s"expected coarse + code artifacts, got ${names.mkString(", ")}")
+    // a different dim is a different code-artifact key
+    Quantization.ivfHammingStore(spark, emb, srcDir, "ht", Some(root),
+      dim = 32)
+    assert(new java.io.File(root).listFiles().map(_.getName)
+      .count(_.startsWith("graft_sigstore_ht-hivf")) == 2)
+  }
+
   test("int8 quantization: codes within [-127,127], per-element " +
     "reconstruction error <= scale/2, zero vectors round-trip exactly") {
     import graft.ops.Quantization
