@@ -538,92 +538,99 @@ object SparkEntry {
     * .shingleHash]] mirror), optional hot-window df-cut, posting
     * self-join, per-diagonal gaps-and-islands run merge, and the
     * span-equality verification join. */
-  private def substringChainSql(k: Int, maxDf: Option[Long]): String = {
+  /** The [[Dedup.substringRuns]] CTE body (no leading WITH) — every CTE
+    * `ss`-prefixed so the chain composes into other oracles (the v3
+    * curation pipeline) without name collisions. */
+  private def substringCtes(k: Int, maxDf: Option[Long]): String = {
     val cut = maxDf match {
       case Some(cap) =>
-        s""", wdf AS (
-           |  SELECT wh, count(*) AS df FROM wins0 GROUP BY wh
-           |), wins AS (
-           |  SELECT w.* FROM wins0 w JOIN wdf USING (wh) WHERE wdf.df <= $cap
+        s""", sswdf AS (
+           |  SELECT wh, count(*) AS df FROM sswins0 GROUP BY wh
+           |), sswins AS (
+           |  SELECT w.* FROM sswins0 w JOIN sswdf USING (wh) WHERE sswdf.df <= $cap
            |)""".stripMargin
-      case None => ", wins AS (SELECT * FROM wins0)"
+      case None => ", sswins AS (SELECT * FROM sswins0)"
     }
-    s"""WITH toks AS (
+    s"""sstoks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
        |  FROM documents
-       |), wins0 AS (
+       |), sswins0 AS (
        |  SELECT doc_id, g.i - 1 AS pos,
        |    CAST(('0x' || substr(md5(array_to_string(t[g.i:g.i+${k - 1}], ' ')), 1, 12)) AS BIGINT) AS wh
-       |  FROM toks, LATERAL (
+       |  FROM sstoks, LATERAL (
        |    SELECT unnest(generate_series(1, greatest(len(t) - ${k - 1}, 0))) AS i) g
-       |)$cut, cand AS (
+       |)$cut, sscand AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
-       |  FROM wins a JOIN wins b ON a.wh = b.wh AND a.doc_id < b.doc_id
-       |), runs AS (
+       |  FROM sswins a JOIN sswins b ON a.wh = b.wh AND a.doc_id < b.doc_id
+       |), ssruns AS (
        |  SELECT d1, d2, p1 - p2 AS diag,
        |    p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp,
        |    p1, p2
-       |  FROM cand
-       |), agg AS (
+       |  FROM sscand
+       |), ssagg AS (
        |  SELECT d1, d2, CAST(min(p1) AS BIGINT) AS d1_pos,
        |    CAST(min(p2) AS BIGINT) AS d2_pos,
        |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_tokens
-       |  FROM runs GROUP BY d1, d2, diag, grp
-       |), vruns AS (
+       |  FROM ssruns GROUP BY d1, d2, diag, grp
+       |), ssvruns AS (
        |  SELECT r.d1, r.d2, r.d1_pos, r.d2_pos, r.run_tokens
-       |  FROM agg r
-       |  JOIN toks a ON a.doc_id = r.d1
-       |  JOIN toks b ON b.doc_id = r.d2
+       |  FROM ssagg r
+       |  JOIN sstoks a ON a.doc_id = r.d1
+       |  JOIN sstoks b ON b.doc_id = r.d2
        |  WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
        |        array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
        |)""".stripMargin
   }
 
   private def substringRunsSql(k: Int, maxDf: Option[Long]): String =
-    substringChainSql(k, maxDf) +
-      "\nSELECT d1, d2, d1_pos, d2_pos, run_tokens FROM vruns" +
+    "WITH " + substringCtes(k, maxDf) +
+      "\nSELECT d1, d2, d1_pos, d2_pos, run_tokens FROM ssvruns" +
       "\nORDER BY d1, d2, d1_pos, d2_pos"
 
-  /** [[Dedup.substringRemove]] replayed: verified runs -> d2-side cut
-    * intervals -> running-max interval merge -> positional token filter
-    * -> per-doc rejoin digest. */
+  /** [[Dedup.substringRemove]]'s CTE tail over [[substringCtes]]:
+    * verified runs -> d2-side cut intervals -> running-max interval
+    * merge -> positional token filter -> per-doc rejoin digest, ending
+    * in `ssrm(doc_id, n_removed, clean_md5)`. */
+  private val SubstringRemoveCtes: String =
+    """, ssiv0 AS (
+      |  SELECT DISTINCT d2 AS doc_id, d2_pos AS s,
+      |    d2_pos + run_tokens AS e
+      |  FROM ssvruns
+      |), ssisl AS (
+      |  SELECT doc_id, s, e,
+      |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      |  FROM (
+      |    SELECT doc_id, s, e,
+      |      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      |    FROM ssiv0)
+      |), sscuts AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM ssisl
+      |  GROUP BY doc_id, grp
+      |), sspos AS (
+      |  SELECT doc_id, t, g.i AS i, t[g.i] AS tok
+      |  FROM sstoks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t))) AS i) g
+      |), sskept AS (
+      |  SELECT p.doc_id, p.i, p.tok
+      |  FROM sspos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM sscuts c
+      |    WHERE c.doc_id = p.doc_id AND p.i - 1 >= c.s AND p.i - 1 < c.e)
+      |), ssrm AS (
+      |  SELECT d.doc_id,
+      |    CAST(len(d.t) - coalesce(kc.n, 0) AS BIGINT) AS n_removed,
+      |    md5(coalesce(kc.txt, '')) AS clean_md5
+      |  FROM sstoks d
+      |  LEFT JOIN (
+      |    SELECT doc_id, count(*) AS n,
+      |      string_agg(tok, ' ' ORDER BY i) AS txt
+      |    FROM sskept GROUP BY doc_id) kc ON kc.doc_id = d.doc_id
+      |)""".stripMargin
+
   private def substringRemoveSql(k: Int, maxDf: Option[Long]): String =
-    substringChainSql(k, maxDf) +
-      """, iv0 AS (
-        |  SELECT DISTINCT d2 AS doc_id, d2_pos AS s,
-        |    d2_pos + run_tokens AS e
-        |  FROM vruns
-        |), isl AS (
-        |  SELECT doc_id, s, e,
-        |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-        |  FROM (
-        |    SELECT doc_id, s, e,
-        |      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
-        |    FROM iv0)
-        |), cuts AS (
-        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
-        |  GROUP BY doc_id, grp
-        |), pos AS (
-        |  SELECT doc_id, t, g.i AS i, t[g.i] AS tok
-        |  FROM toks, LATERAL (
-        |    SELECT unnest(generate_series(1, len(t))) AS i) g
-        |), kept AS (
-        |  SELECT p.doc_id, p.i, p.tok
-        |  FROM pos p
-        |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
-        |    WHERE c.doc_id = p.doc_id AND p.i - 1 >= c.s AND p.i - 1 < c.e)
-        |)
-        |SELECT d.doc_id,
-        |  CAST(len(d.t) - coalesce(kc.n, 0) AS BIGINT) AS n_removed,
-        |  md5(coalesce(kc.txt, '')) AS clean_md5
-        |FROM toks d
-        |LEFT JOIN (
-        |  SELECT doc_id, count(*) AS n,
-        |    string_agg(tok, ' ' ORDER BY i) AS txt
-        |  FROM kept GROUP BY doc_id) kc ON kc.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+    "WITH " + substringCtes(k, maxDf) + SubstringRemoveCtes +
+      "\nSELECT doc_id, n_removed, clean_md5 FROM ssrm ORDER BY doc_id"
 
   /** Shared DuckDB tokenization CTE over `documents`. */
   private val T =
@@ -1734,6 +1741,33 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("n_tokens"),
           col("quality"), col("max_cos"))
         .orderBy("doc_id")
+    }),
+    // v3 composes the round-17 in-document boilerplate removal into the
+    // same pass: each surviving document additionally reports the
+    // >= 8-token cross-document runs cut from it (lowest-id doc keeps)
+    // and the digest of its cleaned text — quality filter, document
+    // dedup, decontamination, and substring removal as ONE plan. The
+    // removal side joins on doc_id pinned SHUFFLE_MERGE (corpus-derived,
+    // never broadcast).
+    "pipeline_clean_corpus_v3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val quality = TextAnalysis.qualityQuery(d)
+        .where(col("quality") >= 0.25)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val keep = Dedup.clusterKeepList(d).where(col("keep"))
+        .select(col("doc_id"), col("cluster"))
+      val clean = Dedup.semanticDecontaminate(emb,
+          emb.where(col("vec_id") < 20), 0.8, excludeSelfIds = true)
+        .where(col("keep"))
+        .select(col("vec_id").as("doc_id"), col("max_cos"))
+      val derun = Dedup.substringRemoveUnordered(d, 8, None)
+      quality.join(keep, "doc_id").join(clean, "doc_id")
+        .join(derun.hint("SHUFFLE_MERGE"), "doc_id")
+        .select(col("doc_id"), col("cluster"), col("n_tokens"),
+          col("quality"), col("max_cos"), col("n_removed"),
+          col("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1866,6 +1900,57 @@ object SparkEntry {
         |FROM quality q
         |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
         |JOIN clean cl ON cl.vec_id = q.doc_id
+        |WHERE q.quality >= 0.25
+        |ORDER BY q.doc_id""".stripMargin),
+
+    // v3 = the v2 chain + the ss-prefixed substring-removal chain,
+    // joined per doc in the final select.
+    "pipeline_clean_corpus_v3" -> ("WITH RECURSIVE " + MinhashCandChain +
+      """, edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION ALL SELECT d2, d1 FROM cand
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+        |), clusters AS (
+        |  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
+        |), quality AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    floor(((CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |        * 1.0 / len(t)) * 0.4 +
+        |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |        / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents) q
+        |), enrm AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings
+        |), emc AS (
+        |  SELECT c.vec_id,
+        |    max(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) /
+        |        nullif(c.n * b.n, 0)) AS mc
+        |  FROM enrm c JOIN enrm b ON b.vec_id < 20 AND b.vec_id <> c.vec_id
+        |  GROUP BY c.vec_id
+        |), clean AS (
+        |  SELECT vec_id, round(mc, 6) AS max_cos FROM emc
+        |  WHERE coalesce(mc < 0.8, true)
+        |)""".stripMargin +
+      ", " + substringCtes(8, None) + SubstringRemoveCtes +
+      """
+        |SELECT q.doc_id, c.cluster, q.n_tokens, q.quality, cl.max_cos,
+        |  r.n_removed, r.clean_md5
+        |FROM quality q
+        |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
+        |JOIN clean cl ON cl.vec_id = q.doc_id
+        |JOIN ssrm r ON r.doc_id = q.doc_id
         |WHERE q.quality >= 0.25
         |ORDER BY q.doc_id""".stripMargin)
   )

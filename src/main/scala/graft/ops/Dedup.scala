@@ -773,7 +773,15 @@ object Dedup {
     * SHUFFLE_MERGE (interval side corpus-derived — never broadcast);
     * removal itself is a map. */
   def substringRemove(docs: DataFrame, kTokens: Int = 8,
-                      maxWindowDf: Option[Long] = None): DataFrame = {
+                      maxWindowDf: Option[Long] = None): DataFrame =
+    substringRemoveUnordered(docs, kTokens, maxWindowDf).orderBy("doc_id")
+
+  /** [[substringRemove]] without the output sort — for composition
+    * (the v3 curation pipeline joins this on doc_id; a sort below the
+    * join would be wasted work Catalyst does not reliably eliminate). */
+  private[graft] def substringRemoveUnordered(
+      docs: DataFrame, kTokens: Int,
+      maxWindowDf: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (runs, toks) = substringRunsRaw(docs, kTokens, maxWindowDf)
     // Distinct: two partners sharing the SAME d2 span emit identical
@@ -805,7 +813,6 @@ object Dedup {
         (size(col("_t")) - size(col("_kept"))).cast(LongType)
           .as("n_removed"),
         md5(array_join(col("_kept"), " ")).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   /** Containment score |A∩B| / min(|A|,|B|) over distinct 3-shingles —
