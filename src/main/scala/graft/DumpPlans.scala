@@ -93,7 +93,11 @@ object DumpPlans {
     // round 17: the removal ACTION — must inherit detection's pins and
     // keep the final tokens<-cuts join shuffle-pinned with the interval
     // apply as a map (no explode of corpus tokens, no pair-attached text)
-    "dedup_substring_remove")
+    "dedup_substring_remove",
+    // ... its pipeline composition, and the warm binary-IVF index (must
+    // plan a pure store-scan search: no training, no assignment, no
+    // binarize of the corpus)
+    "pipeline_clean_corpus_v3", "sim_ann_ivf_hamming_managed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
