@@ -17,7 +17,15 @@ object Bench {
     * sort runs — which is the work Verify's parquet dump pays minus file
     * I/O, so bench rows now bound the cost a consumer actually sees. */
   private def runPlan(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.toRdd.count()
+    if (LegacyCountAction) df.count() else df.queryExecution.toRdd.count()
+
+  /** `GRAFT_BENCH_ACTION=count` reproduces the pre-17 measured action —
+    * ONLY for the cross-round like-for-like bridge (BASELINE.md round
+    * 17); its numbers under-measure map work and eliminated joins, and
+    * the artifact records which action ran so a bridge set can never
+    * masquerade as an official one. */
+  private val LegacyCountAction =
+    sys.env.get("GRAFT_BENCH_ACTION").contains("count")
 
   /** Cumulative stop-the-world GC time across all collectors (ms). */
   private def gcMillis(): Long = {
@@ -204,7 +212,8 @@ object Bench {
     // n_queries mirrors Verify's COUNTS line into the bench artifact, so
     // BENCH_r{N}.json is self-describing about suite size (doc counts
     // cite COUNTS; the bench JSON can now be cross-checked against it)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    val action = if (LegacyCountAction) "count" else "plan"
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"action":"$action","queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
     if (nErrors > 0) {
       Console.err.println(s"BENCH RED: $nErrors queries errored")
       sys.exit(1)
