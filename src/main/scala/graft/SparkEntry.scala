@@ -632,6 +632,36 @@ object SparkEntry {
     "WITH " + substringCtes(k, maxDf) + SubstringRemoveCtes +
       "\nSELECT doc_id, n_removed, clean_md5 FROM ssrm ORDER BY doc_id"
 
+  /** [[Dedup.substringRunsIncremental]] replayed: the even/odd batch
+    * split's cross-corpus posting join over the SAME window table, then
+    * the shared islands + verification tail (the unreferenced self-join
+    * CTEs in [[substringCtes]] are never executed — DuckDB inlines CTEs
+    * lazily). */
+  private def substringIncrementalSql(k: Int): String =
+    "WITH " + substringCtes(k, None) +
+      s""", ssinc AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+         |  FROM sswins0 a JOIN sswins0 b ON a.wh = b.wh
+         |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |), ssincr AS (
+         |  SELECT d1, d2, p1 - p2 AS diag,
+         |    p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp,
+         |    p1, p2
+         |  FROM ssinc
+         |), ssinca AS (
+         |  SELECT d1, d2, CAST(min(p1) AS BIGINT) AS d1_pos,
+         |    CAST(min(p2) AS BIGINT) AS d2_pos,
+         |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_tokens
+         |  FROM ssincr GROUP BY d1, d2, diag, grp
+         |)
+         |SELECT r.d1, r.d2, r.d1_pos, r.d2_pos, r.run_tokens
+         |FROM ssinca r
+         |JOIN sstoks a ON a.doc_id = r.d1
+         |JOIN sstoks b ON b.doc_id = r.d2
+         |WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
+         |      array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
+         |ORDER BY d1, d2, d1_pos, d2_pos""".stripMargin
+
   /** Shared DuckDB tokenization CTE over `documents`. */
   private val T =
     """WITH toks AS (
@@ -1285,6 +1315,19 @@ object SparkEntry {
     // stream. One row per doc; cleaned text digested.
     "dedup_substring_remove" -> ((s, dir) =>
       Dedup.substringRemove(docs(s, dir), 8)),
+    // Incremental substring detection: new batch (odd doc_ids) vs the
+    // existing corpus (even), with the corpus side's window-hash
+    // postings served from the persisted substringPostingStore — repeat
+    // batches never re-tokenize the old corpus (the dedup_incremental
+    // convention applied to the family that reads inside documents).
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.where(col("doc_id") % 2 === 0)
+      val posting = Dedup.substringPostingStore(s, old,
+        s"$dir/documents.parquet", "sswin_even", 8)
+      Dedup.substringRunsIncremental(d.where(col("doc_id") % 2 === 1),
+        old, posting, 8)
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.35)),
     // Embedding-level benchmark decontamination (the n-gram
@@ -1599,6 +1642,8 @@ object SparkEntry {
     "dedup_substring_dfcut" -> substringRunsSql(8, Some(3L)),
 
     "dedup_substring_remove" -> substringRemoveSql(8, None),
+
+    "dedup_substring_incremental" -> substringIncrementalSql(8),
 
     "dedup_cluster_keep" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (

@@ -676,18 +676,58 @@ object Dedup {
   /** [[substringRuns]]'s unordered body, plus the tokenized corpus it
     * was computed from — so [[substringRemove]] can compose without a
     * wasted total sort between detection and removal. */
-  private def substringRunsRaw(docs: DataFrame, kTokens: Int,
-                               maxWindowDf: Option[Long])
-      : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    require(kTokens >= 2, s"substringRuns: kTokens must be >= 2, got $kTokens")
-    val toks = docs.select(col("doc_id"),
-      TextAnalysis.tokens(col("text")).as("_t"))
-    val wins0 = toks
+  /** Tokenized corpus (doc_id, _t) — the substring family's shared
+    * tokenization. */
+  private def docToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+
+  /** The (doc_id, pos, wh) k-token window-hash table over a tokenized
+    * corpus — LINEAR in corpus tokens, 8 B hash + ids per row. */
+  private def docWindows(toks: DataFrame, kTokens: Int): DataFrame = {
+    require(kTokens >= 2, s"substring ops: kTokens must be >= 2, got $kTokens")
+    toks
       .select(col("doc_id"),
         posexplode(TextAnalysis.shinglesK(col("_t"), kTokens)))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         shingleHash(col("col")).as("wh"))
+  }
+
+  /** The diagonal gaps-and-islands extension + span-equality
+    * verification shared by [[substringRuns]] (self-join candidates)
+    * and [[substringRunsIncremental]] (store-vs-batch candidates):
+    * merge matching positions per (d1, d2, diagonal) into one maximal
+    * run, then re-read both token slices and require string equality
+    * (a hash collision drops a candidate, never emits a false pair). */
+  private def extendVerify(cand: DataFrame, toksA: DataFrame,
+                           toksB: DataFrame, kTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iw = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = cand
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(iw))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(min("p1").as("d1_pos"), min("p2").as("d2_pos"),
+        (count(lit(1)) + (kTokens - 1)).cast(LongType).as("run_tokens"))
+    runs
+      .join(toksA.select(col("doc_id").as("d1"), col("_t").as("_ta"))
+        .hint("SHUFFLE_MERGE"), "d1") // token table: corpus-sized side
+      .join(toksB.select(col("doc_id").as("d2"), col("_t").as("_tb"))
+        .hint("SHUFFLE_MERGE"), "d2")
+      .where(
+        array_join(slice(col("_ta"), (col("d1_pos") + 1).cast("int"),
+          col("run_tokens").cast("int")), " ") ===
+        array_join(slice(col("_tb"), (col("d2_pos") + 1).cast("int"),
+          col("run_tokens").cast("int")), " "))
+      .select(col("d1"), col("d2"), col("d1_pos"), col("d2_pos"),
+        col("run_tokens"))
+  }
+
+  private def substringRunsRaw(docs: DataFrame, kTokens: Int,
+                               maxWindowDf: Option[Long])
+      : (DataFrame, DataFrame) = {
+    val toks = docToks(docs)
+    val wins0 = docWindows(toks, kTokens)
     // Cache the window table pre-partitioned on the window hash — the
     // key every consumer groups or joins on: the df-cut aggregate, the
     // stop-set anti-join, and BOTH posting self-join sides. Catalyst
@@ -723,27 +763,48 @@ object Dedup {
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.pos").as("p1"), col("b.pos").as("p2"))
-    val iw = Window.partitionBy(col("d1"), col("d2"), col("diag"))
-      .orderBy(col("p1"))
-    val runs = cand
-      .withColumn("diag", col("p1") - col("p2"))
-      .withColumn("grp", col("p1") - row_number().over(iw))
-      .groupBy("d1", "d2", "diag", "grp")
-      .agg(min("p1").as("d1_pos"), min("p2").as("d2_pos"),
-        (count(lit(1)) + (kTokens - 1)).cast(LongType).as("run_tokens"))
-    val verified = runs
-      .join(toks.select(col("doc_id").as("d1"), col("_t").as("_ta"))
-        .hint("SHUFFLE_MERGE"), "d1") // token table: corpus-sized side
-      .join(toks.select(col("doc_id").as("d2"), col("_t").as("_tb"))
-        .hint("SHUFFLE_MERGE"), "d2")
-      .where(
-        array_join(slice(col("_ta"), (col("d1_pos") + 1).cast("int"),
-          col("run_tokens").cast("int")), " ") ===
-        array_join(slice(col("_tb"), (col("d2_pos") + 1).cast("int"),
-          col("run_tokens").cast("int")), " "))
-      .select(col("d1"), col("d2"), col("d1_pos"), col("d2_pos"),
-        col("run_tokens"))
-    (verified, toks)
+    (extendVerify(cand, toks, toks, kTokens), toks)
+  }
+
+  /** Persisted window-hash posting table of an EXISTING corpus — the
+    * [[bandBucketStore]] precedent applied to the substring family: the
+    * old corpus is tokenized, shingled, and hashed ONCE per (corpus
+    * fingerprint, k) and every later batch joins the stored (doc_id,
+    * pos, wh) rows instead of recomputing them. 8 B hash + ids per
+    * token — the posting artifact is ~linear in corpus tokens. */
+  def substringPostingStore(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, sourcePath: String,
+                            tag: String, kTokens: Int = 8,
+                            storeRoot: Option[String] = None): DataFrame =
+    FingerprintStore.getOrBuild(spark, sourcePath, tag,
+      s"v1-sswin-k$kTokens", storeRoot)(
+      docWindows(docToks(docs), kTokens))
+
+  /** Incremental exact-substring detection: every maximal >= k-token
+    * run shared verbatim between a NEW batch and an EXISTING corpus,
+    * with the corpus side's window table served from
+    * [[substringPostingStore]] — repeat batches never re-tokenize or
+    * re-hash the old corpus (the [[crossCorpusPairs]] topology, applied
+    * to the family that reads inside documents). The batch is windowed
+    * fresh; candidates come from ONE pinned cross-corpus posting join
+    * (store × batch — both corpus-derived, never broadcast); extension
+    * and verification are [[substringRuns]]'s shared machinery, with
+    * verification reading old-corpus tokens from `oldDocs` (text stays
+    * in the corpus parquet — the store holds postings, not text).
+    *
+    * Output: (d1, d2, d1_pos, d2_pos, run_tokens) with d1 an OLD doc
+    * and d2 a NEW doc, one row per maximal verified run. */
+  def substringRunsIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+                               oldPostings: DataFrame,
+                               kTokens: Int = 8): DataFrame = {
+    val newToks = docToks(newDocs)
+    val cand = oldPostings.as("a")
+      .join(docWindows(newToks, kTokens).as("b").hint("SHUFFLE_MERGE"),
+        col("a.wh") === col("b.wh"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+    extendVerify(cand, docToks(oldDocs), newToks, kTokens)
+      .orderBy("d1", "d2", "d1_pos", "d2_pos")
   }
 
   /** The removal ACTION on [[substringRuns]]'s detections — the actual

@@ -1033,6 +1033,38 @@ class OpsSpec extends SparkSuite {
       org.apache.commons.codec.digest.DigestUtils.md5Hex("all alone here"))))
   }
 
+  test("substringRunsIncremental: store-vs-batch detection equals the " +
+    "full run's even->odd pairs; the posting store publishes and is " +
+    "reused warm") {
+    val run = "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val src = tmpDir("ssinc-src") + "/documents.parquet"
+    Seq((0L, s"$run tail_a"), (2L, "nothing shared here at all"),
+      (1L, s"head_b $run"), (3L, s"also $run yes"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val d = spark.read.parquet(src)
+    val root = tmpDir("ssinc-store")
+    val old = d.where(col("doc_id") % 2 === 0)
+    val full = Dedup.substringRuns(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .filter { case (d1, d2, _, _, _) => d1 % 2 == 0 && d2 % 2 == 1 }
+      .toSet
+    for (_ <- 1 to 2) { // second pass serves postings from the store
+      val posting = Dedup.substringPostingStore(spark, old, src,
+        "ssinc", 8, Some(root))
+      val inc = Dedup.substringRunsIncremental(
+        d.where(col("doc_id") % 2 === 1), old, posting, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(inc == full,
+        s"incremental must equal the full run's even->odd pairs: $inc vs $full")
+      assert(inc.contains((0L, 1L, 0L, 1L, 10L)) &&
+        inc.contains((0L, 3L, 0L, 1L, 10L)))
+    }
+    assert(new java.io.File(root).listFiles().map(_.getName)
+      .exists(_.startsWith("graft_sigstore_ssinc_v1-sswin-k8")))
+  }
+
   test("substringRemove: overlapping cuts from DIFFERENT partners merge " +
     "into one interval before removal") {
     // doc 2 shares tokens 0..9 with doc 0 and tokens 4..13 with doc 1:

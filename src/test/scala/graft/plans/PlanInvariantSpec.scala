@@ -43,7 +43,7 @@ class PlanInvariantSpec extends SparkSuite {
     "pinned to a shuffle join (never broadcast)") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
       "dedup_containment", "dedup_substring", "dedup_substring_dfcut",
-      "dedup_substring_remove")) {
+      "dedup_substring_remove", "dedup_substring_incremental")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
@@ -66,6 +66,11 @@ class PlanInvariantSpec extends SparkSuite {
     // corpus-tokens <- merged-cuts join (both sides corpus-derived)
     assert(!planOf("dedup_substring_remove").contains("BroadcastExchange"),
       "dedup_substring_remove broadcasts a corpus-derived side")
+    // ... and the incremental path: store x batch posting join plus
+    // both verification joins, all corpus-derived — zero broadcast
+    assert(!planOf("dedup_substring_incremental")
+        .contains("BroadcastExchange"),
+      "dedup_substring_incremental broadcasts a corpus-derived side")
     val pc = planOf("dedup_substring_dfcut")
     val nBroadcast = pc.linesIterator.count(_.contains("BroadcastExchange"))
     val nAnti = pc.linesIterator.count(
