@@ -211,10 +211,21 @@ object Bpe {
       else {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
         merges += ((a, b))
-        if (merges.length < nMerges)
+        if (merges.length < nMerges) {
           syms = syms
             .select(col("w"), col("cnt"), applyMerge(col("seq"), a, b).as("seq"))
-            .localCheckpoint()
+          // Checkpoint every 4th round, not every round: the checkpoint
+          // exists to keep plan depth O(1) across rounds (40 stacked
+          // applyMerge folds would blow up janino), but each one is a
+          // full materialization JOB, and the round-17 bench measured
+          // bpe_train's cost as ~pure job-scheduling overhead (flat
+          // sf0.1 -> 10x). Four stacked folds keep the plan shallow
+          // while halving the per-round job count (80 -> ~50 jobs at
+          // nMerges=40; QBench A/B 6.45 -> see SCALING round 17). The
+          // pair-count aggregate between checkpoints re-evaluates <= 3
+          // pending folds over the vocab-sized frame — CPU noise.
+          if (merges.length % 4 == 0) syms = syms.localCheckpoint()
+        }
       }
     }
     merges.toIndexedSeq
