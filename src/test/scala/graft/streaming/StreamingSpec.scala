@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSuite
 import graft.config.{CompressionType, SinkConfig}
+import graft.ops.Dedup
 
 /** Structured Streaming e2e (SURVEY.md §2 O1/O19): micro-batches through
   * `foreachBatch` produce exact-named objects; restart from checkpoint does
@@ -427,6 +428,58 @@ class StreamingSpec extends SparkSuite {
       .map(r => (new String(r.getAs[Array[Byte]]("value")),
         r.getAs[java.sql.Timestamp]("timestamp"))).sortBy(_._1).toList
     assert(kept == List(("aaa", t(0)), ("bbb", t(2)), ("ccc", t(4))))
+  }
+
+  test("streaming reference-corpus dedup: each micro-batch joins the " +
+    "persisted band-bucket store and two batches reproduce the " +
+    "batch-mode cross-corpus pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference corpus persisted once; its band buckets stored once —
+    // the 'dedup incoming crawl against everything already ingested'
+    // topology, driven through Structured Streaming
+    val src = tmpDir("streamref-src") + "/documents.parquet"
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated reference text nothing shared here"),
+      (4L, "structured streaming joins static reference frames easily"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val ref = spark.read.parquet(src)
+    val root = tmpDir("streamref-store")
+    val buckets = Dedup.bandBucketStore(spark, ref, src, "streamref",
+      Some(root))
+    val out = tmpDir("streamref-out")
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, String)]
+    val stream = MemoryStream[(Long, String)](enc, spark)
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.crossCorpusPairs(batch, ref, Some(buckets))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    val b1 = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "novel stream content with no reference twin at all"))
+    val b2 = Seq(
+      (103L, "structured streaming joins static reference frames easily"),
+      (104L, "more novel content sharing nothing with the reference"))
+    stream.addData(b1: _*); query.processAllAvailable()
+    stream.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the union of the micro-batches through the SAME stored buckets,
+    // batch-mode — streaming must agree row for row
+    val batchTwin = Dedup.crossCorpusPairs(
+      (b1 ++ b2).toDF("doc_id", "text"), ref, Some(buckets)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+    assert(streamed.contains((101L, 0L, 1.0)) &&
+      streamed.contains((103L, 4L, 1.0)),
+      s"exact twins must surface at jaccard 1.0: $streamed")
+    assert(!streamed.exists(p => p._1 == 102L || p._1 == 104L),
+      "novel docs must emit no reference pair")
   }
 
   test("windowed counts with watermark run in streaming mode") {
