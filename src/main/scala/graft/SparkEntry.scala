@@ -620,6 +620,7 @@ object SparkEntry {
       |), ssrm AS (
       |  SELECT d.doc_id,
       |    CAST(len(d.t) - coalesce(kc.n, 0) AS BIGINT) AS n_removed,
+      |    coalesce(kc.txt, '') AS clean_text,
       |    md5(coalesce(kc.txt, '')) AS clean_md5
       |  FROM sstoks d
       |  LEFT JOIN (
@@ -631,6 +632,12 @@ object SparkEntry {
   private def substringRemoveSql(k: Int, maxDf: Option[Long]): String =
     "WITH " + substringCtes(k, maxDf) + SubstringRemoveCtes +
       "\nSELECT doc_id, n_removed, clean_md5 FROM ssrm ORDER BY doc_id"
+
+  /** The cleaned-CORPUS variant: same chain, but the oracle verifies the
+    * cleaned text ITSELF, not a digest of it. */
+  private def substringRemoveTextSql(k: Int, maxDf: Option[Long]): String =
+    "WITH " + substringCtes(k, maxDf) + SubstringRemoveCtes +
+      "\nSELECT doc_id, n_removed, clean_text FROM ssrm ORDER BY doc_id"
 
   /** [[Dedup.substringRunsIncremental]] replayed: the even/odd batch
     * split's cross-corpus posting join over the SAME window table, then
@@ -1315,6 +1322,14 @@ object SparkEntry {
     // stream. One row per doc; cleaned text digested.
     "dedup_substring_remove" -> ((s, dir) =>
       Dedup.substringRemove(docs(s, dir), 8)),
+    // ... and the removal's PRODUCT: the cleaned corpus itself — one row
+    // per doc with the whitespace-normalized text after every marked
+    // span is cut. The oracle verifies the text verbatim, not a digest
+    // (the round-17 "computes the cleaned corpus and throws it away"
+    // finding, closed).
+    "dedup_substring_remove_text" -> ((s, dir) =>
+      Dedup.substringRemoveText(docs(s, dir), 8)
+        .select(col("doc_id"), col("n_removed"), col("clean_text"))),
     // Incremental substring detection: new batch (odd doc_ids) vs the
     // existing corpus (even), with the corpus side's window-hash
     // postings served from the persisted substringPostingStore — repeat
@@ -1642,6 +1657,7 @@ object SparkEntry {
     "dedup_substring_dfcut" -> substringRunsSql(8, Some(3L)),
 
     "dedup_substring_remove" -> substringRemoveSql(8, None),
+    "dedup_substring_remove_text" -> substringRemoveTextSql(8, None),
 
     "dedup_substring_incremental" -> substringIncrementalSql(8),
 
@@ -1788,12 +1804,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // v3 composes the round-17 in-document boilerplate removal into the
-    // same pass: each surviving document additionally reports the
+    // same pass: each surviving document additionally carries the
     // >= 8-token cross-document runs cut from it (lowest-id doc keeps)
-    // and the digest of its cleaned text — quality filter, document
-    // dedup, decontamination, and substring removal as ONE plan. The
-    // removal side joins on doc_id pinned SHUFFLE_MERGE (corpus-derived,
-    // never broadcast).
+    // and — since round 18 — the cleaned TEXT itself, so the pipeline's
+    // output is the next corpus snapshot rather than stats about
+    // cleaning (it feeds the sink writers directly; see SinkWriteSpec's
+    // curation->sink e2e). Quality filter, document dedup,
+    // decontamination, and substring removal as ONE plan. The removal
+    // side joins on doc_id pinned SHUFFLE_MERGE (corpus-derived, never
+    // broadcast).
     "pipeline_clean_corpus_v3" -> ((s, dir) => {
       val d = docs(s, dir)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1811,7 +1830,7 @@ object SparkEntry {
         .join(derun.hint("SHUFFLE_MERGE"), "doc_id")
         .select(col("doc_id"), col("cluster"), col("n_tokens"),
           col("quality"), col("max_cos"), col("n_removed"),
-          col("clean_md5"))
+          col("clean_md5"), col("clean_text"))
         .orderBy("doc_id")
     })
   )
@@ -1991,7 +2010,7 @@ object SparkEntry {
       ", " + substringCtes(8, None) + SubstringRemoveCtes +
       """
         |SELECT q.doc_id, c.cluster, q.n_tokens, q.quality, cl.max_cos,
-        |  r.n_removed, r.clean_md5
+        |  r.n_removed, r.clean_md5, r.clean_text
         |FROM quality q
         |JOIN clusters c ON q.doc_id = c.doc_id AND c.cluster = q.doc_id
         |JOIN clean cl ON cl.vec_id = q.doc_id
@@ -2447,6 +2466,30 @@ object SparkEntry {
         s, emb, s"$dir/embeddings.parquet", "registry")
       graft.ops.ProductQuantization.cascadeTopK(
         emb, emb.where(col("vec_id") < 20), 5, cb, codes = Some(codes))
+    }),
+    // The cascade at the √n auto budgets (r1 = max(200, 4·⌈√n⌉), r2 =
+    // max(50, ⌈√n⌉)) — fixed keep budgets are a shrinking fraction of a
+    // growing corpus; the oracle recomputes both dials from count(*)
+    // in-query (the autoNLists convention).
+    "sim_cascade_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.ProductQuantization.cascadeTopKAuto(
+        emb, emb.where(col("vec_id") < 20), 5,
+        graft.ops.ProductQuantization.train(emb, 16, 32, dimHint = Some(64)))
+    }),
+    "sim_cascade_auto_recall" -> ((s, dir) =>
+      annRecall(s, dir, (c, q) =>
+        graft.ops.ProductQuantization.cascadeTopKAuto(c, q, 5,
+          graft.ops.ProductQuantization.train(c, 16, 32,
+            dimHint = Some(64))))),
+    // Auto budgets over the MANAGED stage-2 codes — stored codes are
+    // bit-identical to fresh, so this shares sim_cascade_auto's oracle.
+    "sim_cascade_auto_managed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (codes, cb) = graft.ops.ProductQuantization.pqStore(
+        s, emb, s"$dir/embeddings.parquet", "registry")
+      graft.ops.ProductQuantization.cascadeTopKAuto(
+        emb, emb.where(col("vec_id") < 20), 5, cb, codes = Some(codes))
     })
   )
 
@@ -2707,9 +2750,17 @@ object SparkEntry {
     * ranking CTE) rescored exactly (rounded cosine, ties by neighbor
     * id), ending in `rranked` — the `rerank > 0` branch of
     * `ProductQuantization.adcTopK` / `ivfPqTopK`. */
-  private def pqRerankTail(rerank: Int, src: String = "ranked"): String =
+  private def pqRerankTail(rerank: Int, src: String): String =
+    pqRerankTailSql(rerank.toString, src)
+
+  private def pqRerankTail(rerank: Int): String =
+    pqRerankTailSql(rerank.toString, "ranked")
+
+  /** [[pqRerankTail]] with the keep budget as a SQL expression — the
+    * auto-cascade rows compute it from count(*) in-query. */
+  private def pqRerankTailSql(rerankSql: String, src: String): String =
     s""", cand AS (
-       |  SELECT query_id, neighbor_id FROM $src WHERE rank <= $rerank
+       |  SELECT query_id, neighbor_id FROM $src WHERE rank <= ($rerankSql)
        |), rr AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
@@ -2830,9 +2881,13 @@ object SparkEntry {
     * `cascranked` — `ProductQuantization.cascadeTopK`'s middle tier in
     * SQL (the same per-pair sum-of-subspace-dots arithmetic as
     * [[PqAdcTail]], joined to the stage-1 candidate set). */
-  private val CascadeAdcTail: String =
-    """, casc1 AS (
-      |  SELECT query_id, neighbor_id FROM hranked WHERE rank <= 200
+  private val CascadeAdcTail: String = cascadeAdcTailSql("200")
+
+  /** [[CascadeAdcTail]] with the stage-1 keep budget as a SQL expression
+    * (the auto rows compute `greatest(200, 4·⌈√count⌉)` in-query). */
+  private def cascadeAdcTailSql(r1Sql: String): String =
+    s""", casc1 AS (
+      |  SELECT query_id, neighbor_id FROM hranked WHERE rank <= ($r1Sql)
       |), cascparts AS (
       |  SELECT d.query_id, d.neighbor_id,
       |    list_dot_product(CAST(q.e AS DOUBLE[]),
@@ -3497,6 +3552,41 @@ object SparkEntry {
     "sim_cascade_managed" -> ("WITH " + binChain(includeNrm = false) + ", " +
       PqChain + HammingTail + CascadeAdcTail +
       pqRerankTail(50, "cascranked") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // Auto cascade: both keep budgets recomputed from count(*) in-query
+    // (`greatest` + `ceil(sqrt(...))` are IEEE-exact on integer counts —
+    // the autoNLists precedent), pinning cascadeAutoDials' values.
+    "sim_cascade_auto" -> ("WITH " + binChain(includeNrm = false) + ", " +
+      PqChain + HammingTail +
+      cascadeAdcTailSql(
+        "greatest(200, 4 * ceil(sqrt((SELECT count(*) FROM embeddings))))") +
+      pqRerankTailSql(
+        "greatest(50, ceil(sqrt((SELECT count(*) FROM embeddings))))",
+        "cascranked") +
+      """
+        |SELECT query_id, rank, neighbor_id, cos FROM rranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    "sim_cascade_auto_recall" -> ("WITH " + binChain(includeNrm = false) +
+      ", " + PqChain + HammingTail +
+      cascadeAdcTailSql(
+        "greatest(200, 4 * ceil(sqrt((SELECT count(*) FROM embeddings))))") +
+      pqRerankTailSql(
+        "greatest(50, ceil(sqrt((SELECT count(*) FROM embeddings))))",
+        "cascranked") + recallTail(0.8, "rranked")),
+
+    // Stored stage-2 codes round-trip bit-exactly — sim_cascade_auto's
+    // replay verbatim.
+    "sim_cascade_auto_managed" -> ("WITH " + binChain(includeNrm = false) +
+      ", " + PqChain + HammingTail +
+      cascadeAdcTailSql(
+        "greatest(200, 4 * ceil(sqrt((SELECT count(*) FROM embeddings))))") +
+      pqRerankTailSql(
+        "greatest(50, ceil(sqrt((SELECT count(*) FROM embeddings))))",
+        "cascranked") +
       """
         |SELECT query_id, rank, neighbor_id, cos FROM rranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)

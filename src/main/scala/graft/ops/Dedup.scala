@@ -649,8 +649,15 @@ object Dedup {
     *      of per-pair character scanning;
     *   3. verification — each run re-reads BOTH documents' token
     *      slices and requires string equality, so a 48-bit hash
-    *      collision yields a dropped candidate, never a false pair
-    *      (runs are bounded by candidate count — a linear tail).
+    *      collision can never emit a FALSE pair (runs are bounded by
+    *      candidate count — a linear tail). One asymmetric residual:
+    *      a collision anchor landing ADJACENT to a genuine run on the
+    *      same (pair, diagonal) merges into one island whose whole-span
+    *      verification fails, dropping the genuine run too — a false
+    *      NEGATIVE, astronomically rare at 48 bits (needs a collision
+    *      at the exact neighboring diagonal position). Re-verifying
+    *      failed islands split at the collision boundary would recover
+    *      it if exactness ever matters.
     *
     * `maxWindowDf` is the boilerplate guard ([[blockedNgramJaccard]]'s
     * df-cut precedent): window hashes occurring more than the cap are
@@ -669,8 +676,26 @@ object Dedup {
     * pinned on the corpus-sized token table. */
   def substringRuns(docs: DataFrame, kTokens: Int = 8,
                     maxWindowDf: Option[Long] = None): DataFrame = {
-    val (verified, _) = substringRunsRaw(docs, kTokens, maxWindowDf)
+    val (verified, _, _) = substringRunsRaw(docs, kTokens, maxWindowDf)
     verified.orderBy("d1", "d2", "d1_pos", "d2_pos")
+  }
+
+  /** As [[substringRuns]], plus a cleanup thunk that unpersists the
+    * interior window-table cache (the [[simhashPairsManaged]] contract):
+    * call it after materializing the result. The unmanaged entry points
+    * ([[substringRuns]], [[substringRemove]], [[substringRemoveText]])
+    * leave the corpus-sized cache pinned until `spark.catalog
+    * .clearCache()` — fine for run-once batch jobs and for
+    * [[graft.Bench]]/[[graft.Verify]] (which clear between queries), but
+    * a long-lived session invoking them repeatedly (streaming
+    * foreachBatch, a served pipeline) should use the managed variants or
+    * clear the cache itself, or corpus-sized cached tables accumulate
+    * until LRU eviction. Idempotent. */
+  def substringRunsManaged(docs: DataFrame, kTokens: Int = 8,
+                           maxWindowDf: Option[Long] = None)
+      : (DataFrame, () => Unit) = {
+    val (verified, _, cleanup) = substringRunsRaw(docs, kTokens, maxWindowDf)
+    (verified.orderBy("d1", "d2", "d1_pos", "d2_pos"), cleanup)
   }
 
   /** [[substringRuns]]'s unordered body, plus the tokenized corpus it
@@ -697,7 +722,9 @@ object Dedup {
     * and [[substringRunsIncremental]] (store-vs-batch candidates):
     * merge matching positions per (d1, d2, diagonal) into one maximal
     * run, then re-read both token slices and require string equality
-    * (a hash collision drops a candidate, never emits a false pair). */
+    * (a hash collision drops a candidate, never emits a false pair;
+    * see [[substringRuns]] step 3 for the rare collision-adjacent-to-run
+    * false-negative mode). */
   private def extendVerify(cand: DataFrame, toksA: DataFrame,
                            toksB: DataFrame, kTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -725,7 +752,7 @@ object Dedup {
 
   private def substringRunsRaw(docs: DataFrame, kTokens: Int,
                                maxWindowDf: Option[Long])
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => Unit) = {
     val toks = docToks(docs)
     val wins0 = docWindows(toks, kTokens)
     // Cache the window table pre-partitioned on the window hash — the
@@ -763,7 +790,8 @@ object Dedup {
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.pos").as("p1"), col("b.pos").as("p2"))
-    (extendVerify(cand, toks, toks, kTokens), toks)
+    (extendVerify(cand, toks, toks, kTokens), toks,
+      () => { winsP.unpersist(); () })
   }
 
   /** Persisted window-hash posting table of an EXISTING corpus — the
@@ -835,16 +863,32 @@ object Dedup {
     * removal itself is a map. */
   def substringRemove(docs: DataFrame, kTokens: Int = 8,
                       maxWindowDf: Option[Long] = None): DataFrame =
+    substringRemoveUnordered(docs, kTokens, maxWindowDf)
+      .select(col("doc_id"), col("n_removed"), col("clean_md5"))
+      .orderBy("doc_id")
+
+  /** The removal operator's PRODUCT — the cleaned corpus itself, one row
+    * per document: (doc_id, n_removed, clean_text, clean_md5), where
+    * `clean_text` is the whitespace-normalized text with every marked
+    * span cut (the family's tokenization rejoined — what a curation
+    * pipeline writes out as the next corpus snapshot) and `clean_md5`
+    * digests it. [[substringRemove]] reports stats-about-cleaning; this
+    * is the variant whose output feeds the sink writers / the next
+    * pipeline stage. Identical plan up to the final projection — the
+    * `_kept` token array was always computed; this stops dropping it. */
+  def substringRemoveText(docs: DataFrame, kTokens: Int = 8,
+                          maxWindowDf: Option[Long] = None): DataFrame =
     substringRemoveUnordered(docs, kTokens, maxWindowDf).orderBy("doc_id")
 
-  /** [[substringRemove]] without the output sort — for composition
+  /** [[substringRemoveText]] without the output sort — for composition
     * (the v3 curation pipeline joins this on doc_id; a sort below the
-    * join would be wasted work Catalyst does not reliably eliminate). */
+    * join would be wasted work Catalyst does not reliably eliminate).
+    * Cache contract: see [[substringRunsManaged]]. */
   private[graft] def substringRemoveUnordered(
       docs: DataFrame, kTokens: Int,
       maxWindowDf: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (runs, toks) = substringRunsRaw(docs, kTokens, maxWindowDf)
+    val (runs, toks, _) = substringRunsRaw(docs, kTokens, maxWindowDf)
     // Distinct: two partners sharing the SAME d2 span emit identical
     // intervals; drop them before the window pass so tie ordering is
     // immaterial (the rows are identical either way).
@@ -873,7 +917,8 @@ object Dedup {
       .select(col("doc_id"),
         (size(col("_t")) - size(col("_kept"))).cast(LongType)
           .as("n_removed"),
-        md5(array_join(col("_kept"), " ")).as("clean_md5"))
+        array_join(col("_kept"), " ").as("clean_text"))
+      .withColumn("clean_md5", md5(col("clean_text")))
   }
 
   /** Containment score |A∩B| / min(|A|,|B|) over distinct 3-shingles —

@@ -428,6 +428,37 @@ object ProductQuantization {
     finishAdc(scored, qn, k, r2, Some(corpus), vecCol)
   }
 
+  /** Scale-aware cascade dials from a corpus count — the
+    * [[Similarity.autoNLists]] convention applied to the cascade's two
+    * keep budgets: `r1 = max(200, 4·⌈√n⌉)` (Hamming survivors),
+    * `r2 = max(50, ⌈√n⌉)` (ADC survivors). Fixed budgets keep a
+    * SHRINKING fraction of a growing corpus — at 10^10 vectors a
+    * 200-candidate Hamming cut is 2·10^-8 of the corpus and recall
+    * collapses; √n keeps per-tier read volume sub-corpus while recall
+    * holds. Both `ceil`/`sqrt` are IEEE-exact on integer counts, so
+    * DuckDB's `greatest(200, 4 * ceil(sqrt(count(*))))` reproduces the
+    * dials bit-for-bit and the auto cascade stays oracle-gated
+    * end-to-end. At the sf0.01 gate both maxima degenerate to the fixed
+    * defaults (the [[Similarity.coarseTrainStride]] precedent); sf0.1
+    * exercises the √n arm under the hash gate. */
+  def cascadeAutoDials(corpusRows: Long): (Int, Int) = {
+    val s = math.ceil(math.sqrt(corpusRows.toDouble)).toInt
+    (math.max(200, 4 * s), math.max(50, s))
+  }
+
+  /** [[cascadeTopK]] at the [[cascadeAutoDials]] √n budgets — the auto
+    * entry every other ANN family has (`ivfPqTopKAuto`,
+    * `ivfHammingTopKAuto`); same `corpusRows` hint contract. */
+  def cascadeTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                      cb: Codebooks, dim: Int = 64,
+                      codes: Option[DataFrame] = None,
+                      vecCol: String = "embedding",
+                      corpusRows: Option[Long] = None): DataFrame = {
+    val n = corpusRows.getOrElse(corpus.count())
+    val (r1, r2) = cascadeAutoDials(n)
+    cascadeTopK(corpus, queries, k, cb, r1, r2, dim, codes, vecCol)
+  }
+
   /** IVF-PQ — the composed FAISS shape: the IVF coarse quantizer
     * ([[Similarity.seedCentroids]] + Lloyd refinement, identical chain to
     * [[Similarity.ivfTopK]]) bounds each query's candidate set to its

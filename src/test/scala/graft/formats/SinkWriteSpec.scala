@@ -663,4 +663,38 @@ class SinkWriteSpec extends SparkSuite {
     assert(v1.getDecimal(1) == dec("-1.0001"))
     assert(v1.getDecimal(2) == dec("-42.0000000001"))
   }
+
+  test("curation -> sink e2e: substringRemoveText's cleaned corpus flows " +
+    "through the JSONL writer — the engine's two halves composed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("curation-sink")
+    // doc 1 shares its first 10 tokens with doc 0 (>= 8-token run);
+    // lowest-id keeps, so doc 1's copy is cut and only its tail survives.
+    val shared = (0 until 10).map(i => s"c$i").mkString(" ")
+    val docsDf = Seq((0L, shared), (1L, s"$shared extra1 extra2"))
+      .toDF("doc_id", "text")
+    // Adapt the cleaned corpus to the record model: the next corpus
+    // snapshot rides the SAME sink path as any Kafka batch.
+    val cleaned = graft.ops.Dedup.substringRemoveText(docsDf, 8)
+    val records = cleaned.select(
+      lit("cleaned").as("topic"),
+      lit(0).cast(IntegerType).as("partition"),
+      col("doc_id").as("offset"),
+      lit(null).cast(TimestampType).as("timestamp"),
+      col("doc_id").cast(StringType).as("key"),
+      col("clean_text").as("value"),
+      lit(null).cast(graft.connector.Records.schema("headers").dataType)
+        .as("headers"))
+    val cfg = config(
+      "format.output.type" -> "jsonl",
+      "format.output.fields" -> "key,value",
+      "file.compression.type" -> "none",
+      "file.name.template" -> "{{topic}}-{{partition}}-{{start_offset}}")
+    S3SinkPipeline.writeBatch(records, cfg, dir, Now)
+    assert(ls(dir) == Set("cleaned-0-0"))
+    assert(readLines(s"$dir/cleaned-0-0", CompressionType.None) == List(
+      s"""{"key":"0","value":"$shared"}""",
+      """{"key":"1","value":"extra1 extra2"}"""))
+  }
 }

@@ -116,12 +116,18 @@ class BpeSpec extends SparkSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       assert(Bpe.mergesStore(spark, docs, src, 6, Some(root)) == fresh)
-      Thread.sleep(200) // listener bus is async; drain before counting
+      // deterministic drain — a fixed sleep can under- or over-count on
+      // a lagging listener bus (listenerBus is private[spark], hence
+      // the reflective call)
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } finally spark.sparkContext.removeSparkListener(l)
     // warm read = parquet listing + sort sampling + collect (~4 jobs);
     // retraining runs a vocab build plus a groupBy+argmax pair per merge
-    // round (>= 13 jobs at nMerges=6), so 6 cleanly separates the two
-    assert(jobs <= 6, s"warm mergesStore ran $jobs jobs — it retrained")
+    // round (>= 13 jobs at nMerges=6), so 9 still cleanly separates the
+    // two while tolerating Spark-version job-count drift on the read path
+    assert(jobs <= 9, s"warm mergesStore ran $jobs jobs — it retrained")
     // a different vocabulary size is a different store key
     val names = new java.io.File(root).listFiles().map(_.getName)
     assert(names.exists(_.startsWith("graft_sigstore_bpemerges_v1-bpe-n6")))

@@ -1038,16 +1038,27 @@ class OpsSpec extends SparkSuite {
     "reused warm") {
     val run = "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9"
     val src = tmpDir("ssinc-src") + "/documents.parquet"
+    // doc 4 (OLD, id > every new id) shares a run with doc 1 (NEW): the
+    // full run emits that pair as (1, 4) but the incremental as
+    // d1=old=4, d2=new=1 — the orientation difference the unordered
+    // normalization below must absorb (a naive d1-even/d2-odd filter
+    // would silently never compare it).
     Seq((0L, s"$run tail_a"), (2L, "nothing shared here at all"),
-      (1L, s"head_b $run"), (3L, s"also $run yes"))
+      (1L, s"head_b $run"), (3L, s"also $run yes"),
+      (4L, s"x0 x1 x2 $run"))
       .toDF("doc_id", "text").write.parquet(src)
     val d = spark.read.parquet(src)
     val root = tmpDir("ssinc-store")
     val old = d.where(col("doc_id") % 2 === 0)
+    // Normalize both sets to an unordered pair key: (min_id, max_id,
+    // pos_of_min, pos_of_max, run_tokens).
+    def norm(d1: Long, d2: Long, p1: Long, p2: Long, n: Long) =
+      if (d1 <= d2) (d1, d2, p1, p2, n) else (d2, d1, p2, p1, n)
     val full = Dedup.substringRuns(d, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-      .filter { case (d1, d2, _, _, _) => d1 % 2 == 0 && d2 % 2 == 1 }
+      .filter { case (d1, d2, _, _, _) => d1 % 2 != d2 % 2 }
+      .map((norm _).tupled)
       .toSet
     for (_ <- 1 to 2) { // second pass serves postings from the store
       val posting = Dedup.substringPostingStore(spark, old, src,
@@ -1055,11 +1066,16 @@ class OpsSpec extends SparkSuite {
       val inc = Dedup.substringRunsIncremental(
         d.where(col("doc_id") % 2 === 1), old, posting, 8).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4))).toSet
-      assert(inc == full,
-        s"incremental must equal the full run's even->odd pairs: $inc vs $full")
-      assert(inc.contains((0L, 1L, 0L, 1L, 10L)) &&
-        inc.contains((0L, 3L, 0L, 1L, 10L)))
+          r.getLong(4)))
+      inc.foreach { case (d1, d2, _, _, _) =>
+        assert(d1 % 2 == 0 && d2 % 2 == 1,
+          s"incremental orientation must be d1=old, d2=new: ($d1, $d2)") }
+      val incN = inc.map((norm _).tupled).toSet
+      assert(incN == full,
+        s"incremental must equal the full run's old<->new pairs: $incN vs $full")
+      assert(incN.contains((0L, 1L, 0L, 1L, 10L)) &&
+        incN.contains((0L, 3L, 0L, 1L, 10L)) &&
+        incN.contains((1L, 4L, 1L, 3L, 10L)))
     }
     assert(new java.io.File(root).listFiles().map(_.getName)
       .exists(_.startsWith("graft_sigstore_ssinc_v1-sswin-k8")))
