@@ -143,6 +143,27 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("cascadeAutoDials: degenerate to the fixed budgets at gate scale, " +
+    "follow the sqrt-n arm past it; auto == fixed where they coincide") {
+    assert(ProductQuantization.cascadeAutoDials(600) == ((200, 50)))
+    assert(ProductQuantization.cascadeAutoDials(2500) == ((200, 50)))
+    // 5041 = 71^2: r2 takes the sqrt arm, r1 = 4*71 = 284
+    assert(ProductQuantization.cascadeAutoDials(5041) == ((284, 71)))
+    assert(ProductQuantization.cascadeAutoDials(1000000) == ((4000, 1000)))
+    val cb = ProductQuantization.train(corpus, m = 4, k = 2)
+    val nonzero = corpus.where(col("vec_id") < 5)
+    val q = nonzero.where(col("vec_id") < 2)
+    // n = 5 -> dials (200, 50) -> keep-everything -> identical to the
+    // fixed keep-everything cascade of the test above
+    val auto = ProductQuantization
+      .cascadeTopKAuto(nonzero, q, 4, cb, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fixed = ProductQuantization
+      .cascadeTopK(nonzero, q, 4, cb, r1 = 200, r2 = 50, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(auto.sortBy(identity) sameElements fixed.sortBy(identity))
+  }
+
   test("NaN embeddings: every storage tier degrades deterministically " +
     "and identically to the oracle's NaN ordering — no crash, no " +
     "engine divergence") {
