@@ -3618,6 +3618,15 @@ object SparkEntry {
     "mm_dedup_binary" -> ((s, dir) =>
       Multimodal.dedupBinary(Multimodal.mediaFromEvents(s, dir))),
 
+    // Perceptual near-dup — the class mm_dedup_binary is blind to: the
+    // phash lake ships 2x-upscaled copies (different bytes, same image)
+    // and one-pixel perturbations; REAL BMP decode -> 9x8 resample ->
+    // dHash -> banded Hamming pairing. The oracle recomputes every hash
+    // symbolically from the synthesis arithmetic, so a drift anywhere in
+    // encode/decode/resample/hash/banding hash-mismatches the row.
+    "mm_dedup_phash" -> ((s, dir) =>
+      Multimodal.dedupPhash(Multimodal.phashLake(s, dir), 3)),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -3690,6 +3699,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  CAST(sum(length(props)) AS BIGINT) AS bytes_total
         |FROM events GROUP BY asset_md5 ORDER BY keep_id""".stripMargin,
+
+    // Symbolic dHash replay of the phash lake: per doc, the 9x8 resample
+    // reads base slot (y*12 + ((x*12*s)//9)//s) of pattern
+    // (doc_id%64)*37*slot + slot^2*11 (mod 256, +128 at the perturbed
+    // slot), bit j compares horizontal neighbors (mask literals + bit_or
+    // — the binChain shape), pairs via the same 4x16-bit chunk banding.
+    "mm_dedup_phash" -> {
+      val masks = graft.ops.Quantization.signMasks(64)
+        .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+      s"""WITH pm AS (SELECT $masks AS ms),
+         |pg AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(0, 72), j ->
+         |        (j // 9) * 12 +
+         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
+         |             ELSE (j % 9) * 12 // 9 END),
+         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
+         |                 THEN ((doc_id % 64) * 37 * sl + sl * sl * 11
+         |                       + 128) % 256
+         |                 ELSE ((doc_id % 64) * 37 * sl + sl * sl * 11)
+         |                      % 256 END) AS g
+         |  FROM documents
+         |), psig AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, 64),
+         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
+         |                     g[(j // 8) * 9 + (j % 8) + 1]
+         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
+         |  FROM pg, pm
+         |), pch AS (
+         |  SELECT doc_id, ph, c, (ph >> (c * 16)) & 65535 AS ckey
+         |  FROM psig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) cc
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM pch a JOIN pch b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     // resized grid = payload tiled cyclically to 32 bytes (out[i] =
     // payload[i % len]) == substr(repeat(props, ceil(32/len)), 1, 32)

@@ -366,7 +366,20 @@ object Dedup {
     * (count/write/collect); calling it earlier just makes the five
     * downstream scans recompute the signatures. Idempotent. */
   def simhashPairsManaged(docs: DataFrame, maxDist: Int = 3,
-                          bits: Int = SimhashBits): (DataFrame, () => Unit) = {
+                          bits: Int = SimhashBits): (DataFrame, () => Unit) =
+    hammingPairsFromSig(simhash(docs, bits), bits, maxDist)
+
+  /** The banded Hamming pairing over an ARBITRARY per-row signature —
+    * the topology [[simhashPairsManaged]] runs, factored out so any
+    * 64-bit-or-narrower fingerprint can reuse it (the perceptual image
+    * hash [[Multimodal.dedupPhash]] pairs dHashes through exactly this).
+    * `sig0` must carry (doc_id, simhash); emits (d1, d2, hamming) with
+    * d1 < d2 and hamming <= maxDist, plus the interior-cache cleanup
+    * thunk. Plan shape, scale notes, and the distinct-signature
+    * optimization are [[simhashPairs]]'s. */
+  private[graft] def hammingPairsFromSig(sig0: DataFrame, bits: Int,
+                                         maxDist: Int)
+      : (DataFrame, () => Unit) = {
     require(maxDist < SimhashChunks, // pigeonhole bound for the banding
       s"simhashPairs: maxDist must be < $SimhashChunks chunks, got $maxDist")
     val chunkBits = bits / SimhashChunks // 4 at width 16, 16 at width 64
@@ -382,7 +395,7 @@ object Dedup {
     // ambient load — most of the round-16 merge-pin cost reclaimed
     // with every pin kept; caching the chunk table too measured as
     // noise, so only the doc-level table is pinned to a partitioning).
-    val sig = simhash(docs, bits).repartition(col("simhash")).cache()
+    val sig = sig0.repartition(col("simhash")).cache()
     val sigs = sig.select("simhash").distinct()
     val chunks = sigs.select(col("simhash"),
       explode(sequence(lit(0), lit(SimhashChunks - 1))).as("chunk"))

@@ -274,6 +274,104 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual near-dup: dHash over decoded pixels + banded Hamming
+  // pairing — the duplication class exact byte digests cannot see
+  // (re-encoded / resized copies of the same image).
+  // ------------------------------------------------------------------
+
+  /** dHash grid: resize every image to (PhashW+1) x PhashH and compare
+    * horizontal neighbors — 8x8 comparisons = 64 bits in one long. */
+  val PhashW = 8
+  val PhashH = 8
+
+  /** A media lake with REAL duplicate structure, synthesized from the
+    * documents table: every doc renders one of 64 base 12x8 patterns
+    * (base = doc_id % 64, pixel(i) = (base*37*i + i*i*11) % 256 — the
+    * quadratic term gives every base a DISTINCT gradient structure, so
+    * distinct bases land far apart in dHash space; a linear pattern
+    * would give every base the same +1 gradient and collapse all hashes
+    * to within a few bits), as a genuine BMP. Two controlled variations
+    * make it a perceptual-dedup fixture:
+    *
+    *   - docs with doc_id % 3 == 0 ship the 2x NEAREST-UPSCALED copy
+    *     (24x16, U(x,y) = B(y/2, x/2)) — DIFFERENT bytes, different
+    *     dimensions, same image content. `floor(floor(24x/9)/2) =
+    *     floor(12x/9)` makes its 9x8 resample IDENTICAL to the base's,
+    *     so the dHash collides at distance 0: exactly the resized-
+    *     duplicate class [[dedupBinary]] is blind to;
+    *   - docs with doc_id % 5 == 0 perturb ONE base pixel
+    *     (slot (doc_id*7) % 96, +128 mod 256) BEFORE any upscale — a
+    *     small visual edit that flips at most 2 dHash bits (or 0, when
+    *     the perturbed column is one the 12->9 resample never samples —
+    *     sub-sample noise vanishing is perceptual-hash semantics).
+    *
+    * Pixel values are pure integer arithmetic on doc_id, so the oracle
+    * recomputes every hash symbolically (the [[syntheticImageLake]]
+    * precedent); the Spark side goes through the REAL BMP encode +
+    * ImageIO decode + resample. */
+  def phashLake(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast(LongType).as("media_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = (id % 64).toInt
+          val gray0 = Array.tabulate(ImageW * ImageH)(i =>
+            ((base * 37 * i + i * i * 11) % 256).toInt)
+          if (id % 5 == 0) {
+            val p = ((id * 7) % 96).toInt
+            gray0(p) = (gray0(p) + 128) % 256
+          }
+          val payload =
+            if (id % 3 == 0) {
+              val up = Array.tabulate(ImageW * 2 * ImageH * 2) { j =>
+                val x = j % (ImageW * 2); val y = j / (ImageW * 2)
+                gray0((y / 2) * ImageW + x / 2)
+              }
+              ImageCodec.encodeGrayBmp(ImageW * 2, ImageH * 2, up)
+            } else ImageCodec.encodeGrayBmp(ImageW, ImageH, gray0)
+          MediaRecord(id, "image", "bmp", payload, payload.length.toLong)
+        }
+      }
+  }
+
+  /** 64-bit dHash over a (PhashW+1) x PhashH grayscale grid column: bit
+    * j (x = j % 8, y = j / 8) is set iff pixel (x+1, y) > pixel (x, y).
+    * Pure codegen'd integer comparisons folded with bit-or (the
+    * [[graft.ops.Quantization.binarize]] shape — bit 63 rides as a mask
+    * literal, no shift is evaluated at width 64). */
+  private[ops] def dhash64(gray: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until PhashW * PhashH).map { j =>
+      val x = j % PhashW; val y = j / PhashW
+      when(element_at(gray, y * (PhashW + 1) + x + 2) >
+           element_at(gray, y * (PhashW + 1) + x + 1), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Perceptual image near-dup: REAL decode (ImageIO) -> 9x8 nearest
+    * resample -> dHash -> banded Hamming pairing at distance <=
+    * `maxDist` ([[Dedup.hammingPairsFromSig]] — the simhashPairs64
+    * topology, pigeonhole-complete for maxDist <= 3). One row per
+    * near-dup pair: (d1, d2, hamming), d1 < d2.
+    *
+    * Scale shape: decode + hash are one iterator-to-iterator map pass
+    * (pixels never shuffle — only the 8-byte hash and ids leave the
+    * scan); pairing runs at the distinct-signature level with every
+    * corpus-derived join side pinned SHUFFLE_MERGE. This is the
+    * multimodal twin of the exact-substring family: [[dedupBinary]]
+    * catches byte-identical assets only — a re-encoded or resized
+    * duplicate sails through it and is caught here. */
+  def dedupPhash(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+    val sig = resizeImages(media, PhashW + 1, PhashH).toDF()
+      .where(col("ok"))
+      .select(col("media_id").as("doc_id"), dhash64(col("gray")).as("simhash"))
+    val (pairs, _) = Dedup.hammingPairsFromSig(sig, 64, maxDist)
+    pairs
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -981,6 +981,40 @@ class OpsSpec extends SparkSuite {
     assert(up.length == 25 && up.forall(Set(1, 2, 3, 4)))
   }
 
+  test("dedupPhash: a 2x-upscaled copy pairs with its base at hamming 0 " +
+    "(the resized-duplicate class byte dedup misses); an unrelated image " +
+    "does not pair; a one-pixel edit stays within 2 bits") {
+    import graft.ops.Multimodal._
+    def bmpOf(base: Int, scale: Int, perturbAt: Int = -1): Array[Byte] = {
+      val g = Array.tabulate(ImageW * ImageH)(i =>
+        ((base * 37 * i + i * i * 11) % 256).toInt)
+      if (perturbAt >= 0) g(perturbAt) = (g(perturbAt) + 128) % 256
+      if (scale == 2) {
+        val up = Array.tabulate(ImageW * 2 * ImageH * 2) { j =>
+          val x = j % (ImageW * 2); val y = j / (ImageW * 2)
+          g((y / 2) * ImageW + x / 2)
+        }
+        ImageCodec.encodeGrayBmp(ImageW * 2, ImageH * 2, up)
+      } else ImageCodec.encodeGrayBmp(ImageW, ImageH, g)
+    }
+    val media = Seq(
+      MediaRecord(0L, "image", "bmp", bmpOf(1, 1), 0L),       // base 1
+      MediaRecord(1L, "image", "bmp", bmpOf(1, 2), 0L),       // 2x copy
+      MediaRecord(2L, "image", "bmp", bmpOf(2, 1), 0L),       // other base
+      MediaRecord(3L, "image", "bmp", bmpOf(1, 1, 30), 0L))   // edited copy
+      .toDS()
+    // byte-level dedup sees four DISTINCT assets — the blind spot
+    assert(dedupBinary(media).count() == 4)
+    val pairs = dedupPhash(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(0L),
+      s"upscaled copy must pair at hamming 0: $pairs")
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) <= 2L,
+      s"one-pixel edit must pair within 2 bits: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated base must not pair: $pairs")
+  }
+
   test("substringRuns: merges anchor windows into ONE maximal run with " +
     "exact positions/length; short docs emit nothing; k bound enforced") {
     val run = "a b c d e f g h i j" // 10 shared tokens

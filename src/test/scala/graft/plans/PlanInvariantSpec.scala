@@ -229,7 +229,10 @@ class PlanInvariantSpec extends SparkSuite {
     // whole family).
     for (q <- Seq("dedup_minhash_lsh", "dedup_minhash_wide",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_simhash",
-        "dedup_simhash64", "sim_knn_graph")) {
+        "dedup_simhash64", "sim_knn_graph",
+        // the perceptual-hash pairing rides the same banding topology —
+        // same pins (media-derived sides are corpus-sized too)
+        "mm_dedup_phash")) {
       val p = planOf(q)
       assert(p.contains("SortMergeJoin"),
         s"$q lost its SHUFFLE_MERGE candidate-join pin")
