@@ -1836,6 +1836,28 @@ object SparkEntry {
   )
 
   private def pipelineReportQuery: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Store catalog over a three-family store tree (int8 codes, substring
+    // postings, LSH band buckets — built into a per-corpus report root,
+    // warm after the first call): FingerprintStore.list parses every
+    // fingerprinted directory and report() reads footer-only row counts.
+    // The nine store families now have a list/inspect/GC surface — at
+    // 100 TB the index artifacts are themselves big data, and each corpus
+    // regeneration strands the prior fingerprint's directories until
+    // FingerprintStore.gc reclaims them (gc is unit-tested in
+    // SigStoreSpec; the report row pins the catalog semantics).
+    "pipeline_store_report" -> ((s, dir) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-report-" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toURI.toString
+      val d = docs(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Quantization.int8CodeStore(s, emb,
+        s"$dir/embeddings.parquet", "rpt-int8", Some(root))
+      Dedup.substringPostingStore(s, d, s"$dir/documents.parquet",
+        "rpt-sswin", 8, Some(root))
+      Dedup.bandBucketStore(s, d, s"$dir/documents.parquet",
+        "rpt-bands", Some(root))
+      graft.ops.FingerprintStore.report(s, Some(root), "rpt-")
+    }),
     // One-row pipeline report: corpus in/out + dedup rate + mean quality —
     // the summary a data-curation run logs after each pass.
     "pipeline_report" -> ((s, dir) => {
@@ -1860,6 +1882,28 @@ object SparkEntry {
   )
 
   private def pipelineOracles: Map[String, String] = Map(
+    // The catalog reports each store's (tag, pinned version string, row
+    // count); the oracle recomputes every count from the source tables —
+    // int8 codes are one row per vector, the posting store one row per
+    // k-token window, the band store NumBands rows per doc. A version
+    // bump or a row-count drift in any builder breaks the hash.
+    "pipeline_store_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |)
+         |SELECT * FROM (
+         |  SELECT 'rpt-bands' AS tag,
+         |    '${graft.ops.Dedup.SigStoreVersion}' AS version,
+         |    CAST(4 * (SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+         |  UNION ALL
+         |  SELECT 'rpt-int8', '${graft.ops.Quantization.CodeStoreVersion}',
+         |    CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'rpt-sswin', 'v1-sswin-k8',
+         |    CAST((SELECT sum(greatest(len(t) - 7, 0)) FROM toks) AS BIGINT)
+         |) ORDER BY tag""".stripMargin,
+
     "pipeline_report" -> ("WITH RECURSIVE " + MinhashCandChain +
       """, edges AS (
         |  SELECT d1 AS a, d2 AS b FROM cand

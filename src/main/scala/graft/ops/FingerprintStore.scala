@@ -78,6 +78,98 @@ object FingerprintStore {
       .orElse(sys.props.get("graft.sigstore.dir"))
       .getOrElse(new java.io.File(sys.props("java.io.tmpdir")).toURI.toString)
 
+  /** One catalog row per store directory under a root — the inspection
+    * surface over the nine store families (sig, band-bucket,
+    * substring-posting, pq, ivfPq, ivfPqResidual, ivfHamming, int8Code,
+    * bpemerges). `complete` is the `_SUCCESS` publish marker; `bytes` /
+    * `nFiles` / `mtime` come from the file listing (an index artifact is
+    * itself big data at 100 TB — the catalog is how an operator finds
+    * what is holding the space). */
+  final case class StoreEntry(tag: String, version: String,
+      fingerprint: String, complete: Boolean, nFiles: Long, bytes: Long,
+      mtime: Long, path: String)
+
+  private val DirPrefix = "graft_sigstore_"
+
+  /** Parse a store directory name into (tag, version, fingerprint).
+    * Name layout is `graft_sigstore_<tag>_<version>_<fp16>`; version
+    * strings are dash-only by convention (every builder's are), so the
+    * LAST two `_` segments are version and fingerprint and the rest is
+    * the tag (tags MAY contain underscores — `sswin_even` does).
+    * Returns None for foreign directories (including in-flight
+    * `.tmp-` builder dirs, which GC must never touch). */
+  private[ops] def parseName(name: String): Option[(String, String, String)] = {
+    if (!name.startsWith(DirPrefix) || name.contains(".tmp-")) return None
+    val parts = name.stripPrefix(DirPrefix).split('_')
+    if (parts.length < 3) None
+    else Some((parts.dropRight(2).mkString("_"),
+      parts(parts.length - 2), parts.last))
+  }
+
+  /** Enumerate every store under the root (driver-side Hadoop-FS listing
+    * — the catalog is dozens-of-directories-sized, never data-sized).
+    * Foreign directories and in-flight `.tmp-` publishes are skipped. */
+  def list(spark: SparkSession, storeRoot: Option[String] = None)
+      : Seq[StoreEntry] = {
+    val root = new Path(resolveRoot(spark, storeRoot))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      parseName(st.getPath.getName).map { case (tag, version, fp) =>
+        val files = fs.listStatus(st.getPath).filter(_.isFile)
+        StoreEntry(tag, version, fp,
+          complete = files.exists(_.getPath.getName == "_SUCCESS"),
+          nFiles = files.length.toLong,
+          bytes = files.map(_.getLen).sum,
+          mtime = st.getModificationTime,
+          path = st.getPath.toString)
+      }
+    }.sortBy(e => (e.tag, e.version, e.fingerprint))
+  }
+
+  /** Catalog report as a DataFrame — (tag, version, n_rows) per COMPLETE
+    * store whose tag starts with `tagPrefix`, ordered by tag. Row counts
+    * come from each store's parquet footers (a metadata-only count); the
+    * driver-side loop is catalog-sized, never data-sized. */
+  def report(spark: SparkSession, storeRoot: Option[String],
+             tagPrefix: String): DataFrame = {
+    import spark.implicits._
+    list(spark, storeRoot)
+      .filter(e => e.complete && e.tag.startsWith(tagPrefix))
+      .map(e => (e.tag, e.version,
+        spark.read.parquet(e.path).count()))
+      .toDF("tag", "version", "n_rows")
+      .orderBy("tag")
+  }
+
+  /** Garbage-collect stale stores: an entry is LIVE iff its fingerprint
+    * matches the CURRENT fingerprint of one of `liveSources` (the same
+    * hash [[storePath]] keys with — a regenerated corpus changes its
+    * listing fingerprint, stranding every store built against the old
+    * snapshot; this is the reclaim path). Incomplete stores (no
+    * `_SUCCESS`) are also dropped — they are crashed publishes that
+    * would be evicted-and-rebuilt on next access anyway. In-flight
+    * `.tmp-` builder directories are never touched; run GC from the
+    * store's natural single-writer batch topology (or tolerate a
+    * concurrent builder re-publishing — builds are idempotent).
+    * Returns (kept, deleted) entries. */
+  def gc(spark: SparkSession, storeRoot: Option[String],
+         liveSources: Seq[String]): (Seq[StoreEntry], Seq[StoreEntry]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val liveFps = liveSources.flatMap { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) Some(fingerprint(fs, p)) else None
+    }.toSet
+    val (keep, drop) = list(spark, storeRoot)
+      .partition(e => e.complete && liveFps.contains(e.fingerprint))
+    drop.foreach { e =>
+      val p = new Path(e.path)
+      p.getFileSystem(hconf).delete(p, true)
+    }
+    (keep, drop)
+  }
+
   /** Serve the store at (sourcePath, tag, version), building it with
     * `build` (written as parquet) on miss / partial publish. */
   def getOrBuild(spark: SparkSession, sourcePath: String, tag: String,

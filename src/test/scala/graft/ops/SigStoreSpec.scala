@@ -88,4 +88,48 @@ class SigStoreSpec extends SparkSuite {
     assert(Dedup.bandBucketStore(spark, corpus, src, "heal", Some(root))
       .count() == ExpectedRows)
   }
+
+  test("list parses (tag, version, fingerprint) back out of store names — " +
+    "including tags containing underscores — and reports completeness") {
+    val (src, root, _) = freshKey()
+    Dedup.bandBucketStore(spark, corpus, src, "cat_a_b", Some(root))
+    Dedup.bandBucketStore(spark, corpus, src, "plain", Some(root))
+    val es = FingerprintStore.list(spark, Some(root))
+    assert(es.map(_.tag).sorted == Seq("cat_a_b", "plain"))
+    assert(es.forall(e => e.version == Dedup.SigStoreVersion && e.complete &&
+      e.nFiles > 0 && e.bytes > 0 && e.fingerprint.length == 16))
+    // name-level parse contract, incl. tmp-dir exclusion
+    assert(FingerprintStore.parseName(
+      "graft_sigstore_sswin_even_v1-sswin-k8_0123456789abcdef")
+      .contains(("sswin_even", "v1-sswin-k8", "0123456789abcdef")))
+    assert(FingerprintStore.parseName(
+      "graft_sigstore_x_v1_abc.tmp-123").isEmpty)
+    assert(FingerprintStore.parseName("unrelated_dir").isEmpty)
+  }
+
+  test("gc keeps stores whose fingerprint matches a live source and drops " +
+    "stale ones (regenerated corpus) plus incomplete publishes") {
+    val (src, root, rootDir) = freshKey()
+    Dedup.bandBucketStore(spark, corpus, src, "keepme", Some(root))
+    // regenerate the source: mtime+length fingerprint changes, stranding
+    // the store built against the old snapshot
+    Thread.sleep(1100) // local-FS mtime granularity can be 1 s
+    java.nio.file.Files.write(
+      new java.io.File(src, "marker").toPath, "xy".getBytes("UTF-8"))
+    Dedup.bandBucketStore(spark, corpus, src, "fresh", Some(root))
+    // an incomplete publish (no _SUCCESS) is a crashed builder
+    val partial = new java.io.File(rootDir,
+      "graft_sigstore_crashed_v1-x_00000000deadbeef")
+    assert(partial.mkdirs())
+    val (kept, dropped) = FingerprintStore.gc(spark, Some(root), Seq(src))
+    assert(kept.map(_.tag) == Seq("fresh"), s"kept: $kept")
+    assert(dropped.map(_.tag).sorted == Seq("crashed", "keepme"))
+    assert(!partial.exists(), "incomplete store survived gc")
+    assert(FingerprintStore.list(spark, Some(root)).map(_.tag) ==
+      Seq("fresh"))
+    // gc is idempotent and the survivor still serves warm
+    assert(FingerprintStore.gc(spark, Some(root), Seq(src))._2.isEmpty)
+    assert(Dedup.bandBucketStore(spark, corpus, src, "fresh", Some(root))
+      .count() == ExpectedRows)
+  }
 }
