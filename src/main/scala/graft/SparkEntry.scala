@@ -442,6 +442,33 @@ object SparkEntry {
             .as("bpe_md5"))
         .orderBy("doc_id")
     }),
+    // BATCHED BYTE-LEVEL BPE training (graft.ops.Bpe.trainBytesBatched):
+    // GPT-2-style pre-tokenization (space carried as Ġ), up to M=4
+    // pairwise-symbol-disjoint merges per round, 3 rounds — the round
+    // topology a 32k-merge production vocabulary needs (hundreds of
+    // driver rounds, not 32k sequential jobs). The oracle replays every
+    // round: ranking window, greedy-disjoint keep set, batch
+    // application.
+    "bpe_train_bytes" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Bpe.trainBytesBatched(docs(s, dir), 3, 4).zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "ma", "mb").orderBy("rank")
+    }),
+    // ... and the byte-level table CONSUMED: the merge-table kernel over
+    // the SAME pre-token symbols (Bpe.preTokens), trainer and tokenizer
+    // composed end-to-end, oracle-replayed end-to-end.
+    "text_token_count_bpe_bytes" -> ((s, dir) => {
+      val coder = new graft.ops.Bpe.Coder(
+        graft.ops.Bpe.trainBytesBatched(docs(s, dir), 3, 4))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeByteTokenCountWith(col("text"), coder)
+            .as("n_bpe_bytes"),
+          md5(TextAnalysis.bpeByteEncodeWith(col("text"), coder))
+            .as("bpe_md5"))
+        .orderBy("doc_id")
+    }),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     // TRAINED quality classifier (graft.ops.QualityClassifier): hashed
     // word-unigram ratio features, Rocchio centroid init + damped batch
@@ -715,10 +742,12 @@ object SparkEntry {
   /** [[bpeSqlChain]] over an arbitrary `bpem(rnk, ma, mb)` CTE — the
     * fixture VALUES normally, the symbolically-TRAINED table for the
     * trained-tokenizer row (see [[bpeTrainChain]]). */
-  private def bpeSqlChainWith(bpemCte: String): String =
+  private def bpeSqlChainWith(bpemCte: String,
+      wordsArr: String = "string_split_regex(lower(trim(text)), '\\s+')")
+      : String =
     s"""$bpemCte,
        |words AS (
-       |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  SELECT DISTINCT unnest($wordsArr) AS w
        |  FROM documents
        |), bpe(w, seq) AS (
        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
@@ -741,7 +770,7 @@ object SparkEntry {
        |    WHERE instr(b.seq, ' ' || m.ma || ' ' || m.mb || ' ') > 0)
        |), dtok AS (
        |  SELECT doc_id, g.i, t[g.i] AS w
-       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM (SELECT doc_id, $wordsArr AS t
        |        FROM documents) d,
        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
        |), dbpe AS (
@@ -808,6 +837,76 @@ object SparkEntry {
     (0 until n)
       .map(r => s"SELECT $r AS rank, a AS ma, b AS mb FROM btm$r")
       .mkString("\n  UNION ALL ")
+
+  /** BATCHED byte-level BPE training replayed round by round
+    * (`graft.ops.Bpe.trainBytesBatched` merge-for-merge): the GPT-2
+    * pre-token vocab with the space carried as Ġ (`bbw`/`bbs0`), then
+    * per round r the pair-count ranking (`bbp$r`), the top-4M candidate
+    * window (`bbk$r`), the greedy-disjoint keep set with its in-round
+    * rank and merge patterns (`bbc$r` — keep a candidate iff no
+    * earlier-RANKED candidate shares a symbol; a pure rank predicate,
+    * one NOT EXISTS self-join), and the batch applied to a fixpoint by
+    * min-in-round-rank leftmost replacement (`bbr$r`/`bbs${r+1}` — the
+    * [[bpeSqlChain]] surgery over the round's own merge table; disjoint
+    * pairs make order immaterial, so this equals the Scala fold). */
+  private def bpeTrainBytesChain(rounds: Int, m: Int): String = {
+    val head =
+      s"""bbw AS MATERIALIZED (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT replace(unnest(regexp_extract_all(text,
+         |      '${graft.ops.TextAnalysis.BpeIshPattern}')), ' ', 'Ġ') AS w
+         |    FROM documents) WHERE w <> '' GROUP BY w
+         |), bbs0 AS MATERIALIZED (
+         |  SELECT w, cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+         |  FROM bbw
+         |)""".stripMargin
+    val rounds_ = (0 until rounds).map { r =>
+      s""", bbp$r AS MATERIALIZED (
+         |  SELECT l[g.i] AS a, l[g.i+1] AS b, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS l FROM bbs$r) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+         |  GROUP BY a, b
+         |), bbk$r AS MATERIALIZED (
+         |  SELECT a, b, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+         |  FROM bbp$r ORDER BY c DESC, a, b LIMIT ${4 * m}
+         |), bbc$r AS MATERIALIZED (
+         |  SELECT a, b, row_number() OVER (ORDER BY rk) AS rk2,
+         |    ' ' || a || ' ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+         |  FROM bbk$r k
+         |  WHERE NOT EXISTS (SELECT 1 FROM bbk$r k2 WHERE k2.rk < k.rk
+         |    AND (k.a IN (k2.a, k2.b) OR k.b IN (k2.a, k2.b)))
+         |  QUALIFY rk2 <= $m
+         |), bbr$r(w, cnt, seq) AS (
+         |  SELECT w, cnt, seq FROM bbs$r
+         |  UNION ALL
+         |  SELECT t.w, t.cnt,
+         |    substr(t.seq, 1, instr(t.seq, t.pat) - 1) || t.rep ||
+         |      substr(t.seq, instr(t.seq, t.pat) + length(t.pat))
+         |  FROM (
+         |    SELECT b.w, b.cnt, b.seq,
+         |      min_by(c.pat, c.rk2) AS pat, min_by(c.rep, c.rk2) AS rep
+         |    FROM bbr$r b JOIN bbc$r c ON instr(b.seq, c.pat) > 0
+         |    GROUP BY b.w, b.cnt, b.seq) t
+         |), bbs${r + 1} AS MATERIALIZED (
+         |  SELECT w, cnt, seq FROM bbr$r s
+         |  WHERE NOT EXISTS (SELECT 1 FROM bbc$r c
+         |                    WHERE instr(s.seq, c.pat) > 0)
+         |)""".stripMargin
+    }.mkString
+    head + rounds_
+  }
+
+  /** The batched-trained merge rows with their GLOBAL rank (round-major,
+    * in-round keep order) — rounds that kept fewer than M pairs stay
+    * contiguous on both engines. */
+  private def bpeTrainBytesSelect(rounds: Int): String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY round, rk2) - 1 AS BIGINT)
+       |    AS rank, a AS ma, b AS mb
+       |  FROM (
+       |  ${(0 until rounds)
+            .map(r => s"SELECT $r AS round, rk2, a, b FROM bbc$r")
+            .mkString("\n  UNION ALL ")}
+       |)""".stripMargin
 
   /** Quality-classifier TRAINING replayed weight-for-weight
     * (`graft.ops.QualityClassifier.train`): the hashed word-unigram
@@ -910,6 +1009,29 @@ object SparkEntry {
     // The stored model is train(3)'s weights round-tripped exactly —
     // the identical replay.
     "text_quality_trained_managed" -> ("WITH " + qualityTrainChain(6)),
+
+    "bpe_train_bytes" -> ("WITH RECURSIVE " + bpeTrainBytesChain(3, 4) +
+      s"""
+         |${bpeTrainBytesSelect(3)}
+         |ORDER BY rank""".stripMargin),
+
+    // Byte-level trained-table consumption: 3 batched rounds replayed,
+    // the replayed table fed into the encode chain as `bpem`, the
+    // word-array derivation swapped to the GPT-2 pre-tokens.
+    "text_token_count_bpe_bytes" -> ("WITH RECURSIVE " +
+      bpeTrainBytesChain(3, 4) + ", " +
+      bpeSqlChainWith(
+        s"""bpem AS MATERIALIZED (
+           |  SELECT CAST(rank AS INT) AS rnk, ma, mb FROM (
+           |  ${bpeTrainBytesSelect(3)}
+           |  )
+           |)""".stripMargin,
+        wordsArr = "list_transform(regexp_extract_all(text, '" +
+          graft.ops.TextAnalysis.BpeIshPattern +
+          "'), x -> replace(x, ' ', 'Ġ'))") +
+      """
+        |SELECT doc_id, n_bpe_real AS n_bpe_bytes, bpe_md5 FROM dbpe
+        |ORDER BY doc_id""".stripMargin),
 
     "bpe_train" -> ("WITH RECURSIVE " + bpeTrainChain(40) +
       s"""

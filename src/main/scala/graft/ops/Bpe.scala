@@ -231,6 +231,107 @@ object Bpe {
     merges.toIndexedSeq
   }
 
+  // ------------------------------------------------------------------
+  // Byte-level BPE with GPT-2-style pre-tokenization + BATCHED training
+  // rounds — the production tokenizer shape: [[train]] is the classic
+  // one-merge-per-round reference (and the committed fixture's
+  // provenance); a 32k-merge production vocabulary cannot afford 32k
+  // sequential Spark rounds, so [[trainBytesBatched]] merges up to M
+  // pairwise-SYMBOL-DISJOINT pairs per round (disjoint pairs neither
+  // create nor destroy each other's adjacencies, so within a round the
+  // batch applies exactly like the sequential order it was ranked in).
+  // ------------------------------------------------------------------
+
+  /** GPT-2's space marker: a leading space is part of the following
+    * pre-token, carried as the printable 'Ġ' (U+0120) so symbol strings
+    * stay space-delimitable on both engines — literally the byte-encoder
+    * convention shipped in the public GPT-2 vocab files. */
+  val SpaceMark = "Ġ"
+
+  /** GPT-2-style pre-tokens of a document: [[TextAnalysis.BpeIshPattern]]
+    * runs (letters / digits / other-symbol runs, each optionally
+    * space-prefixed) over the RAW text, with the space carried as
+    * [[SpaceMark]]. On the ASCII gate corpus characters ARE bytes, so
+    * char-level symbols over these pre-tokens are byte-level symbols;
+    * a non-ASCII deployment adds the GPT-2 byte-to-unicode table in the
+    * same spot (one more `translate`). Mirrored in DuckDB as
+    * `list_transform(regexp_extract_all(text, pattern), t ->
+    * replace(t, ' ', 'Ġ'))`. */
+  def preTokens(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit(TextAnalysis.BpeIshPattern), lit(0)),
+      t => translate(t, " ", SpaceMark))
+
+  /** BATCHED byte-level BPE training: exactly `nRounds` rounds, each
+    * merging up to `batchM` pairs — the round shape a 32k-merge
+    * production vocabulary needs (~hundreds of driver rounds instead of
+    * 32k sequential jobs). Per round:
+    *
+    *   1. one vocab-sized pair-count shuffle ranks candidates by
+    *      (count desc, a, b) and collects the top `4·batchM` rows
+    *      (driver-bounded — KBs);
+    *   2. the greedy-disjoint filter keeps a candidate iff NO
+    *      earlier-RANKED candidate (kept or dropped — the rule is a
+    *      pure rank-window predicate, so the oracle replays it with one
+    *      self-join instead of a sequential scan) shares a symbol with
+    *      it, then takes the first `batchM` survivors. Kept pairs are
+    *      pairwise symbol-disjoint, so merging one can neither create
+    *      nor destroy another's adjacencies — the batch equals its
+    *      sequential application, and every merged symbol is new, so
+    *      in-round pairs never chain;
+    *   3. the kept merges apply as stacked map-only [[applyMerge]]
+    *      folds, one localCheckpoint per round (plan depth stays O(M)).
+    *
+    * The disjointness cap self-limits early rounds to ~|alphabet|/2
+    * merges and grows with the vocabulary — measured in SCALING.md's
+    * 1k-merge cell. Rounds stop early when no pair remains. Returns the
+    * rank-ordered merge table (feed to [[Coder]] /
+    * [[graft.functions.BpeExpressions]] over [[preTokens]] symbols). */
+  def trainBytesBatched(docs: DataFrame, nRounds: Int = 3,
+                        batchM: Int = 4,
+                        onRound: (Int, Int) => Unit = (_, _) => ())
+      : IndexedSeq[(String, String)] = {
+    require(nRounds >= 1 && batchM >= 1,
+      s"bpe trainBytesBatched: need nRounds >= 1 and batchM >= 1, " +
+        s"got $nRounds/$batchM")
+    val words = docs
+      .select(explode(preTokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var syms = words
+      .select(col("w"), col("cnt"), split(col("w"), "").as("seq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var r = 0
+    while (!done && r < nRounds) {
+      val cands = syms
+        .select(col("cnt"), explode(adjacentPairs(col("seq"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+        .groupBy("a", "b").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(4 * batchM).collect()
+        .map(row => (row.getString(0), row.getString(1)))
+      if (cands.isEmpty) done = true
+      else {
+        val kept = cands.zipWithIndex.filter { case ((a, b), i) =>
+          !cands.take(i).exists { case (a2, b2) =>
+            a == a2 || a == b2 || b == a2 || b == b2 }
+        }.map(_._1).take(batchM)
+        merges ++= kept
+        onRound(r, kept.length)
+        if (r + 1 < nRounds) {
+          syms = kept.foldLeft(syms) { case (s, (a, b)) =>
+            s.select(col("w"), col("cnt"),
+              applyMerge(col("seq"), a, b).as("seq"))
+          }.localCheckpoint()
+        }
+      }
+      r += 1
+    }
+    merges.toIndexedSeq
+  }
+
   /** Build-once/read-many TRAINED tokenizer: [[train]]'s merge table
     * persisted through [[FingerprintStore]] (the `pqStore`/`ivfPqStore`
     * precedent — a pipeline that ships its own tokenizer trains it once

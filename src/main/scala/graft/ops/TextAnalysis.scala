@@ -67,6 +67,18 @@ object TextAnalysis {
   def bpeRealEncodeWith(text: Column, coder: Bpe.Coder): Column =
     graft.functions.BpeExpressions.bpeEncode(tokens(text), coder)
 
+  /** BYTE-level token count: the merge-table kernel over
+    * [[Bpe.preTokens]] (GPT-2 pre-tokenization, space carried as Ġ)
+    * instead of whitespace words — the symbol space a production
+    * byte-level tokenizer runs. Pair with a [[Bpe.trainBytesBatched]]
+    * table. */
+  def bpeByteTokenCountWith(text: Column, coder: Bpe.Coder): Column =
+    graft.functions.BpeExpressions.bpeTokenCount(Bpe.preTokens(text), coder)
+
+  /** The full byte-level tokenization, space-joined (digest this). */
+  def bpeByteEncodeWith(text: Column, coder: Bpe.Coder): Column =
+    graft.functions.BpeExpressions.bpeEncode(Bpe.preTokens(text), coder)
+
   /** Sliding 3-gram (shingle) array over the token sequence; empty when the
     * document has fewer than 3 tokens. 1-based indexing matches the DuckDB
     * mirror (`t[i] || ' ' || t[i+1] || ' ' || t[i+2]`). */
