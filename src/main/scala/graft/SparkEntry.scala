@@ -3918,6 +3918,17 @@ object SparkEntry {
     "mm_dedup_phash" -> ((s, dir) =>
       Multimodal.dedupPhash(Multimodal.phashLake(s, dir), 3)),
 
+    // Auto-dialed lake: base-image class count = max(64, n/16), oracle-
+    // recomputed from count(*). The fixed-64 lake's duplicate classes grow
+    // with the corpus (pairs ~ n²/64 — output volume, not operator cost),
+    // so THIS is the probe-valid row: class size stays ~16 at every scale
+    // and the pair output stays linear.
+    "mm_dedup_phash_auto" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      Multimodal.dedupPhash(
+        Multimodal.phashLakeScaled(s, dir, math.max(64L, n / 16)), 3)
+    }),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4013,6 +4024,50 @@ object SparkEntry {
          |                 ELSE ((doc_id % 64) * 37 * sl + sl * sl * 11)
          |                      % 256 END) AS g
          |  FROM documents
+         |), psig AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, 64),
+         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
+         |                     g[(j // 8) * 9 + (j % 8) + 1]
+         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
+         |  FROM pg, pm
+         |), pch AS (
+         |  SELECT doc_id, ph, c, (ph >> (c * 16)) & 65535 AS ckey
+         |  FROM psig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) cc
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM pch a JOIN pch b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    // Same pipeline, auto-dialed lake: base = doc_id % cm with
+    // cm = greatest(64, n/16) recomputed from count(*); pixel(i) =
+    // ((base%256)*37*i + (11 + base//256)*i*i) % 256 — base feeds BOTH
+    // coefficients because mod-256 arithmetic caps any single-coefficient
+    // family at 256 distinct images (see Multimodal.phashLakeScaled).
+    "mm_dedup_phash_auto" -> {
+      val masks = graft.ops.Quantization.signMasks(64)
+        .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+      s"""WITH pm AS (SELECT $masks AS ms),
+         |cmv AS (SELECT greatest(64, count(*) // 16) AS cm FROM documents),
+         |pg AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(0, 72), j ->
+         |        (j // 9) * 12 +
+         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
+         |             ELSE (j % 9) * 12 // 9 END),
+         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
+         |                 THEN (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl
+         |                       + 128) % 256
+         |                 ELSE (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl)
+         |                      % 256 END) AS g
+         |  FROM documents, cmv
          |), psig AS (
          |  SELECT doc_id,
          |    list_aggregate(list_transform(range(0, 64),

@@ -337,6 +337,54 @@ object Multimodal {
       }
   }
 
+  /** [[phashLake]] with the base-image class count scaled to the corpus
+    * (the auto-dial convention): base = doc_id % classMod instead of the
+    * fixed 64, so the duplicate-class SIZE stays bounded (~16) as the
+    * corpus grows and the pair output stays linear — the fixed-64 lake's
+    * n²/64 pair growth measures output volume, not the operator, at probe
+    * scale (the pair-emitting-dedup tiling rule).
+    *
+    * The pixel formula must change with the dial: everything is mod 256,
+    * so any family pixel(i) = c(base)*i + 11i² has at most 256 distinct
+    * images no matter how large classMod gets (c is invertible-mod-256 in
+    * base only through base % 256). Feeding base into BOTH coefficients —
+    * linear (base % 256)*37 and quadratic 11 + base/256 — gives distinct
+    * (linear, quadratic) pairs for every base below 256·245 = 62 720
+    * (the wrap 11 + q ≡ 0..10 mod 256 starts at q = 245 and collides with
+    * no unwrapped value), i.e. distinct pixel functions for every class
+    * the ≤100× probes can dial. Two distinct classes landing within
+    * Hamming 3 of each other is possible but harmless: the oracle runs
+    * the same arithmetic, so such a pair is expected output, not error. */
+  def phashLakeScaled(spark: SparkSession, sfDir: String,
+      classMod: Long): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast(LongType).as("media_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % classMod
+          val lin = (base % 256) * 37
+          val quad = 11 + base / 256
+          val gray0 = Array.tabulate(ImageW * ImageH)(i =>
+            ((lin * i + quad * i * i) % 256).toInt)
+          if (id % 5 == 0) {
+            val p = ((id * 7) % 96).toInt
+            gray0(p) = (gray0(p) + 128) % 256
+          }
+          val payload =
+            if (id % 3 == 0) {
+              val up = Array.tabulate(ImageW * 2 * ImageH * 2) { j =>
+                val x = j % (ImageW * 2); val y = j / (ImageW * 2)
+                gray0((y / 2) * ImageW + x / 2)
+              }
+              ImageCodec.encodeGrayBmp(ImageW * 2, ImageH * 2, up)
+            } else ImageCodec.encodeGrayBmp(ImageW, ImageH, gray0)
+          MediaRecord(id, "image", "bmp", payload, payload.length.toLong)
+        }
+      }
+  }
+
   /** 64-bit dHash over a (PhashW+1) x PhashH grayscale grid column: bit
     * j (x = j % 8, y = j / 8) is set iff pixel (x+1, y) > pixel (x, y).
     * Pure codegen'd integer comparisons folded with bit-or (the
