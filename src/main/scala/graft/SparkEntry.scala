@@ -528,6 +528,13 @@ object SparkEntry {
     // 3-gram fraction per document.
     "text_repetition" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
 
+    // CCNet/RefinedWeb line-level boilerplate removal: lines repeated in
+    // >= 3 documents (nav chrome, footers — injected deterministically by
+    // the line lake) are removed line-by-line; the cleaned text itself is
+    // the verified output, reassembled in original line order.
+    "dedup_lines" -> ((s, dir) =>
+      Curation.lineDedup(Curation.lineified(docs(s, dir)), 3)),
+
     // TF-IDF keyword extraction: top-3 terms per document (linear idf so
     // the score is bit-identical across engines; see Scaladoc).
     "text_tfidf_top" -> ((s, dir) =>
@@ -1161,6 +1168,45 @@ object SparkEntry {
         |  floor((n_overlap * 1.0 / n_grams) * 1000000 + 0.5) / 1000000
         |    AS contam_frac
         |FROM hits WHERE n_overlap > 0 ORDER BY doc_id""".stripMargin),
+
+    // Line lake replay (header on %3, 12-token body chunks, footer on %2)
+    // + df-per-line + removal + in-order reassembly; clean_text is
+    // verified verbatim. Parallel unnest() calls zip in DuckDB, giving
+    // the (line, pos) pairs posexplode gives Spark.
+    "dedup_lines" ->
+      """WITH lk AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN ['nav home about contact menu b'
+        |                || CAST(doc_id % 7 AS VARCHAR)]
+        |          ELSE [] END)
+        |    || list_transform(
+        |         range(0, (len(string_split(text, ' ')) + 11) // 12),
+        |         i -> array_to_string(
+        |           string_split(text, ' ')[i*12+1 : i*12+12], ' '))
+        |    || (CASE WHEN doc_id % 2 = 0
+        |          THEN ['copyright footer terms privacy b'
+        |                || CAST(doc_id % 5 AS VARCHAR)]
+        |          ELSE [] END) AS lines
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         unnest(range(len(lines))) AS pos
+        |  FROM lk
+        |), bo AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df
+        |  FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        |)
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN b.df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(array_to_string(
+        |    list(e.line ORDER BY e.pos) FILTER (WHERE b.df IS NULL),
+        |    chr(10)), '') AS clean_text
+        |FROM ex e LEFT JOIN bo b ON e.line = b.line
+        |GROUP BY e.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" -> (T +
       """, g2 AS (

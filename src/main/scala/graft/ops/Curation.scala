@@ -223,4 +223,90 @@ object Curation {
           .as("n_outliers"))
       .orderBy("lang")
   }
+
+  // ------------------------------------------------------------------
+  // Line-level boilerplate dedup (the CCNet / RefinedWeb pass): lines
+  // repeated across many UNRELATED documents are navigation chrome,
+  // cookie banners, copyright footers — removed line-by-line while the
+  // documents themselves are kept. Complements the dedup families:
+  // whole/near-doc dedup drops documents, the substring family removes
+  // long verbatim runs, and [[chunkDedup]] keeps a duplicated chunk's
+  // FIRST occurrence; THIS pass removes high-document-frequency lines
+  // from EVERY document including the first — boilerplate has no
+  // canonical owner worth keeping.
+  // ------------------------------------------------------------------
+
+  /** Deterministic line-structured view of the flat-token documents table
+    * (the [[graft.ops.Multimodal.phashLake]] precedent: synthesize the
+    * structure the operator exists for, from arithmetic the oracle can
+    * replay symbolically). Body = the doc's tokens in 12-token chunks,
+    * one line each; boilerplate = a 7-variant header injected on
+    * doc_id % 3 == 0 and a 5-variant footer on doc_id % 2 == 0 — so the
+    * corpus carries real cross-document repeated lines (df 20+ at
+    * sf0.01) against unique body lines, exactly the df contrast the
+    * operator separates. Splits on a single literal space to mirror
+    * DuckDB's string_split. */
+  def lineified(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val header = when(col("doc_id") % 3 === 0,
+      array(concat(lit("nav home about contact menu b"),
+        (col("doc_id") % 7).cast("string"))))
+      .otherwise(array().cast("array<string>"))
+    val footer = when(col("doc_id") % 2 === 0,
+      array(concat(lit("copyright footer terms privacy b"),
+        (col("doc_id") % 5).cast("string"))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"),
+        array_join(concat(
+          header,
+          transform(
+            // ceil(n/12) chunks; Column./ is DOUBLE division, so cast back
+            sequence(lit(0), ((size(col("_t")) + 11) / 12).cast("int") - 1),
+            i => array_join(slice(col("_t"), i * 12 + 1, lit(12)), " ")),
+          footer), "\n").as("text"))
+  }
+
+  /** Per-line document frequency over a line-structured corpus:
+    * (line, df). One exploded map pass + one partially-aggregated
+    * count-distinct shuffle — the line string is the key here because the
+    * oracle joins on it; at 100 TB the key would be a 64-bit line hash
+    * (same topology, narrower shuffle), with the string carried only in
+    * the (tiny) over-threshold output. */
+  def lineDf(lined: DataFrame): DataFrame =
+    lined
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Remove every line whose document frequency is >= minDf and
+    * reassemble each document's remaining lines in order. Returns
+    * (doc_id, n_lines, n_removed, clean_text), ordered by doc_id.
+    *
+    * Scale shape: posexplode is map-side; the df aggregation shuffles
+    * (line, doc_id) with partial distinct; the removal join's build side
+    * is corpus-DERIVED (the over-threshold line set), so it is pinned
+    * SHUFFLE_MERGE like every corpus-derived join side in the dedup
+    * families — in a real crawl the boilerplate set is millions of
+    * lines and must never be the broadcast side. Reassembly is one
+    * per-doc aggregation: collect (pos, line), sort in the row,
+    * join with newline — no window, no second shuffle beyond the
+    * groupBy(doc_id). */
+  def lineDedup(lined: DataFrame, minDf: Int = 3): DataFrame = {
+    val ex = lined.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lineDf(lined).where(col("df") >= minDf)
+    ex.join(boiler.hint("SHUFFLE_MERGE"), Seq("line"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -140,4 +140,41 @@ class CurationOpsSpec extends SparkSuite {
     assert(r.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toList ==
       List((1L, "cherry", 4.5)))
   }
+
+  test("lineDedup removes df>=minDf lines from EVERY doc (no canonical " +
+    "owner), keeps order, and empties an all-boilerplate doc") {
+    import org.apache.spark.sql.functions._
+    val lined = Seq(
+      (0L, "boiler\nu0a\nu0b"),      // boiler + two unique lines
+      (1L, "u1a\nboiler\nu1b"),      // boiler mid-document
+      (2L, "boiler\nother"),         // 3rd boiler occurrence -> df = 3
+      (3L, "boiler"),                // all-boilerplate -> emptied
+      (4L, "other\nu4a"))            // 'other' df = 2 < 3 -> kept
+      .toDF("doc_id", "text")
+    val r = Curation.lineDedup(lined, minDf = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_lines"), x.getAs[Long]("n_removed"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(r(0L) == ((3L, 1L, "u0a\nu0b")))
+    assert(r(1L) == ((3L, 1L, "u1a\nu1b"))) // order preserved around cut
+    assert(r(2L) == ((2L, 1L, "other")))
+    assert(r(3L) == ((1L, 1L, "")))         // removed everywhere: no owner
+    assert(r(4L) == ((2L, 0L, "other\nu4a")))
+  }
+
+  test("lineified injects the %3 header / %2 footer variants and chunks " +
+    "the body into 12-token lines") {
+    val toks = (1 to 25).map(i => s"w$i").mkString(" ") // 25 -> 3 chunks
+    val lined = Curation.lineified(mkDocs(6L -> toks, 1L -> "solo"))
+      .collect().map(x =>
+        x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    val body = Seq((1 to 12), (13 to 24)).map(_.map(i => s"w$i")
+      .mkString(" ")) :+ "w25"
+    // doc 6: %3 header (6%7=6) AND %2 footer (6%5=1)
+    assert(lined(6L) ==
+      ("nav home about contact menu b6" +: body :+
+        "copyright footer terms privacy b1").mkString("\n"))
+    // doc 1: neither header nor footer, one short body line
+    assert(lined(1L) == "solo")
+  }
 }

@@ -232,7 +232,11 @@ class PlanInvariantSpec extends SparkSuite {
         "dedup_simhash64", "sim_knn_graph",
         // the perceptual-hash pairing rides the same banding topology —
         // same pins (media-derived sides are corpus-sized too)
-        "mm_dedup_phash", "mm_dedup_phash_auto")) {
+        "mm_dedup_phash", "mm_dedup_phash_auto",
+        // line-boilerplate removal: the over-threshold line set is
+        // corpus-derived (millions of lines in a real crawl) — never
+        // the broadcast side
+        "dedup_lines")) {
       val p = planOf(q)
       assert(p.contains("SortMergeJoin"),
         s"$q lost its SHUFFLE_MERGE candidate-join pin")
