@@ -535,6 +535,18 @@ object SparkEntry {
     "dedup_lines" -> ((s, dir) =>
       Curation.lineDedup(Curation.lineified(docs(s, dir)), 3)),
 
+    // Incremental: the odd-doc batch is cleaned against the EVEN half's
+    // persisted boilerplate store (built once per corpus fingerprint) —
+    // the old corpus is never re-counted on a repeat batch.
+    "dedup_lines_incremental" -> ((s, dir) => {
+      val lined = Curation.lineified(docs(s, dir))
+      val boiler = Curation.lineBoilerplateStore(s,
+        lined.where(col("doc_id") % 2 === 0),
+        s"$dir/documents.parquet", "linedf_even", 3)
+      Curation.lineDedupIncremental(
+        lined.where(col("doc_id") % 2 === 1), boiler)
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document (linear idf so
     // the score is bit-identical across engines; see Scaladoc).
     "text_tfidf_top" -> ((s, dir) =>
@@ -726,6 +738,31 @@ object SparkEntry {
          |WHERE array_to_string(a.t[r.d1_pos + 1 : r.d1_pos + r.run_tokens], ' ') =
          |      array_to_string(b.t[r.d2_pos + 1 : r.d2_pos + r.run_tokens], ' ')
          |ORDER BY d1, d2, d1_pos, d2_pos""".stripMargin
+
+  /** Shared line-lake CTE chain ([[graft.ops.Curation.lineified]] replay:
+    * %3 header / 12-token body chunks / %2 footer, then exploded to
+    * (doc_id, line, pos) — parallel unnest() calls zip in DuckDB). */
+  private val LineLakeChain =
+    """lk AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN ['nav home about contact menu b'
+      |                || CAST(doc_id % 7 AS VARCHAR)]
+      |          ELSE [] END)
+      |    || list_transform(
+      |         range(0, (len(string_split(text, ' ')) + 11) // 12),
+      |         i -> array_to_string(
+      |           string_split(text, ' ')[i*12+1 : i*12+12], ' '))
+      |    || (CASE WHEN doc_id % 2 = 0
+      |          THEN ['copyright footer terms privacy b'
+      |                || CAST(doc_id % 5 AS VARCHAR)]
+      |          ELSE [] END) AS lines
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, unnest(lines) AS line,
+      |         unnest(range(len(lines))) AS pos
+      |  FROM lk
+      |)""".stripMargin
 
   /** Shared DuckDB tokenization CTE over `documents`. */
   private val T =
@@ -1174,27 +1211,8 @@ object SparkEntry {
     // verified verbatim. Parallel unnest() calls zip in DuckDB, giving
     // the (line, pos) pairs posexplode gives Spark.
     "dedup_lines" ->
-      """WITH lk AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 3 = 0
-        |          THEN ['nav home about contact menu b'
-        |                || CAST(doc_id % 7 AS VARCHAR)]
-        |          ELSE [] END)
-        |    || list_transform(
-        |         range(0, (len(string_split(text, ' ')) + 11) // 12),
-        |         i -> array_to_string(
-        |           string_split(text, ' ')[i*12+1 : i*12+12], ' '))
-        |    || (CASE WHEN doc_id % 2 = 0
-        |          THEN ['copyright footer terms privacy b'
-        |                || CAST(doc_id % 5 AS VARCHAR)]
-        |          ELSE [] END) AS lines
-        |  FROM documents
-        |), ex AS (
-        |  SELECT doc_id, unnest(lines) AS line,
-        |         unnest(range(len(lines))) AS pos
-        |  FROM lk
-        |), bo AS (
-        |  SELECT line, count(DISTINCT doc_id) AS df
+      (s"WITH $LineLakeChain, bo AS (\n" +
+      """  SELECT line, count(DISTINCT doc_id) AS df
         |  FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 3
         |)
         |SELECT e.doc_id,
@@ -1206,7 +1224,28 @@ object SparkEntry {
         |    chr(10)), '') AS clean_text
         |FROM ex e LEFT JOIN bo b ON e.line = b.line
         |GROUP BY e.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // Incremental variant: the df authority is the EVEN half's persisted
+    // boilerplate store; the odd batch is cleaned against it without the
+    // old corpus being re-counted.
+    "dedup_lines_incremental" ->
+      (s"WITH $LineLakeChain, bo AS (\n" +
+      """  SELECT line, count(DISTINCT doc_id) AS df
+        |  FROM ex WHERE doc_id % 2 = 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        |)
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN b.df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(array_to_string(
+        |    list(e.line ORDER BY e.pos) FILTER (WHERE b.df IS NULL),
+        |    chr(10)), '') AS clean_text
+        |FROM ex e LEFT JOIN bo b ON e.line = b.line
+        |WHERE e.doc_id % 2 = 1
+        |GROUP BY e.doc_id
+        |ORDER BY doc_id""".stripMargin),
 
     "text_repetition" -> (T +
       """, g2 AS (
@@ -2125,6 +2164,32 @@ object SparkEntry {
           col("quality"), col("max_cos"), col("n_removed"),
           col("clean_md5"), col("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // v4: STAGED text flow — the boilerplate-line pass runs FIRST and
+    // every later stage consumes its cleaned text, not the raw corpus
+    // (v1-v3 join per-doc stats computed independently on the raw text;
+    // here stage N+1's input IS stage N's output, the shape a real
+    // curation DAG has). Quality is scored on the line-cleaned text and
+    // exact dedup keys on its md5 — so a doc whose uniqueness was all
+    // boilerplate collapses into its duplicate class only AFTER the line
+    // pass exposes it. The keep-list join side is corpus-derived: pinned.
+    "pipeline_clean_corpus_v4" -> ((s, dir) => {
+      val cleaned = Curation.lineDedup(Curation.lineified(docs(s, dir)), 3)
+        .select(col("doc_id"), col("n_removed"),
+          col("clean_text").as("text"))
+      val q = TextAnalysis.qualityQuery(cleaned)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val keep = cleaned
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      cleaned.withColumn("h", md5(col("text")))
+        .join(q.hint("SHUFFLE_MERGE"), Seq("doc_id")) // corpus-derived side
+        .join(keep.hint("SHUFFLE_MERGE"), Seq("h"))
+        .select(col("doc_id"), col("n_removed"), col("n_tokens"),
+          col("quality"), (col("doc_id") === col("keep_id")).as("keep"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2353,7 +2418,46 @@ object SparkEntry {
         |JOIN clean cl ON cl.vec_id = q.doc_id
         |JOIN ssrm r ON r.doc_id = q.doc_id
         |WHERE q.quality >= 0.25
-        |ORDER BY q.doc_id""".stripMargin)
+        |ORDER BY q.doc_id""".stripMargin),
+
+    // v4: the staged chain — line-cleaned text (LineLakeChain + removal)
+    // feeds the quality formula and the exact-dedup md5 key; the quality
+    // CTE is the v1-v3 replay applied to `cl.text` instead of raw
+    // documents.text.
+    "pipeline_clean_corpus_v4" -> (s"WITH $LineLakeChain, bo AS (\n" +
+      """  SELECT line, count(DISTINCT doc_id) AS df
+        |  FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        |), cl AS (
+        |  SELECT e.doc_id,
+        |    CAST(sum(CASE WHEN b.df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(array_to_string(
+        |      list(e.line ORDER BY e.pos) FILTER (WHERE b.df IS NULL),
+        |      chr(10)), '') AS text
+        |  FROM ex e LEFT JOIN bo b ON e.line = b.line
+        |  GROUP BY e.doc_id
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    floor(((CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','and','of','to','in','is','for','on','with'], x))) AS BIGINT)
+        |        * 1.0 / len(t)) * 0.4 +
+        |      least(length(text) * 1.0 / len(t) / 10.0, 1.0) * 0.3 +
+        |      (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |        / nullif(length(text), 0)) * 0.3) * 1000000 + 0.5) / 1000000
+        |      AS quality
+        |  FROM (SELECT doc_id, text,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM cl) x
+        |), k AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM cl GROUP BY md5(text)
+        |)
+        |SELECT c.doc_id, c.n_removed, q.n_tokens, q.quality,
+        |  (c.doc_id = k.keep_id) AS keep, md5(c.text) AS clean_md5
+        |FROM cl c
+        |JOIN q ON q.doc_id = c.doc_id
+        |JOIN k ON md5(c.text) = k.h
+        |ORDER BY c.doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------ similarity family

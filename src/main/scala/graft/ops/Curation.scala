@@ -292,11 +292,43 @@ object Curation {
     * per-doc aggregation: collect (pos, line), sort in the row,
     * join with newline — no window, no second shuffle beyond the
     * groupBy(doc_id). */
-  def lineDedup(lined: DataFrame, minDf: Int = 3): DataFrame = {
+  def lineDedup(lined: DataFrame, minDf: Int = 3): DataFrame =
+    removeBoilerLines(lined, lineDf(lined).where(col("df") >= minDf))
+
+  /** Persisted over-threshold boilerplate line table of an EXISTING
+    * corpus — the [[graft.ops.Dedup.substringPostingStore]] precedent:
+    * the corpus's line document frequencies are counted ONCE per (corpus
+    * fingerprint, minDf) and every later batch joins the stored
+    * (line, df) rows. The artifact is tiny relative to the corpus (only
+    * lines crossing the threshold are kept), but it is corpus-DERIVED
+    * and unbounded in a real crawl, so consumers still join it pinned. */
+  def lineBoilerplateStore(spark: org.apache.spark.sql.SparkSession,
+                           lined: DataFrame, sourcePath: String,
+                           tag: String, minDf: Int = 3,
+                           storeRoot: Option[String] = None): DataFrame =
+    FingerprintStore.getOrBuild(spark, sourcePath, tag,
+      s"v1-linedf-m$minDf", storeRoot)(
+      lineDf(lined).where(col("df") >= minDf))
+
+  /** Clean a NEW batch against an EXISTING corpus's stored boilerplate
+    * set ([[lineBoilerplateStore]]): the old corpus is never re-read —
+    * batch lines are exploded fresh and joined against the store. Lines
+    * boilerplate only WITHIN the new batch are not counted (the store
+    * is the df authority; production refreshes it on corpus
+    * regeneration, which the fingerprint key does automatically). */
+  def lineDedupIncremental(newLined: DataFrame,
+                           boiler: DataFrame): DataFrame =
+    removeBoilerLines(newLined, boiler)
+
+  /** Shared removal core: left join the exploded lines against the
+    * over-threshold set (SHUFFLE_MERGE — corpus-derived side), one
+    * per-doc reassembly aggregation. */
+  private def removeBoilerLines(lined: DataFrame,
+                                boiler: DataFrame): DataFrame = {
     val ex = lined.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val boiler = lineDf(lined).where(col("df") >= minDf)
-    ex.join(boiler.hint("SHUFFLE_MERGE"), Seq("line"), "left_outer")
+    ex.join(boiler.select(col("line"), col("df")).hint("SHUFFLE_MERGE"),
+        Seq("line"), "left_outer")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),

@@ -162,6 +162,40 @@ class CurationOpsSpec extends SparkSuite {
     assert(r(4L) == ((2L, 0L, "other\nu4a")))
   }
 
+  test("lineDedupIncremental cleans the batch against the STORED even-half " +
+    "boilerplate: equals a fresh old-half df pass, and batch-internal " +
+    "repeats are not counted") {
+    import org.apache.spark.sql.functions.col
+    val lined = Seq(
+      (0L, "boiler\nu0"), (2L, "boiler\nu2"), (4L, "boiler\nu4"), // df=3 old
+      (6L, "oldonly\nu6"), (8L, "oldonly\nu8"),                   // df=2 old
+      (1L, "boiler\nnew1\nbatchrep"),
+      (3L, "batchrep\nnew3"),
+      (5L, "batchrep\nnew5")) // batchrep df=3 IN BATCH -> not in store
+      .toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("linesrc").toFile
+    java.nio.file.Files.write(new java.io.File(src, "marker").toPath,
+      "x".getBytes("UTF-8"))
+    val root = java.nio.file.Files.createTempDirectory("lineroot").toFile
+      .toURI.toString
+    val boiler = Curation.lineBoilerplateStore(spark,
+      lined.where(col("doc_id") % 2 === 0), src.getPath, "t", 3, Some(root))
+    // the store holds exactly the even-half over-threshold set
+    assert(boiler.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("boiler", 3L)))
+    val r = Curation.lineDedupIncremental(
+      lined.where(col("doc_id") % 2 === 1), boiler).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((1L, "new1\nbatchrep"))) // boiler cut; batchrep kept
+    assert(r(3L) == ((0L, "batchrep\nnew3"))) // store is the df authority
+    assert(r(5L) == ((0L, "batchrep\nnew5")))
+    // warm path: a second call reads the published store (same rows)
+    assert(Curation.lineBoilerplateStore(spark,
+      lined.where(col("doc_id") % 2 === 0), src.getPath, "t", 3, Some(root))
+      .count() == 1L)
+  }
+
   test("lineified injects the %3 header / %2 footer variants and chunks " +
     "the body into 12-token lines") {
     val toks = (1 to 25).map(i => s"w$i").mkString(" ") // 25 -> 3 chunks

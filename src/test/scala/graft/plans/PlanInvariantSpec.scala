@@ -236,7 +236,9 @@ class PlanInvariantSpec extends SparkSuite {
         // line-boilerplate removal: the over-threshold line set is
         // corpus-derived (millions of lines in a real crawl) — never
         // the broadcast side
-        "dedup_lines")) {
+        "dedup_lines", "dedup_lines_incremental",
+        // v4's keep-list and quality sides are corpus-derived aggregates
+        "pipeline_clean_corpus_v4")) {
       val p = planOf(q)
       assert(p.contains("SortMergeJoin"),
         s"$q lost its SHUFFLE_MERGE candidate-join pin")

@@ -482,6 +482,52 @@ class StreamingSpec extends SparkSuite {
       "novel docs must emit no reference pair")
   }
 
+  test("streaming line-boilerplate cleaning: micro-batches join the " +
+    "persisted line-df store and two batches reproduce batch-mode " +
+    "cleaning row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference corpus: 'boiler' crosses the df>=3 threshold, 'rare' does
+    // not — the store is the df authority for every later micro-batch
+    val src = tmpDir("linestream-src") + "/documents.parquet"
+    Seq((0L, "boiler\nu0"), (2L, "boiler\nu2"), (4L, "boiler\nrare"),
+        (6L, "rare\nu6"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val ref = spark.read.parquet(src)
+    val root = tmpDir("linestream-store")
+    val boiler = graft.ops.Curation.lineBoilerplateStore(
+      spark, ref, src, "streamline", 3, Some(root))
+    val out = tmpDir("linestream-out")
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, String)]
+    val stream = MemoryStream[(Long, String)](enc, spark)
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Curation.lineDedupIncremental(batch, boiler)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    stream.addData((101L, "boiler\nfresh one"), (102L, "rare\nfresh two"))
+    query.processAllAvailable()
+    stream.addData((103L, "boiler"), (104L, "all new lines\nhere"))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).toSet
+    val batchTwin = graft.ops.Curation.lineDedupIncremental(
+      Seq((101L, "boiler\nfresh one"), (102L, "rare\nfresh two"),
+        (103L, "boiler"), (104L, "all new lines\nhere"))
+        .toDF("doc_id", "text"), boiler).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).toSet
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+    assert(streamed.contains((101L, 1L, "fresh one")) && // boiler cut
+      streamed.contains((102L, 0L, "rare\nfresh two")) &&  // df 2: kept
+      streamed.contains((103L, 1L, "")),                 // fully boiler
+      s"store-driven cuts wrong: $streamed")
+  }
+
   test("windowed counts with watermark run in streaming mode") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)]
