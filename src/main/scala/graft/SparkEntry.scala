@@ -494,6 +494,27 @@ object SparkEntry {
         graft.ops.QualityClassifier.weightsStore(s, d,
           s"$dir/documents.parquet"))
     }),
+    // TRAINED domain classifier (graft.ops.DomainClassifier): Rocchio
+    // centroids over the same hashed integer features, nearest-centroid
+    // (2*x*c - |c|^2) classification map-side with the centroids as
+    // literals; labels bootstrap from a keyword annotator (the corpus's
+    // lang/source columns are text-independent — measured — so they are
+    // unlearnable; the keyword label is diverse and real). The oracle
+    // replays labeling, centroids, and the argmax relationally.
+    "text_domain_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.DomainClassifier.scoreQuery(d,
+        graft.ops.DomainClassifier.trainCentroids(d))
+    }),
+    // ... centroids MANAGED (the qualweights precedent): a warm call
+    // reads 4x65 parquet rows and trains nothing before the map-only
+    // score; deterministic integer training => same oracle.
+    "text_domain_trained_managed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.DomainClassifier.scoreQuery(d,
+        graft.ops.DomainClassifier.centroidStore(s, d,
+          s"$dir/documents.parquet"))
+    }),
     // C4/Gopher rule-bundle filter: one boolean per cleaning rule + the
     // composite keep, verified per-document by the oracle.
     "text_c4_filters" -> ((s, dir) => TextAnalysis.c4FilterQuery(docs(s, dir))),
@@ -1048,11 +1069,90 @@ object SparkEntry {
     head + rounds + score
   }
 
+  /** Trained-domain oracle: the keyword annotator replay, the qv feature
+    * chain (content buckets only — the bias dim shifts every margin
+    * equally), per-domain centroids at the v·Scale fixed point, and the
+    * nearest-centroid argmax in its linear expansion
+    * margin = 2·Σx·c − Σc² — the cross term is the only
+    * (doc, f)×(domain, f) join (absent features contribute x = 0), the
+    * norm term is domain-only. row_number ties break
+    * (margin DESC, domain asc) — Spark's alphabetical first-match over
+    * greatest(). */
+  private val domainTrainSql: String =
+    """WITH qtok AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 64 AS f
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |        FROM documents)
+      |), qcnt AS (
+      |  SELECT doc_id, f, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM qtok GROUP BY doc_id, f
+      |), qtot AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tot
+      |  FROM qtok GROUP BY doc_id
+      |), qv AS MATERIALIZED (
+      |  SELECT c.doc_id, c.f, (c.cnt * 1000) // t.tot AS v
+      |  FROM qcnt c JOIN qtot t USING (doc_id)
+      |  WHERE (c.cnt * 1000) // t.tot > 0
+      |), llab AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN c_s >= r_s AND c_s >= st_s AND c_s >= sm_s THEN 'compute'
+      |      WHEN r_s >= st_s AND r_s >= sm_s THEN 'relate'
+      |      WHEN st_s >= sm_s THEN 'store'
+      |      ELSE 'stream' END AS lang
+      |  FROM (SELECT doc_id,
+      |      len(list_filter(t, x -> list_contains(['scan','filter','sort'], x))) AS c_s,
+      |      len(list_filter(t, x -> list_contains(['join','merge','hash'], x))) AS r_s,
+      |      len(list_filter(t, x -> list_contains(['table','column','row'], x))) AS st_s,
+      |      len(list_filter(t, x -> list_contains(['stream','batch','window'], x))) AS sm_s
+      |    FROM (SELECT doc_id,
+      |            string_split_regex(lower(trim(text)), '\s+') AS t
+      |          FROM documents))
+      |), lcnt AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM llab GROUP BY lang
+      |), lc AS MATERIALIZED (
+      |  SELECT d.lang, v.f,
+      |    (CAST(sum(v.v) AS BIGINT) * 1000) // max(n.n) AS c
+      |  FROM qv v JOIN llab d USING (doc_id) JOIN lcnt n USING (lang)
+      |  GROUP BY d.lang, v.f
+      |), langs AS (
+      |  SELECT unnest(['compute', 'relate', 'store', 'stream']) AS lang
+      |), sc2 AS (
+      |  SELECT l.lang, coalesce(c.sc, 0) AS sc
+      |  FROM langs l LEFT JOIN (
+      |    SELECT lang, CAST(sum(c * c) AS BIGINT) AS sc
+      |    FROM lc GROUP BY lang) c USING (lang)
+      |), xterm AS (
+      |  SELECT v.doc_id, c.lang,
+      |    CAST(sum((v.v * 1000) * c.c) AS BIGINT) AS xc
+      |  FROM qv v JOIN lc c USING (f)
+      |  GROUP BY v.doc_id, c.lang
+      |), pick AS (
+      |  SELECT d.doc_id, s.lang,
+      |    row_number() OVER (PARTITION BY d.doc_id
+      |      ORDER BY 2 * coalesce(x.xc, 0) - s.sc DESC, s.lang) AS rn
+      |  FROM (SELECT DISTINCT doc_id FROM qv) d
+      |  CROSS JOIN sc2 s
+      |  LEFT JOIN xterm x ON x.doc_id = d.doc_id AND x.lang = s.lang
+      |)
+      |SELECT p.doc_id, p.lang AS pred_domain, d.lang AS label,
+      |  (p.lang = d.lang) AS correct
+      |FROM pick p JOIN llab d USING (doc_id)
+      |WHERE p.rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   private def textOracles: Map[String, String] = Map(
     "text_quality_trained" -> ("WITH " + qualityTrainChain(6)),
     // The stored model is train(3)'s weights round-tripped exactly —
     // the identical replay.
     "text_quality_trained_managed" -> ("WITH " + qualityTrainChain(6)),
+
+    "text_domain_trained" -> domainTrainSql,
+    // stored centroids round-trip exactly — identical replay
+    "text_domain_trained_managed" -> domainTrainSql,
 
     "bpe_train_bytes" -> ("WITH RECURSIVE " + bpeTrainBytesChain(3, 4) +
       s"""

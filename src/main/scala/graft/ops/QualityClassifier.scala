@@ -64,7 +64,7 @@ object QualityClassifier {
     * (count_f · 1000) div total_tokens (zero-valued features dropped),
     * plus one (doc_id, 64, 1000) bias row per doc. Shared by training
     * and (in expression form) scoring, so the two can never drift. */
-  private def featureFrame(docs: DataFrame): DataFrame = {
+  private[ops] def featureFrame(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(col("doc_id"),
