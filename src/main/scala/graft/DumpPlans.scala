@@ -97,7 +97,20 @@ object DumpPlans {
     // ... its pipeline composition, and the warm binary-IVF index (must
     // plan a pure store-scan search: no training, no assignment, no
     // binarize of the corpus)
-    "pipeline_clean_corpus_v3", "sim_ann_ivf_hamming_managed")
+    "pipeline_clean_corpus_v3", "sim_ann_ivf_hamming_managed",
+    // round-18: perceptual near-dup must ride the simhash64 banding
+    // topology (pinned self-join over the dHash signatures, decode
+    // map-side); line dedup must show ONE count-distinct df exchange,
+    // the pinned removal join, and ONE per-doc reassembly aggregation
+    // (no window); the incremental row must scan the line-df store
+    // parquet; v4 must show the staged flow (reassembled text feeding
+    // quality and the md5 keep-list, every corpus-derived side pinned);
+    // the trained classifiers must score as map-only projections over
+    // literal weight/centroid arrays (no label join, no training
+    // aggregate in the managed rows' scoring subtree)
+    "mm_dedup_phash_auto", "dedup_lines", "dedup_lines_incremental",
+    "pipeline_clean_corpus_v4", "text_quality_trained_managed",
+    "text_domain_trained_managed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
