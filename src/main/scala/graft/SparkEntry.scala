@@ -621,7 +621,38 @@ object SparkEntry {
     // Unigram-LM commonness score (log-free CCNet-perplexity cousin —
     // integer sums only, so bit-reproducible across partition orders).
     "text_commonness" -> ((s, dir) =>
-      TextAnalysis.commonnessQuery(docs(s, dir)))
+      TextAnalysis.commonnessQuery(docs(s, dir))),
+
+    // Bigram Stupid-Backoff LM scoring (graft.ops.LanguageModel): the
+    // sequence-aware upgrade of text_commonness — per-token backoff
+    // probability in per-million fixed point, integer end-to-end, so
+    // the oracle replays training (unigram/bigram counts) AND scoring.
+    "text_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.LanguageModel.scoreQuery(d,
+        graft.ops.LanguageModel.countsFrame(d))
+    }),
+    // ... the model MANAGED (the lmcounts store family): counts trained
+    // once per corpus fingerprint; a warm call runs zero training jobs
+    // before the scoring joins. Deterministic integer training + exact
+    // parquet round-trip => identical scores, same oracle.
+    "text_lm_score_managed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.LanguageModel.scoreQuery(d,
+        graft.ops.LanguageModel.countsStore(s, d,
+          s"$dir/documents.parquet"))
+    }),
+    // ... and scored HELD-OUT: the eval split (doc_id % 17 == 0, the
+    // decontaminate split) against a model trained on the rest — the
+    // configuration where the OOV (score 0) and unseen-bigram backoff
+    // paths genuinely fire, which train==score can never exercise.
+    "text_lm_holdout" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.LanguageModel.scoreQuery(
+        d.where(col("doc_id") % 17 === 0),
+        graft.ops.LanguageModel.countsFrame(
+          d.where(col("doc_id") % 17 =!= 0)))
+    })
   )
 
   /** Exact-substring run oracle (`Dedup.substringRuns` digit-for-digit):
@@ -1434,8 +1465,60 @@ object SparkEntry {
         |         count(*) / any_value(tot.total)) * 1000000 + 0.5) / 1000000
         |    AS commonness
         |FROM tok JOIN cnt ON tok.term = cnt.term CROSS JOIN tot
-        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin)
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin),
+
+    "text_lm_score" -> ("WITH " + lmChain("TRUE", "TRUE")),
+    "text_lm_score_managed" -> ("WITH " + lmChain("TRUE", "TRUE")),
+    "text_lm_holdout" -> ("WITH " +
+      lmChain("doc_id % 17 <> 0", "doc_id % 17 = 0"))
   )
+
+  /** Bigram Stupid-Backoff LM oracle ([[graft.ops.LanguageModel]]
+    * digit-for-digit): position table with the previous token, counts
+    * over the `trainPred` split, scoring of the `scorePred` split via
+    * the same integer CASE — the HUGEINT floor division mirrors the
+    * Scala side's overflow-safe quotient/remainder decomposition
+    * exactly (both are floor division on non-negative operands). */
+  private def lmChain(trainPred: String, scorePred: String): String = {
+    val S = graft.ops.LanguageModel.Scale
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents
+       |), lmpos AS (
+       |  SELECT doc_id, CASE WHEN i > 1 THEN t[i-1] END AS wp, t[i] AS w
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+       |), lmgrp AS (
+       |  SELECT doc_id, wp, w, CAST(count(*) AS BIGINT) AS k
+       |  FROM lmpos WHERE $scorePred GROUP BY doc_id, wp, w
+       |), lmc1 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM lmpos WHERE $trainPred GROUP BY w
+       |), lmn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM lmpos WHERE $trainPred
+       |), lmc2 AS (
+       |  SELECT wp, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM lmpos WHERE wp IS NOT NULL AND ($trainPred) GROUP BY wp, w
+       |), lmsc AS (
+       |  SELECT g.doc_id, g.k,
+       |    CAST(CASE
+       |      WHEN g.wp IS NULL
+       |        THEN (coalesce(u.c, 0)::HUGEINT * $S) // n.n
+       |      WHEN b.c IS NOT NULL THEN (b.c::HUGEINT * $S) // up.c
+       |      ELSE (2 * ((coalesce(u.c, 0)::HUGEINT * $S) // n.n)) // 5
+       |    END AS BIGINT) AS s,
+       |    (b.c IS NOT NULL) AS hit, (u.c IS NULL) AS oov
+       |  FROM lmgrp g
+       |  LEFT JOIN lmc1 u ON u.w = g.w
+       |  LEFT JOIN lmc1 up ON up.w = g.wp
+       |  LEFT JOIN lmc2 b ON b.wp = g.wp AND b.w = g.w
+       |  CROSS JOIN lmn n
+       |)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+       |  CAST(sum(CASE WHEN hit THEN k ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN oov THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(k * s) // sum(k) AS BIGINT) AS lm_score
+       |FROM lmsc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------- sampling family
   // Deterministic dataset curation: hash-based splits and packing — the

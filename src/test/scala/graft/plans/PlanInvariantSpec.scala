@@ -112,6 +112,23 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("text_lm_score: count-table joins are merge-pinned (vocabulary " +
+    "is corpus-derived — never broadcast); the only broadcast is the " +
+    "1-row corpus total") {
+    for (q <- Seq("text_lm_score", "text_lm_holdout")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(p.contains("SortMergeJoin"),
+        s"$q lost the SHUFFLE_MERGE pin on the count-table joins")
+      // crossJoin(broadcast(N)) is the single legal broadcast: a 1-row
+      // aggregate. Any second broadcast means a vocabulary-sized count
+      // table slipped onto the build side (the classic scale-killer).
+      val nB = p.linesIterator.count(_.contains("BroadcastExchange"))
+      assert(nB <= 1, s"$q broadcasts a corpus-derived count table " +
+        s"($nB BroadcastExchange nodes)")
+    }
+  }
+
   test("sample_shuffle's rank window is sharded - no single-partition " +
     "window anywhere in the plan") {
     assert(!planOf("sample_shuffle").contains("SinglePartition"),
