@@ -545,6 +545,15 @@ object SparkEntry {
     // The eval gram set is broadcast — map-side probe against the corpus.
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
 
+    // Cross-snapshot contamination screen: the reference side is
+    // corpus-sized (odd docs screened against the EVEN half's grams), so
+    // broadcast is illegal — a one-row Bloom filter prunes the probe
+    // map-side and an exact merge-join verifies survivors. Result is
+    // exactly the plain semi-join's (the Bloom is pure topology), so the
+    // oracle asserts cell-exact with no sketch tolerance.
+    "text_decontaminate_bloom" -> ((s, dir) =>
+      Curation.decontaminateCross(docs(s, dir))),
+
     // Gopher-style repetition filters: top-2-gram coverage and duplicate-
     // 3-gram fraction per document.
     "text_repetition" -> ((s, dir) => Curation.repetitionStats(docs(s, dir))),
@@ -1331,6 +1340,26 @@ object SparkEntry {
         |      AS n_overlap
         |  FROM dsh d LEFT JOIN ev e ON d.sh = e.sh
         |  WHERE d.doc_id % 17 <> 0
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_grams, n_overlap,
+        |  floor((n_overlap * 1.0 / n_grams) * 1000000 + 0.5) / 1000000
+        |    AS contam_frac
+        |FROM hits WHERE n_overlap > 0 ORDER BY doc_id""".stripMargin),
+
+    // The Bloom prefilter is pure topology (exact verify removes its
+    // false positives), so the oracle is the PLAIN semi-join — no sketch
+    // tolerance anywhere.
+    "text_decontaminate_bloom" -> ("WITH " + ShChain +
+      """, dsh AS (
+        |  SELECT DISTINCT doc_id, sh FROM sh
+        |), refg AS (
+        |  SELECT DISTINCT sh FROM dsh WHERE doc_id % 2 = 0
+        |), hits AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overlap
+        |  FROM dsh d LEFT JOIN refg r ON d.sh = r.sh
+        |  WHERE d.doc_id % 2 <> 0
         |  GROUP BY d.doc_id)
         |SELECT doc_id, n_grams, n_overlap,
         |  floor((n_overlap * 1.0 / n_grams) * 1000000 + 0.5) / 1000000

@@ -59,6 +59,24 @@ object BloomSemiJoin {
       case _ => false
     }
 
+  /** One-row Bloom filter over ARBITRARY-typed keys via `xxhash64(key)` —
+    * exposed for operators that compose the lossy prefilter with their own
+    * exact verify ([[graft.ops.Curation.decontaminateCross]]). The hash
+    * only feeds the prefilter; collisions and Bloom false positives cost
+    * shuffle bytes downstream, never rows, as long as the caller's verify
+    * joins on the key itself. */
+  def bloomOf(keys: DataFrame, key: Column, expectedItems: Long,
+              numBits: Long = 0L): DataFrame = {
+    val bits =
+      if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
+    keys.agg(bloomAgg(xxhash64(key), expectedItems, bits).as("_bf"))
+  }
+
+  /** The probe predicate for a [[bloomOf]] filter: true iff `key` MIGHT be
+    * in the filter (definitely-absent keys are dropped map-side). */
+  def bloomMightContain(bloom: DataFrame, key: Column): Column =
+    mightContain(bloom, xxhash64(key))
+
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                smallKey: String, expectedItems: Long,
                numBits: Long = 0L): DataFrame = {

@@ -81,6 +81,53 @@ object Curation {
           .as("contam_frac"))
       .orderBy("doc_id")
 
+  /** CROSS-SNAPSHOT contamination screen: odd-id documents checked for
+    * shared 3-token shingles against the EVEN half's gram set — the
+    * configuration where the reference side is itself corpus-sized (a
+    * previous crawl snapshot, a licensed-set exclusion list at corpus
+    * scale), so [[decontaminate]]'s broadcast topology is illegal.
+    * Instead the reference grams fold into a ONE-ROW Bloom filter
+    * ([[graft.operators.BloomSemiJoin.bloomOf]] — the manual form of
+    * Spark's injected runtime row-level filters), the corpus-side probe
+    * drops definitely-clean grams MAP-SIDE, and only the plausible
+    * survivors pay the exact merge-join verify. The result is EXACTLY
+    * the plain semi-join's: Bloom false positives and xxhash64
+    * collisions waste shuffle bytes, never flip a row — which is why
+    * the DuckDB oracle can assert this operator cell-exactly with no
+    * sketch-tolerance theorem.
+    *
+    * Output matches [[decontaminate]]: (doc_id, n_grams, n_overlap,
+    * contam_frac) per contaminated probe doc, ordered.
+    *
+    * Scale: the Bloom build is one aggregation to a single row
+    * (`expectedRefGrams` sizes it at ~10 bits/gram — a dial from corpus
+    * metadata; undersizing only raises the false-positive rate). The
+    * verify join and the totals join-back are corpus × corpus — both
+    * pinned SHUFFLE_MERGE. Shuffle volume on the probe side drops by
+    * ~the contamination rate, which for real snapshot screens is the
+    * difference between shuffling 100 TB of grams and shuffling the
+    * contaminated sliver. */
+  def decontaminateCross(docs: DataFrame,
+                         expectedRefGrams: Long = 1L << 18): DataFrame = {
+    val grams = docGrams(docs)
+    val probe = grams.where(col("doc_id") % 2 =!= 0)
+    val ref = grams.where(col("doc_id") % 2 === 0).select(col("sh"))
+    val bloom = graft.operators.BloomSemiJoin.bloomOf(
+      ref, col("sh"), expectedRefGrams)
+    val totals = probe.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = probe
+      .where(graft.operators.BloomSemiJoin.bloomMightContain(
+        bloom, col("sh")))
+      .join(ref.distinct().hint("SHUFFLE_MERGE"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits.hint("SHUFFLE_MERGE"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        TextAnalysis.round6(
+          col("n_overlap").cast("double") / col("n_grams"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style within-document repetition statistics, one row per doc:
     * (doc_id, n_tok, top2_cnt, top2_frac, dup3_frac) where `top2_frac` is
     * the fraction of 2-grams accounted for by the single most frequent

@@ -211,4 +211,37 @@ class CurationOpsSpec extends SparkSuite {
     // doc 1: neither header nor footer, one short body line
     assert(lined(1L) == "solo")
   }
+
+  test("decontaminateCross equals the plain semi-join exactly (the Bloom " +
+    "prefilter is pure topology) and its stats are hand-verifiable") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // odd docs are the probe, even the reference; doc 1 shares its A
+    // shingles with ref doc 2, doc 3 is clean, doc 5 shares B with doc 4
+    val docs = mkDocs(
+      1L -> s"$A x y z", // A-grams hit ref doc 2
+      2L -> A,
+      3L -> C, // clean: no even doc carries C
+      4L -> B,
+      5L -> s"q r $B")
+    val out = Curation.decontaminateCross(docs, expectedRefGrams = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 12 distinct 3-grams ("a1..a10 x y z" -> 11 + ... ) — compute
+    // relationally instead of by hand: the plain (bloom-free) reference
+    val grams = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            TextAnalysis.shingles3(TextAnalysis.tokens(col("text")))))
+          .as("sh"))
+    val ref = grams.where(col("doc_id") % 2 === 0).select("sh").distinct()
+    val plain = grams.where(col("doc_id") % 2 =!= 0)
+      .join(ref, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == plain.keySet) // same contaminated docs
+    out.foreach { case (id, _, overlap) =>
+      assert(overlap == plain(id), s"doc $id overlap differs from exact")
+    }
+    assert(!out.map(_._1).contains(3L), "clean doc leaked through")
+  }
 }

@@ -129,6 +129,20 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("text_decontaminate_bloom: Bloom prefilter reaches the probe scan " +
+    "(might_contain present), the verify joins are merge-pinned, and no " +
+    "corpus-derived side is broadcast") {
+    val p = planOf("text_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "the Bloom prefilter fell out of the probe-side plan")
+    assert(p.contains("SortMergeJoin"),
+      "the exact verify lost its SHUFFLE_MERGE pin")
+    assert(!p.contains("BroadcastExchange"),
+      "a corpus-derived gram side is broadcast (the reference side is " +
+        "corpus-sized by construction here)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sample_shuffle's rank window is sharded - no single-partition " +
     "window anywhere in the plan") {
     assert(!planOf("sample_shuffle").contains("SinglePartition"),
