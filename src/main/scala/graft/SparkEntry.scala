@@ -4291,6 +4291,36 @@ object SparkEntry {
         Multimodal.phashLakeScaled(s, dir, math.max(64L, n / 16)), 3)
     }),
 
+    // REAL audio decode — the WAV twin of mm_decode: the lake synthesizes
+    // genuine RIFF/WAVE PCM files (deterministic samples), javax.sound
+    // decodes actual PCM back, the oracle recomputes the sample sequence
+    // symbolically. A codec bug on either side (header layout, endianness,
+    // the 2x-upsample rate tag) breaks the digest.
+    "mm_audio_decode" -> ((s, dir) => {
+      Multimodal.decodeAudio(Multimodal.audioLake(s, dir)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("ok"),
+          md5(concat_ws(",", col("samples").cast("array<string>")))
+            .as("pcm_md5"))
+        .orderBy("media_id")
+    }),
+    // 64-bit acoustic fingerprint: decode -> rate-normalizing decimation
+    // -> 65 frame energies -> energy-delta bits. The 2x-upsampled clips
+    // MUST print identically to their base (the oracle computes every
+    // print from base samples only — a broken normalization mismatches).
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprints(Multimodal.audioLake(s, dir))
+        .orderBy("media_id")),
+    // Acoustic near-dup, auto-dialed base-clip classes (the
+    // mm_dedup_phash_auto convention: class size stays ~16, pair output
+    // linear): re-sampled copies pair at distance 0, single-sample edits
+    // within the Hamming budget.
+    "mm_dedup_audio_auto" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      Multimodal.dedupAudio(
+        Multimodal.audioLake(s, dir, math.max(64L, n / 16)), 3)
+    }),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4476,8 +4506,94 @@ object SparkEntry {
         |    j -> CAST((doc_id * 31 +
         |      ((j // 5) * 8 // 3) * 12 + ((j % 5) * 12 // 5)) % 256 AS INT)),
         |    ',')) AS gray_md5
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Symbolic replay of the WAV lake + JDK decode: %3 docs decode to the
+    // 2x-upsampled sample stream (U(j) = s[j//2], rate 16 kHz); samples
+    // ((lin*i + quad*i^2) % 4096) - 2048 (+512 at the %5 perturbation) —
+    // the digest only matches a faithful RIFF encode -> javax.sound
+    // decode round trip.
+    "mm_audio_decode" -> ("WITH " + audioCtes("SELECT 64 AS cm") +
+      s"""
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+         |  CASE WHEN doc_id % 3 = 0 THEN ${2 * graft.ops.Multimodal.AudioLen}
+         |       ELSE ${graft.ops.Multimodal.AudioLen} END AS n_samples,
+         |  true AS ok,
+         |  md5(array_to_string(
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN list_transform(range(0, ${2 * graft.ops.Multimodal.AudioLen}),
+         |             j -> s[j // 2 + 1])
+         |      ELSE s END, ',')) AS pcm_md5
+         |FROM asmp ORDER BY media_id""".stripMargin),
+
+    // Energy-delta fingerprint from BASE samples only: the Spark side's
+    // rate normalization must collapse the 2x clips back onto their base
+    // for the prints to agree.
+    "mm_audio_fingerprint" -> ("WITH " + audioCtes("SELECT 64 AS cm") +
+      s""", ${audioSigCtes}
+         |SELECT doc_id AS media_id, CAST(fp AS BIGINT) AS fp
+         |FROM asig ORDER BY media_id""".stripMargin),
+
+    // Same pipeline, auto-dialed class count, banded Hamming pairing (the
+    // mm_dedup_phash_auto topology in sample space).
+    "mm_dedup_audio_auto" -> ("WITH " +
+      audioCtes("SELECT greatest(64, count(*) // 16) AS cm FROM documents") +
+      s""", ${audioSigCtes}
+         |, ach AS (
+         |  SELECT doc_id, CAST(fp AS BIGINT) AS ph, c,
+         |         (CAST(fp AS BIGINT) >> (c * 16)) & 65535 AS ckey
+         |  FROM asig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) cc
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         |FROM ach a JOIN ach b
+         |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY d1, d2""".stripMargin)
   )
+
+  /** Frame-energy + 64-bit print CTEs over `asmp(doc_id, s)` (no leading
+    * comma handled by callers): energies are 65 frame sums of squares,
+    * print bit j = energy(j+1) > energy(j) with the signMasks literals. */
+  private def audioSigCtes: String = {
+    val masks = graft.ops.Quantization.signMasks(64)
+      .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+    s"""aam AS (SELECT $masks AS ms),
+       |aen AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, ${graft.ops.Multimodal.AudioFrames}), f ->
+       |      list_aggregate(list_transform(range(0, ${graft.ops.Multimodal.FrameLen}),
+       |        k -> s[f * ${graft.ops.Multimodal.FrameLen} + k + 1]
+       |           * s[f * ${graft.ops.Multimodal.FrameLen} + k + 1]), 'sum')) AS en
+       |  FROM asmp
+       |), asig AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, ${graft.ops.Multimodal.AudioFrames - 1}),
+       |      j -> CASE WHEN en[j + 2] > en[j + 1] THEN ms[j + 1]
+       |                ELSE 0::BIGINT END), 'bit_or') AS fp
+       |  FROM aen, aam
+       |)""".stripMargin
+  }
+
+  /** WAV-lake sample CTEs (no leading WITH): class dial `cm` from
+    * `cmCte`, then lin/quad coefficients and the perturbed base sample
+    * list — [[graft.ops.Multimodal.audioLake]] digit-for-digit. */
+  private def audioCtes(cmCte: String): String =
+    s"""aac AS ($cmCte),
+       |aab AS (
+       |  SELECT doc_id, ((doc_id % cm) % 4096) * 7 + 3 AS lin,
+       |         13 + (doc_id % cm) // 4096 AS quad
+       |  FROM documents, aac
+       |), asmp AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, ${graft.ops.Multimodal.AudioLen}), i ->
+       |      ((lin * i + quad * i * i) % 4096) - 2048
+       |      + CASE WHEN doc_id % 5 = 0
+       |             AND i = (doc_id * 11) % ${graft.ops.Multimodal.AudioLen}
+       |             THEN 512 ELSE 0 END) AS s
+       |  FROM aab
+       |)""".stripMargin
 
   // ------------------------------------------------------ relational family
   // Beyond-parity (SURVEY.md §2.2): the reference has no joins/aggregations;

@@ -420,6 +420,205 @@ object Multimodal {
     pairs
   }
 
+  // ------------------------------------------------------------------
+  // Real audio decode (pure JVM, javax.sound.sampled) — no stub. The
+  // JDK ships a real RIFF/WAVE PCM codec, so the audio path mirrors the
+  // image one: synthesize genuine WAV files whose samples the oracle
+  // recomputes symbolically, decode ACTUAL PCM back through the JDK
+  // codec, fingerprint map-side, pair via the simhash64 banding.
+  // ------------------------------------------------------------------
+
+  /** A decoded PCM clip: 16-bit mono samples widened to Int. */
+  final case class DecodedAudio(
+      media_id: Long, sample_rate: Int, n_samples: Int,
+      samples: Array[Int], ok: Boolean)
+
+  /** Base sample rate of the synthetic lake (Hz). */
+  val AudioRate = 8000
+  /** Samples per energy frame of the fingerprint. */
+  val FrameLen = 32
+  /** Frames per clip: 65 energies → 64 delta bits → one 64-bit print. */
+  val AudioFrames = 65
+  /** Samples per base-rate clip. */
+  val AudioLen: Int = FrameLen * AudioFrames
+
+  object AudioCodec {
+    /** Deterministic RIFF/WAVE encoder: 16-bit PCM, mono, little-endian —
+      * the canonical-layout WAV any audio reader decodes. Used to
+      * synthesize real audio payloads whose sample values the oracle can
+      * recompute symbolically. */
+    def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+      b.array()
+    }
+
+    /** REAL decode via the JDK's javax.sound WAV codec: payload bytes →
+      * (sampleRate, 16-bit mono samples). Returns None for null /
+      * undecodable / non-16-bit-mono payloads — the caller maps that to
+      * ok=false rather than failing the partition (one corrupt asset
+      * must not kill a 100 TB scan). */
+    def decodePcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (payload == null) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Synthetic WAV lake with REAL duplicate structure (the [[phashLake]]
+    * recipe in sample space): every doc renders one of `classMod` base
+    * clips — base = doc_id % classMod, sample(i) = ((lin·i + quad·i²)
+    * mod 4096) − 2048 with lin = (base % 4096)·7 + 3 and
+    * quad = 13 + base / 4096 (base feeds BOTH coefficients: mod-4096
+    * arithmetic caps any single-coefficient family at 4096 distinct
+    * clips — the [[phashLakeScaled]] wrap argument, one level up). Two
+    * controlled variations:
+    *
+    *   - docs with doc_id % 3 == 0 ship the 2× NEAREST-UPSAMPLED clip
+    *     (sample rate 16 kHz, U(j) = s(j/2)) — different bytes,
+    *     different rate, same audio content; the fingerprint's rate
+    *     normalization decimates it back to s exactly, so the print
+    *     collides at distance 0 (the re-encoded-duplicate class exact
+    *     byte digests are blind to);
+    *   - docs with doc_id % 5 == 0 bump ONE sample (+512 at position
+    *     (doc_id·11) % AudioLen) BEFORE any upsample — a small audible
+    *     edit that changes one frame energy and flips at most 2 delta
+    *     bits.
+    *
+    * Sample values are pure integer arithmetic on doc_id, so the oracle
+    * recomputes every clip symbolically; the Spark side goes through the
+    * REAL WAV encode + javax.sound decode. */
+  def audioLake(spark: SparkSession, sfDir: String,
+                classMod: Long = 64L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast(LongType).as("media_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % classMod
+          val lin = (base % 4096) * 7 + 3
+          val quad = 13 + base / 4096
+          val s = Array.tabulate(AudioLen)(i =>
+            ((lin * i + quad * i.toLong * i) % 4096 - 2048).toShort)
+          if (id % 5 == 0) {
+            val p = ((id * 11) % AudioLen).toInt
+            s(p) = (s(p) + 512).toShort
+          }
+          val payload =
+            if (id % 3 == 0) {
+              val up = Array.tabulate(AudioLen * 2)(j => s(j / 2))
+              AudioCodec.encodePcmWav(AudioRate * 2, up)
+            } else AudioCodec.encodePcmWav(AudioRate, s)
+          MediaRecord(id, "audio", "wav", payload, payload.length.toLong)
+        }
+      }
+  }
+
+  /** REAL audio decode over a media dataset: javax.sound per payload in
+    * one iterator-to-iterator `mapPartitions` pass — same batch shape as
+    * [[decodeImages]], genuine PCM out. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        AudioCodec.decodePcm16(r.payload) match {
+          case Some((rate, s)) =>
+            DecodedAudio(r.media_id, rate, s.length, s.map(_.toInt), ok = true)
+          case None => DecodedAudio(r.media_id, 0, 0, Array.empty, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Per-frame energies of a rate-normalized clip: frame f =
+    * Σ_{k<FrameLen} s((f·FrameLen + k)·step)², step = rate / AudioRate
+    * (nearest decimation — recovers the base clip exactly for the lake's
+    * 2× upsamples). HOF expressions over the materialized sample array —
+    * map-side, codegen-friendly, no shuffle. */
+  private[ops] def audioEnergies(samples: org.apache.spark.sql.Column,
+      step: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(AudioFrames - 1)), f =>
+      aggregate(
+        transform(sequence(lit(0), lit(FrameLen - 1)), k =>
+          element_at(samples,
+            ((f * FrameLen + k) * step + 1).cast(IntegerType))
+            .cast(LongType)),
+        lit(0L), (a, v) => a + v * v))
+
+  /** 64-bit audio fingerprint: bit j set iff energy(j+1) > energy(j) —
+    * the energy-delta print (the shape acoustic fingerprinting systems
+    * quantize; one long per clip, like [[dhash64]] for images). */
+  private[ops] def audioFp64(energies: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until AudioFrames - 1).map { j =>
+      when(element_at(energies, j + 2) > element_at(energies, j + 1),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Acoustic near-dup: REAL WAV decode → rate normalization → frame-
+    * energy fingerprint → banded Hamming pairing at distance ≤ `maxDist`
+    * ([[Dedup.hammingPairsFromSig]] — the simhashPairs64 topology). One
+    * row per near-dup pair: (d1, d2, hamming), d1 < d2.
+    *
+    * Scale shape: decode + energies + print are one map pass (PCM never
+    * shuffles — only the 8-byte print and ids leave the scan); pairing
+    * runs at the distinct-signature level, corpus-derived join sides
+    * pinned SHUFFLE_MERGE. The audio twin of [[dedupPhash]]: re-sampled
+    * or re-encoded copies of the same clip sail through [[dedupBinary]]
+    * and are caught here. */
+  def dedupAudio(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+    val sig = audioFingerprints(media)
+      .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
+    Dedup.hammingPairsFromSig(sig, 64, maxDist)._1
+  }
+
+  /** (media_id, fp) per decodable clip: decode → rate-normalize →
+    * frame energies → 64-bit energy-delta print, all in one map pass. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    val dec = decodeAudio(media).toDF()
+      .where(col("ok"))
+      .select(col("media_id"),
+        expr(s"sample_rate div $AudioRate").cast(IntegerType).as("_step"),
+        col("samples"))
+    // two-step select: materialize energies before the 64 bit taps (the
+    // CollapseProject re-compute trap — inlined, each tap would re-sum
+    // its frame)
+    dec
+      .select(col("media_id"),
+        audioEnergies(col("samples"), col("_step")).as("_en"))
+      .select(col("media_id"), audioFp64(col("_en")).as("fp"))
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =

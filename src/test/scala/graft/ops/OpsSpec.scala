@@ -1015,6 +1015,57 @@ class OpsSpec extends SparkSuite {
       s"unrelated base must not pair: $pairs")
   }
 
+  test("real audio codec: WAV encode -> javax.sound decode round-trips " +
+    "samples exactly; corrupt payloads survive as ok=false") {
+    import graft.ops.Multimodal._
+    val s = Array.tabulate(100)(i => ((i * 31 + 7) % 4096 - 2048).toShort)
+    val wav = AudioCodec.encodePcmWav(8000, s)
+    // the JDK's codec, not our own parser, reads the bytes back
+    val Some((rate, ds)) = AudioCodec.decodePcm16(wav)
+    assert(rate == 8000)
+    assert(ds.toSeq == s.toSeq, "decoded samples differ from encoded")
+    assert(AudioCodec.decodePcm16(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decodePcm16(null).isEmpty)
+    val media = Seq(
+      MediaRecord(0L, "audio", "wav", wav, wav.length.toLong),
+      MediaRecord(1L, "audio", "wav", Array[Byte](9, 9), 2L)).toDS()
+    val dec = decodeAudio(media).collect().sortBy(_.media_id)
+    assert(dec(0).ok && dec(0).sample_rate == 8000 &&
+      dec(0).samples.toSeq == s.map(_.toInt).toSeq)
+    assert(!dec(1).ok && dec(1).samples.isEmpty)
+  }
+
+  test("dedupAudio: a 2x-upsampled copy pairs with its base at hamming 0 " +
+    "(the re-encoded-duplicate class byte dedup misses); a one-sample " +
+    "edit stays within 2 bits; an unrelated clip does not pair") {
+    import graft.ops.Multimodal._
+    def clip(base: Long, up: Boolean, perturbAt: Int = -1): Array[Byte] = {
+      val lin = (base % 4096) * 7 + 3; val quad = 13 + base / 4096
+      val s = Array.tabulate(AudioLen)(i =>
+        ((lin * i + quad * i.toLong * i) % 4096 - 2048).toShort)
+      if (perturbAt >= 0) s(perturbAt) = (s(perturbAt) + 512).toShort
+      if (up) AudioCodec.encodePcmWav(AudioRate * 2,
+        Array.tabulate(AudioLen * 2)(j => s(j / 2)))
+      else AudioCodec.encodePcmWav(AudioRate, s)
+    }
+    val media = Seq(
+      MediaRecord(0L, "audio", "wav", clip(1, up = false), 0L),
+      MediaRecord(1L, "audio", "wav", clip(1, up = true), 0L),
+      MediaRecord(2L, "audio", "wav", clip(2, up = false), 0L),
+      MediaRecord(3L, "audio", "wav", clip(1, up = false, perturbAt = 40),
+        0L)).toDS()
+    // byte-level dedup sees four DISTINCT assets — the blind spot
+    assert(dedupBinary(media).count() == 4)
+    val pairs = dedupAudio(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(0L),
+      s"upsampled copy must pair at hamming 0: $pairs")
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) <= 2L,
+      s"one-sample edit must pair within 2 bits: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated clip must not pair: $pairs")
+  }
+
   test("substringRuns: merges anchor windows into ONE maximal run with " +
     "exact positions/length; short docs emit nothing; k bound enforced") {
     val run = "a b c d e f g h i j" // 10 shared tokens

@@ -264,6 +264,8 @@ class PlanInvariantSpec extends SparkSuite {
         // the perceptual-hash pairing rides the same banding topology —
         // same pins (media-derived sides are corpus-sized too)
         "mm_dedup_phash", "mm_dedup_phash_auto",
+        // ... and the acoustic twin
+        "mm_dedup_audio_auto",
         // line-boilerplate removal: the over-threshold line set is
         // corpus-derived (millions of lines in a real crawl) — never
         // the broadcast side
