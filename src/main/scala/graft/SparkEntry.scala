@@ -4304,6 +4304,19 @@ object SparkEntry {
             .as("pcm_md5"))
         .orderBy("media_id")
     }),
+    // REAL resample to the base rate: the 2x clips decimate back onto
+    // their base samples exactly (nearest, integer arithmetic), the 1x
+    // clips pass through — every doc lands on the SAME 8 kHz stream its
+    // class defines, which is the property the fingerprint relies on.
+    "mm_audio_resample" -> ((s, dir) => {
+      Multimodal.resampleAudio(Multimodal.audioLake(s, dir),
+        Multimodal.AudioRate).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("ok"),
+          md5(concat_ws(",", col("samples").cast("array<string>")))
+            .as("pcm_md5"))
+        .orderBy("media_id")
+    }),
     // 64-bit acoustic fingerprint: decode -> rate-normalizing decimation
     // -> 65 frame energies -> energy-delta bits. The 2x-upsampled clips
     // MUST print identically to their base (the oracle computes every
@@ -4525,6 +4538,16 @@ object SparkEntry {
          |      THEN list_transform(range(0, ${2 * graft.ops.Multimodal.AudioLen}),
          |             j -> s[j // 2 + 1])
          |      ELSE s END, ',')) AS pcm_md5
+         |FROM asmp ORDER BY media_id""".stripMargin),
+
+    // resample-to-base: every doc (1x passthrough or 2x decimated) lands
+    // exactly on its class's base sample list
+    "mm_audio_resample" -> ("WITH " + audioCtes("SELECT 64 AS cm") +
+      s"""
+         |SELECT doc_id AS media_id,
+         |  ${graft.ops.Multimodal.AudioRate} AS sample_rate,
+         |  ${graft.ops.Multimodal.AudioLen} AS n_samples, true AS ok,
+         |  md5(array_to_string(s, ',')) AS pcm_md5
          |FROM asmp ORDER BY media_id""".stripMargin),
 
     // Energy-delta fingerprint from BASE samples only: the Spark side's

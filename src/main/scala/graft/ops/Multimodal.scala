@@ -602,6 +602,29 @@ object Multimodal {
     Dedup.hammingPairsFromSig(sig, 64, maxDist)._1
   }
 
+  /** REAL resample: decode (javax.sound) then nearest-neighbor decimate
+    * to `targetRate` (out(i) = in(i·rate/targetRate) — the integer-exact
+    * baseline every audio pipeline starts from; [[resizeImages]] one
+    * modality over), one fused map-side pass. Clips whose rate is not a
+    * multiple of the target survive as ok=false (a fractional-ratio
+    * resampler is an interpolation-kernel choice, out of scope for the
+    * exact-arithmetic baseline). */
+  def resampleAudio(media: Dataset[MediaRecord],
+                    targetRate: Int): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        AudioCodec.decodePcm16(r.payload) match {
+          case Some((rate, s)) if rate % targetRate == 0 =>
+            val step = rate / targetRate
+            val out = Array.tabulate(s.length / step)(i => s(i * step).toInt)
+            DecodedAudio(r.media_id, targetRate, out.length, out, ok = true)
+          case _ => DecodedAudio(r.media_id, 0, 0, Array.empty, ok = false)
+        }
+      }
+    }
+  }
+
   /** (media_id, fp) per decodable clip: decode → rate-normalize →
     * frame energies → 64-bit energy-delta print, all in one map pass. */
   def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {

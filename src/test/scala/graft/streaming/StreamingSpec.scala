@@ -528,6 +528,52 @@ class StreamingSpec extends SparkSuite {
       s"store-driven cuts wrong: $streamed")
   }
 
+  test("streaming LM scoring: micro-batches score against the persisted " +
+    "lmcounts store and two batches reproduce batch-mode scores row for " +
+    "row, including the OOV path") {
+    import spark.implicits._
+    // reference corpus trains the model ONCE (persisted per fingerprint);
+    // the stream then scores fresh documents against it — the 'quality-
+    // gate the incoming crawl with the trained LM' topology
+    val src = tmpDir("lmstream-src") + "/documents.parquet"
+    Seq(
+      (0L, "a b a b c"),
+      (2L, "a b x")).toDF("doc_id", "text").write.parquet(src)
+    val ref = spark.read.parquet(src)
+    val root = tmpDir("lmstream-store")
+    val counts = graft.ops.LanguageModel.countsStore(
+      spark, ref, src, Some(root))
+    val out = tmpDir("lmstream-out")
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(Long, String)]
+    val stream = MemoryStream[(Long, String)](enc, spark)
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.LanguageModel.scoreQuery(batch, counts)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    val b1 = Seq((101L, "a b a b c"), (102L, "zz yy"))  // twin + all-OOV
+    val b2 = Seq((103L, "a b x"), (104L, "c a"))        // twin + backoff
+    stream.addData(b1: _*); query.processAllAvailable()
+    stream.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.read.parquet(out).collect().map(key).toSet
+    val batchTwin = graft.ops.LanguageModel.scoreQuery(
+      (b1 ++ b2).toDF("doc_id", "text"), counts).collect().map(key).toSet
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+    // the all-OOV doc scores 0 with both tokens counted out-of-vocabulary
+    assert(streamed.contains((102L, 2L, 0L, 2L, 0L)),
+      s"all-OOV doc must score 0 with n_oov=2: $streamed")
+    // a corpus twin scores exactly what the training corpus scored it
+    val refScore = graft.ops.LanguageModel.scoreQuery(
+      ref.where($"doc_id" === 0L), counts).collect().head.getLong(4)
+    assert(streamed.exists(t => t._1 == 101L && t._5 == refScore),
+      "streamed twin of a training doc must reproduce its batch score")
+  }
+
   test("windowed counts with watermark run in streaming mode") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)]
