@@ -1020,10 +1020,15 @@ class OpsSpec extends SparkSuite {
     import graft.ops.Multimodal._
     val s = Array.tabulate(100)(i => ((i * 31 + 7) % 4096 - 2048).toShort)
     val wav = AudioCodec.encodePcmWav(8000, s)
-    // the JDK's codec, not our own parser, reads the bytes back
     val Some((rate, ds)) = AudioCodec.decodePcm16(wav)
     assert(rate == 8000)
     assert(ds.toSeq == s.toSeq, "decoded samples differ from encoded")
+    // cross-validation: the JDK's own codec must read the SAME bytes to
+    // the SAME samples as the lock-free canonical parser the hot path
+    // uses (if the two ever drift, the encoder or the parser is wrong)
+    val Some((jrate, jds)) = AudioCodec.decodePcm16Jdk(wav)
+    assert(jrate == 8000 && jds.toSeq == ds.toSeq,
+      "hand parser and JDK codec disagree on identical bytes")
     assert(AudioCodec.decodePcm16(Array[Byte](1, 2, 3)).isEmpty)
     assert(AudioCodec.decodePcm16(null).isEmpty)
     val media = Seq(
