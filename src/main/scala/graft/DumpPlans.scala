@@ -110,7 +110,14 @@ object DumpPlans {
     // aggregate in the managed rows' scoring subtree)
     "mm_dedup_phash_auto", "dedup_lines", "dedup_lines_incremental",
     "pipeline_clean_corpus_v4", "text_quality_trained_managed",
-    "text_domain_trained_managed")
+    "text_domain_trained_managed",
+    // late round-18: LM scoring must show the three SHUFFLE_MERGE-pinned
+    // vocabulary joins over the collapsed (doc, prev, token) pair table
+    // with the 1-row total as the ONLY broadcast; the Bloom screen must
+    // show might_contain in the probe scan's filter (prefilter BEFORE
+    // the verify join's shuffle) and zero gram-side broadcast; acoustic
+    // near-dup must ride the pinned banding with decode+print map-side
+    "text_lm_score", "text_decontaminate_bloom", "mm_dedup_audio_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
