@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native text-feature kernels (the VectorDot precedent, one column type
+  * over): hashed-bucket histograms for the trained classifiers' scoring
+  * paths. */
+object TextExpressions {
+
+  /** Per-document hashed-unigram histogram: counts of
+    * `hash16(token) % numBuckets` over a token array, one `long[]` per
+    * row. Exactly [[HashBucketCounts]]'s contract — see there. */
+  def hashBucketCounts(tokens: Column, numBuckets: Int): Column =
+    GraftBridge.column(
+      HashBucketCounts(GraftBridge.expression(tokens), numBuckets))
+}
+
+/** Single-pass hashed-bucket histogram over a token array: bucket of a
+  * token is `conv(substring(md5(t), 1, 4), 16, 10) % numBuckets` — the
+  * [[graft.ops.TextAnalysis.hash16]] contract, byte-for-byte (first two
+  * md5 bytes as an unsigned 16-bit int), so the DuckDB oracle's replay
+  * is untouched.
+  *
+  * This exists because the declarative formulation — project a per-token
+  * bucket array, then `transform(sequence(0, B−1), f -> size(filter(bks,
+  * b -> b = f)))` — rescans the token array once PER BUCKET through
+  * interpreted higher-order lambdas: O(B·n_tokens) with lambda overhead,
+  * measured as the dominant cost of the four trained-classifier scoring
+  * rows (the 1st/3rd/7th/10th most expensive bench queries). The kernel
+  * is one O(n_tokens) pass inside whole-stage codegen; only the
+  * 64-element count array leaves the expression, and the downstream
+  * margin/x arithmetic becomes cheap 64-element `zip_with` folds. */
+case class HashBucketCounts(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+
+  require(numBuckets > 0 && numBuckets <= 65536,
+    s"hash_bucket_counts: numBuckets must be in [1, 65536], got $numBuckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash_bucket_counts needs array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashBucketCounts.compute(v.asInstanceOf[ArrayData], numBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashBucketCounts.compute(" +
+        s"$a, $numBuckets);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashBucketCounts = copy(child = newChild)
+}
+
+object HashBucketCounts {
+  // MessageDigest is stateful; one per thread, reset by digest()
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The kernel body — static so generated code calls it directly.
+    * NULL array elements count into bucket of the empty string's hash?
+    * No: a null token (impossible from `split`, possible from a raw
+    * array literal) is SKIPPED, mirroring what the declarative
+    * formulation does (md5(NULL) is NULL, the bucket comparison never
+    * matches). */
+  def compute(arr: ArrayData, numBuckets: Int): ArrayData = {
+    val out = new Array[Long](numBuckets)
+    val md = md5.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        out(h % numBuckets) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -73,8 +73,13 @@ object DomainClassifier {
   /** The annotator as a single map-side expression over `text` — a pure
     * per-row projection, so scoring composes it inline instead of
     * self-joining the corpus against its own labels. */
-  private def labelCol: org.apache.spark.sql.Column = {
-    val t = TextAnalysis.tokens(col("text"))
+  private def labelCol: org.apache.spark.sql.Column =
+    labelColFrom(TextAnalysis.tokens(col("text")))
+
+  /** The annotator over an already-materialized token array (scoring
+    * shares one tokenize pass between the label and the histogram). */
+  private def labelColFrom(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val cnt = Domains.map(d =>
       d -> TextAnalysis.markerCount(t, DomainMarkers(d)))
     val maxCnt = greatest(cnt.map(_._2): _*)
@@ -120,11 +125,11 @@ object DomainClassifier {
     Domains.foreach(l => require(cents.contains(l) &&
       cents(l).length == NumBuckets + 1,
       s"domain score: missing/miswidth centroids for $l"))
-    val h16 = "cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint)"
+    // one single-pass histogram kernel per row (HashBucketCounts — the
+    // 64-rescans declarative x build it replaces dominated this row),
+    // then x as one 64-element transform over the counts
     val xSql =
-      s"""transform(sequence(0, ${NumBuckets - 1}), f ->
-         |  ((size(filter(_bks, b -> b = f)) * ${Scale}L)
-         |     div size(_bks)) * ${Scale}L)""".stripMargin
+      s"transform(_cnt, c -> ((c * ${Scale}L) div _n) * ${Scale}L)"
     def marginSql(c: Array[Long]): String = {
       val content = c.take(NumBuckets)
       val cArr = content.map(_ + "L").mkString("array(", ", ", ")")
@@ -133,9 +138,12 @@ object DomainClassifier {
          |  0L, (acc, v) -> acc + v) - ${normSq}L""".stripMargin
     }
     val scored = docs
-      .select(col("doc_id"), labelCol.as("label"),
-        expr(s"transform(split(lower(trim(text)), '\\\\s+'), " +
-          s"t -> cast($h16 % $NumBuckets as int))").as("_bks"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), labelColFrom(col("_t")).as("label"),
+        size(col("_t")).cast(LongType).as("_n"),
+        graft.functions.TextExpressions
+          .hashBucketCounts(col("_t"), NumBuckets).as("_cnt"))
       .select(col("doc_id"), col("label"), expr(xSql).as("_x"))
       .select(Seq(col("doc_id"), col("label")) ++
         Domains.map(l =>

@@ -143,26 +143,48 @@ object QualityClassifier {
     w
   }
 
-  /** Score a corpus with a trained weight vector — MAP-SIDE ONLY: the
-    * margin Σ_f w_f · ((count_f · 1000) div total) + w_bias · 1000 is one
-    * codegen'd per-row expression over the token array (no join, no
-    * shuffle — the VectorDot shape); `pred` is its sign. One row per
-    * doc: (doc_id, margin, pred, label). */
+  /** The label rule as a per-row COLUMN over a materialized token array +
+    * the raw text — [[labels]]' semantics exactly (the qualityQuery
+    * formula, median-split, NULL → false), composable inline so scoring
+    * needs no corpus self-join. */
+  private def labelCol(t: Column, text: Column): Column = {
+    val nTok = size(t).cast(LongType)
+    val nChars = length(text).cast(LongType)
+    val quality = TextAnalysis.round6(
+      (TextAnalysis.markerCount(t, TextAnalysis.Stopwords).cast("double") /
+        nTok) * 0.4 +
+        least(nChars.cast("double") / nTok / 10.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - when(nChars > 0,
+          TextAnalysis.punctCount(text).cast("double") / nChars)) * 0.3)
+    coalesce(quality >= 0.5, lit(false))
+  }
+
+  /** Score a corpus with a trained weight vector — MAP-SIDE ONLY: one
+    * single-pass hashed-bucket histogram per row (the codegen'd
+    * [[graft.functions.HashBucketCounts]] kernel — the declarative
+    * 64-rescans-of-the-token-array formulation it replaces was the
+    * dominant cost of this row) folded against the weight literals with
+    * one 64-element zip_with; the label rule rides inline as a per-row
+    * column, so the plan has NO join and NO shuffle beyond the output
+    * sort. `pred` is the margin's sign. One row per doc:
+    * (doc_id, margin, pred, label). */
   def scoreQuery(docs: DataFrame, w: Array[Long]): DataFrame = {
     require(w.length == NumBuckets + 1,
       s"quality score: expected ${NumBuckets + 1} weights, got ${w.length}")
-    val wsql = w.map(_ + "L").mkString("array(", ", ", ")")
-    val h16 = "cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint)"
+    val wsql = w.take(NumBuckets).map(_ + "L").mkString("array(", ", ", ")")
     val marginSql =
-      s"""aggregate(sequence(0, ${NumBuckets - 1}), 0L,
-         |  (acc, f) -> acc + element_at($wsql, f + 1) *
-         |    ((size(filter(_bks, b -> b = f)) * ${Scale}L) div size(_bks)),
+      s"""aggregate(zip_with(_cnt, $wsql,
+         |  (c, wv) -> wv * ((c * ${Scale}L) div _n)), 0L,
+         |  (acc, x) -> acc + x,
          |  acc -> acc + ${w(NumBuckets)}L * ${Scale}L)""".stripMargin
     docs
-      .join(labels(docs), "doc_id")
-      .select(col("doc_id"), col("y").as("label"),
-        expr(s"transform(split(lower(trim(text)), '\\\\s+'), " +
-          s"t -> cast($h16 % $NumBuckets as int))").as("_bks"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        labelCol(col("_t"), col("text")).as("label"),
+        size(col("_t")).cast(LongType).as("_n"),
+        graft.functions.TextExpressions
+          .hashBucketCounts(col("_t"), NumBuckets).as("_cnt"))
       .select(col("doc_id"),
         expr(marginSql).cast(LongType).as("margin"), col("label"))
       .withColumn("pred", col("margin") > 0)
