@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -19,6 +18,12 @@ object TextExpressions {
   def hashBucketCounts(tokens: Column, numBuckets: Int): Column =
     GraftBridge.column(
       HashBucketCounts(GraftBridge.expression(tokens), numBuckets))
+
+  /** Count of code points outside `[a-zA-Z0-9\s]` —
+    * `regexp_count(text, '[^a-zA-Z0-9\\s]')` byte-for-byte (see
+    * [[AsciiPunctCount]]). */
+  def punctCount(text: Column): Column =
+    GraftBridge.column(AsciiPunctCount(GraftBridge.expression(text)))
 }
 
 /** Single-pass hashed-bucket histogram over a token array: bucket of a
@@ -61,6 +66,63 @@ case class HashBucketCounts(child: Expression, numBuckets: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): HashBucketCounts = copy(child = newChild)
+}
+
+/** Single-pass count of code points OUTSIDE `[a-zA-Z0-9\s]` — the
+  * punctuation-density signal of the quality formula, exactly
+  * `regexp_count(text, '[^a-zA-Z0-9\\s]')`: same per-code-point match
+  * semantics (Java's `\s` = space/tab/LF/VT/FF/CR; every non-ASCII code
+  * point is one match in both formulations — a UTF-8 lead byte counts
+  * once, continuation bytes never).
+  *
+  * This exists because the regex formulation iterates `Matcher.find()`
+  * once per punctuation character through the full regex machinery —
+  * measured at 25 s of the quality-scoring row's 76 s at the 100×
+  * probe, per-row cost proportional to text bytes. The kernel is one
+  * branchy byte loop over the raw UTF-8, no allocation, inside
+  * whole-stage codegen. */
+case class AsciiPunctCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ascii_punct_count needs a string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    AsciiPunctCount.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.AsciiPunctCount.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AsciiPunctCount = copy(child = newChild)
+}
+
+object AsciiPunctCount {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xff
+      if (b < 0x80) {
+        val ok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == ' ' || b == '\t' || b == '\n' ||
+          b == 0x0b || b == '\f' || b == '\r'
+        if (!ok) cnt += 1
+      } else if ((b & 0xc0) == 0xc0) {
+        cnt += 1 // lead byte: one non-ASCII code point, always a match
+      }
+      i += 1
+    }
+    cnt
+  }
 }
 
 object HashBucketCounts {

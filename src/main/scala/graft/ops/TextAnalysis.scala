@@ -125,9 +125,13 @@ object TextAnalysis {
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers))).cast(LongType)
 
-  /** Count of non-alphanumeric, non-whitespace characters. */
+  /** Count of non-alphanumeric, non-whitespace characters — the native
+    * [[graft.functions.AsciiPunctCount]] kernel (byte-identical to
+    * `regexp_count(text, "[^a-zA-Z0-9\\s]")`, which iterated the regex
+    * machinery once per punctuation char and dominated the quality rows
+    * at the 100× probe). */
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast(LongType)
+    graft.functions.TextExpressions.punctCount(text).cast(LongType)
 
   /** Quality-score query in [0,1]: stopword density + token-length sanity +
     * punctuation penalty. Deterministic double math, pre-rounded to 6
@@ -269,8 +273,7 @@ object TextAnalysis {
     val withT = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
     val nTok = size(col("_t")).cast(LongType)
     val totTokChars = length(array_join(col("_t"), "")).cast(LongType)
-    val nSym = size(regexp_extract_all(col("text"),
-      lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    val nSym = punctCount(col("text")) // the same char class, kernel form
     val nAlpha = size(filter(col("_t"), x => x.rlike("^[a-z]+$"))).cast(LongType)
     val maxTokLen = array_max(transform(col("_t"), x => length(x))).cast(LongType)
     val nDistinct = size(array_distinct(col("_t"))).cast(LongType)
