@@ -171,10 +171,13 @@ object Bench {
       (times, nRows, nGroups)
     }
     val loadAfter = loadAvg()
-    // The driver captures only the tail of the sbt output and parses the
-    // JSON line out of it: keep the line compact (ms resolution — the
-    // timings are ~0.1-4 s, three decimals lose nothing) and print it LAST,
-    // after spark.stop(), so it survives the tail window intact.
+    // The driver captures only a BOUNDED tail of the stdout (2000 chars in
+    // rounds 17-18 — both rounds' BENCH_r{N}.json came back "parsed": null
+    // because the full per-query telemetry line overflowed it). Split the
+    // output: the FULL artifact (per-query medians, reps, gc, sink table)
+    // goes to a file (GRAFT_BENCH_JSON, default bench_runs/bench_full.json
+    // — what bench_reps.sh installs as run{i}.json), and stdout's LAST
+    // line is a compact totals JSON guaranteed to fit the tail window.
     // (build.sbt sets `Global / showSuccess := false` for the same reason —
     // otherwise sbt's "[success] Total time" line lands after ours.)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -213,7 +216,25 @@ object Bench {
     // BENCH_r{N}.json is self-describing about suite size (doc counts
     // cite COUNTS; the bench JSON can now be cross-checked against it)
     val action = if (LegacyCountAction) "count" else "plan"
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"action":"$action","queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"action":"$action","queries":$qs,"telemetry":$tel,"sink_write":$sw,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_JSON", "bench_runs/bench_full.json"))
+    Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compact stdout line: totals + the 5 slowest query medians (for
+    // at-a-glance triage) + the path of the full artifact. ~400 chars for
+    // a 200-query suite — well inside the 2000-char driver tail.
+    val medQ = {
+      val ms = results.values.collect {
+        case s if s.err.isEmpty => s.median }.toSeq.sorted
+      if (ms.isEmpty) -1.0 else ms(ms.size / 2)
+    }
+    val top5 = results.toSeq.filter(_._2.err.isEmpty)
+      .sortBy(-_._2.median).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v.median) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"median_query":${f3(medQ)},"action":"$action","slowest":$top5,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","sf":"$sfDir","full_json":"${fullPath.toString}"}""")
     if (nErrors > 0) {
       Console.err.println(s"BENCH RED: $nErrors queries errored")
       sys.exit(1)

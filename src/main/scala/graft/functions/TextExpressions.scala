@@ -80,7 +80,18 @@ case class HashBucketCounts(child: Expression, numBuckets: Int)
   * measured at 25 s of the quality-scoring row's 76 s at the 100×
   * probe, per-row cost proportional to text bytes. The kernel is one
   * branchy byte loop over the raw UTF-8, no allocation, inside
-  * whole-stage codegen. */
+  * whole-stage codegen.
+  *
+  * PRECONDITION: the input is VALID UTF-8 (what UTF8String carries for
+  * any string that entered the engine through a source/literal — Spark
+  * normalizes on ingest). On malformed bytes the two formulations
+  * diverge by construction: a stray continuation byte (0x80-0xBF with
+  * no lead) counts 0 here, while the regex path decodes it to U+FFFD
+  * and counts 1; a truncated multi-byte sequence counts its lead byte
+  * once here but may surface as several replacement chars there. The
+  * kernel's behavior on malformed input (count lead bytes, ignore
+  * orphan continuations) is pinned by TextExpressionsSpec's planted
+  * invalid-bytes case and is the intended semantics. */
 case class AsciiPunctCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

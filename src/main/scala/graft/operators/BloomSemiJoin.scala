@@ -67,6 +67,11 @@ object BloomSemiJoin {
     * joins on the key itself. */
   def bloomOf(keys: DataFrame, key: Column, expectedItems: Long,
               numBits: Long = 0L): DataFrame = {
+    // a zero/negative sizing hint would flow into BloomFilterAggregate as
+    // Literal(items) and fail at ANALYSIS time with an obscure internal-
+    // function error far from the caller — fail here with a real message
+    require(expectedItems > 0,
+      s"bloomOf: expectedItems must be positive, got $expectedItems")
     val bits =
       if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
     keys.agg(bloomAgg(xxhash64(key), expectedItems, bits).as("_bf"))
@@ -80,6 +85,8 @@ object BloomSemiJoin {
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
                smallKey: String, expectedItems: Long,
                numBits: Long = 0L): DataFrame = {
+    require(expectedItems > 0, // same analysis-time trap as bloomOf
+      s"semiJoin: expectedItems must be positive, got $expectedItems")
     // Bloom hashes longs: a non-integral key would cast('long') to null,
     // might_contain(null) is null, and the prefilter would silently DROP
     // rows the exact semi-join matches. Preserve the "result is EXACTLY

@@ -651,10 +651,22 @@ object Multimodal {
     * pinned SHUFFLE_MERGE. The audio twin of [[dedupPhash]]: re-sampled
     * or re-encoded copies of the same clip sail through [[dedupBinary]]
     * and are caught here. */
-  def dedupAudio(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+  def dedupAudio(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
+    dedupAudioManaged(media, maxDist)._1
+
+  /** As [[dedupAudio]], plus a cleanup thunk that unpersists the interior
+    * signature cache ([[Dedup.hammingPairsFromSig]] caches the signature
+    * table pre-partitioned on the join key for within-query reuse — the
+    * [[Dedup.simhashPairsManaged]] contract, one modality over). Bench and
+    * Verify clear caches wholesale between queries, but a long-lived
+    * session (streaming foreachBatch, repeated pipeline calls) must call
+    * the thunk after consuming the pairs or cached corpus-sized tables
+    * accumulate until LRU eviction. */
+  def dedupAudioManaged(media: Dataset[MediaRecord],
+                        maxDist: Int = 3): (DataFrame, () => Unit) = {
     val sig = audioFingerprints(media)
       .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
-    Dedup.hammingPairsFromSig(sig, 64, maxDist)._1
+    Dedup.hammingPairsFromSig(sig, 64, maxDist)
   }
 
   /** REAL resample: decode (javax.sound) then nearest-neighbor decimate
@@ -694,8 +706,13 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         AudioCodec.decodePcm16(r.payload).flatMap { case (rate, s) =>
+          // fractional-ratio clips (e.g. 12 kHz over the 8 kHz base) are
+          // OUT OF SCOPE, same as resampleAudio: truncating division
+          // would silently fingerprint them un-normalized (step=1) and
+          // break the documented rate-invariance
           val step = rate / AudioRate
-          if (step < 1 || s.length < AudioLen * step) None
+          if (rate % AudioRate != 0 || step < 1 ||
+            s.length < AudioLen * step) None
           else {
             val en = new Array[Long](AudioFrames)
             var f = 0

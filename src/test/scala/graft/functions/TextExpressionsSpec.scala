@@ -59,4 +59,19 @@ class TextExpressionsSpec extends SparkSuite {
           s"fast=${r.getLong(1)} regex=${r.getLong(2)}")
     }
   }
+
+  test("punctCount on INVALID UTF-8 pins the documented malformed-bytes " +
+    "semantics: orphan continuation bytes count 0, a truncated lead " +
+    "counts once (the regex path would see U+FFFD replacements instead)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // orphan continuation byte: not a lead, not ASCII -> ignored
+    assert(AsciiPunctCount.compute(
+      UTF8String.fromBytes(Array[Byte]('a', 0x80.toByte, 'b'))) == 0L)
+    // truncated 2-byte sequence: the lead byte counts one code point
+    assert(AsciiPunctCount.compute(
+      UTF8String.fromBytes(Array[Byte]('a', 0xC3.toByte))) == 1L)
+    // valid 2-byte char for contrast: still exactly one
+    assert(AsciiPunctCount.compute(
+      UTF8String.fromBytes("é".getBytes("UTF-8"))) == 1L)
+  }
 }

@@ -1038,6 +1038,16 @@ class OpsSpec extends SparkSuite {
     assert(dec(0).ok && dec(0).sample_rate == 8000 &&
       dec(0).samples.toSeq == s.map(_.toInt).toSeq)
     assert(!dec(1).ok && dec(1).samples.isEmpty)
+    // non-multiple sample rate (12 kHz over the 8 kHz base): fingerprint
+    // must SKIP the clip (rate % base != 0 — truncating step division
+    // would silently print it un-normalized), same fractional-ratio
+    // out-of-scope contract as resampleAudio
+    val longEnough = Array.tabulate(AudioLen * 2)(i =>
+      ((i * 31 + 7) % 4096 - 2048).toShort)
+    val odd = Seq(MediaRecord(7L, "audio", "wav",
+      AudioCodec.encodePcmWav(12000, longEnough), 0L)).toDS()
+    assert(audioFingerprints(odd).count() == 0L,
+      "12 kHz clip must be excluded from fingerprints, not mis-normalized")
   }
 
   test("dedupAudio: a 2x-upsampled copy pairs with its base at hamming 0 " +
@@ -1061,8 +1071,16 @@ class OpsSpec extends SparkSuite {
         0L)).toDS()
     // byte-level dedup sees four DISTINCT assets — the blind spot
     assert(dedupBinary(media).count() == 4)
-    val pairs = dedupAudio(media, maxDist = 3).collect()
+    // the managed facade: same pairs, plus a cleanup thunk that must
+    // unpersist the interior signature cache (cache-lifetime contract)
+    val (pairsDf, cleanup) = dedupAudioManaged(media, maxDist = 3)
+    val pairs = pairsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "signature cache should be live while pairs are consumed")
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cleanup thunk must unpersist the interior signature cache")
     assert(pairs.get((0L, 1L)).contains(0L),
       s"upsampled copy must pair at hamming 0: $pairs")
     assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) <= 2L,

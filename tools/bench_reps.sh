@@ -45,9 +45,11 @@ for i in $(seq 1 "$N"); do
     wait_cool || { echo "[bench_reps] gave up waiting for cool window before run $i" >&2; exit 2; }
   fi
   echo "[bench_reps] run $i/$N (loadavg $(load1)) ..." >&2
-  # write to a temp file and require a parseable JSON object with a
-  # "queries" map before installing it — a crashed/truncated run must
-  # never overwrite a good run{i}.json with an empty file
+  # Bench writes its FULL artifact to GRAFT_BENCH_JSON (stdout carries
+  # only the compact totals line since round 19 — the driver tail is
+  # 2000 chars); point it at a temp file and require a parseable JSON
+  # object with a "queries" map before installing it — a crashed/
+  # truncated run must never overwrite a good run{i}.json
   tmp=$(mktemp)
   # GRAFT_CC_ASSERT_ROUNDS arms the connected-components convergence
   # canary (Dedup.connectedComponents): measured round count is 2 across
@@ -60,8 +62,9 @@ for i in $(seq 1 "$N"); do
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
   GRAFT_CC_ASSERT_ROUNDS="${GRAFT_CC_ASSERT_ROUNDS:-3}" \
+  GRAFT_BENCH_JSON="$tmp" \
     tools/spark-run.sh graft.Bench 2>/dev/null \
-    | grep '"metric":"total"' | tail -1 > "$tmp"
+    | grep '"metric":"total"' | tail -1 >&2
   python3 -c "import json,sys; d=json.load(open('$tmp')); assert d['queries']" \
     || { echo "[bench_reps] run $i produced invalid JSON, aborting" >&2; exit 1; }
   mv "$tmp" "bench_runs/run$i.json"
