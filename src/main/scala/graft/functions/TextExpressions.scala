@@ -24,6 +24,16 @@ object TextExpressions {
     * [[AsciiPunctCount]]). */
   def punctCount(text: Column): Column =
     GraftBridge.column(AsciiPunctCount(GraftBridge.expression(text)))
+
+  /** Tokenize + hash + bucket + marker-count RAW TEXT in one fused pass —
+    * see [[TokenHashFeatures]]. Returns `array<long>` of
+    * `numBuckets + 1 + markerGroups.size` cells:
+    * `[0, numBuckets)` the hashed-unigram histogram, `[numBuckets]` the
+    * total token count, then one token count per marker group. */
+  def tokenHashFeatures(text: Column, numBuckets: Int,
+                        markerGroups: Seq[Seq[String]]): Column =
+    GraftBridge.column(TokenHashFeatures(
+      GraftBridge.expression(text), numBuckets, markerGroups))
 }
 
 /** Single-pass hashed-bucket histogram over a token array: bucket of a
@@ -133,6 +143,137 @@ object AsciiPunctCount {
       i += 1
     }
     cnt
+  }
+}
+
+/** The fused scoring front-end of the trained classifiers: whitespace
+  * tokenization, per-token md5-prefix hashing, bucket counting, total
+  * token count, and marker-set counting in ONE pass over the raw UTF-8
+  * bytes — semantically exactly
+  * `_t = split(lower(trim(text)), "\\s+")` followed by
+  * `hash_bucket_counts(_t, B)` + `size(_t)` +
+  * `size(filter(_t, t -> t IN group_g))` per group, byte-for-byte (the
+  * equivalence is pinned in TextExpressionsSpec), so every DuckDB oracle
+  * replay is untouched.
+  *
+  * Output layout (`array<long>`, length `numBuckets + 1 + nGroups`):
+  * cells `[0, B)` = histogram of `hash16(token) % B`; cell `[B]` = total
+  * token count; cell `[B + 1 + g]` = tokens equal to any marker of group
+  * g (multiplicity preserved). `numBuckets = 0` is the marker-only mode:
+  * the layout collapses to `[total, group counts...]` and the md5 per
+  * token is SKIPPED entirely (the label-rule consumers need counts, not
+  * buckets).
+  *
+  * This exists because the two-step formulation — materialize the token
+  * array with the `split` regex, then run [[HashBucketCounts]] over it —
+  * pays regex machinery plus a Catalyst array allocation per row before
+  * the histogram pass ever starts; SCALING.md's 100× probes put that
+  * front-end (tokenizer + md5-per-token) at the dominant remaining cost
+  * of the trained-classifier scoring rows. Tokenization here is a branchy
+  * byte scan (Java `\s+` split semantics exactly: separators are the six
+  * ASCII whitespace bytes, `Pattern.split(-1)` keeps leading/trailing
+  * empty tokens, `""` yields one empty token); the token bytes are hashed
+  * in place — no token array, no per-token UTF8String, nothing but the
+  * fixed-size count array leaves the expression. */
+case class TokenHashFeatures(child: Expression, numBuckets: Int,
+    markerGroups: Seq[Seq[String]]) extends UnaryExpression {
+
+  require(numBuckets >= 0 && numBuckets <= 65536,
+    s"token_hash_features: numBuckets must be in [0, 65536], got $numBuckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_hash_features needs a string, got ${t.sql}")
+  }
+
+  @transient private lazy val groupBytes: Array[Array[Array[Byte]]] =
+    markerGroups.map(_.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TokenHashFeatures.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      numBuckets, groupBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerGroups", groupBytes, "byte[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenHashFeatures.compute(" +
+        s"$a, $numBuckets, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenHashFeatures = copy(child = newChild)
+}
+
+object TokenHashFeatures {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Java-regex `\s`: the six ASCII whitespace bytes. Multi-byte code
+    * points can never alias them (UTF-8 continuation/lead bytes are all
+    * >= 0x80), so byte comparison IS code-point comparison here. */
+  private def isSep(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(s0: org.apache.spark.unsafe.types.UTF8String, numBuckets: Int,
+              groups: Array[Array[Array[Byte]]]): ArrayData = {
+    // same trim-then-lower order as split(lower(trim(text)), ...): trim
+    // strips 0x20 only; UTF8String.toLowerCase is the Lower expression's
+    // own code path, so case mapping can never drift from the oracle
+    val bytes = s0.trim().toLowerCase().getBytes
+    val n = bytes.length
+    val out = new Array[Long](numBuckets + 1 + groups.length)
+    val md = if (numBuckets > 0) md5.get() else null
+
+    def emit(start: Int, end: Int): Unit = {
+      if (numBuckets > 0) {
+        md.update(bytes, start, end - start)
+        val d = md.digest() // digest() resets the instance
+        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        out(h % numBuckets) += 1
+      }
+      out(numBuckets) += 1
+      var g = 0
+      while (g < groups.length) {
+        val ms = groups(g)
+        var k = 0
+        var found = false
+        while (!found && k < ms.length) {
+          val m = ms(k)
+          if (m.length == end - start) {
+            var j = 0
+            while (j < m.length && m(j) == bytes(start + j)) j += 1
+            found = j == m.length
+          }
+          k += 1
+        }
+        if (found) out(numBuckets + 1 + g) += 1
+        g += 1
+      }
+    }
+
+    // Pattern.split(regex, -1) semantics: "" -> one empty token; a
+    // leading separator run -> empty first token; a trailing run ->
+    // empty last token; interior runs are single boundaries
+    if (n == 0) emit(0, 0)
+    else {
+      if (isSep(bytes(0))) emit(0, 0)
+      var i = 0
+      while (i < n) {
+        while (i < n && isSep(bytes(i))) i += 1
+        if (i < n) {
+          val st = i
+          while (i < n && !isSep(bytes(i))) i += 1
+          emit(st, i)
+        } else emit(0, 0) // the string ended inside a separator run
+      }
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -72,16 +72,21 @@ object DomainClassifier {
 
   /** The annotator as a single map-side expression over `text` — a pure
     * per-row projection, so scoring composes it inline instead of
-    * self-joining the corpus against its own labels. */
+    * self-joining the corpus against its own labels. Marker counting runs
+    * in the [[graft.functions.TokenHashFeatures]] kernel's marker-only
+    * mode (numBuckets = 0: one byte-scan pass, no token array, no md5). */
   private def labelCol: org.apache.spark.sql.Column =
-    labelColFrom(TextAnalysis.tokens(col("text")))
+    labelColFromCounts(
+      graft.functions.TextExpressions.tokenHashFeatures(
+        col("text"), 0, Domains.map(DomainMarkers)))
 
-  /** The annotator over an already-materialized token array (scoring
-    * shares one tokenize pass between the label and the histogram). */
-  private def labelColFrom(t: org.apache.spark.sql.Column)
+  /** The annotator's argmax over the four already-counted marker groups
+    * (layout: [total, cnt_compute, cnt_relate, cnt_store, cnt_stream] —
+    * the kernel's marker-only mode), alphabetical first-match tie-break. */
+  private def labelColFromCounts(f: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val cnt = Domains.map(d =>
-      d -> TextAnalysis.markerCount(t, DomainMarkers(d)))
+    val cnt = Domains.zipWithIndex.map { case (d, g) =>
+      d -> element_at(f, g + 2) }
     val maxCnt = greatest(cnt.map(_._2): _*)
     cnt.tail.foldLeft(
       when(cnt.head._2 === maxCnt, cnt.head._1)) {
@@ -125,9 +130,11 @@ object DomainClassifier {
     Domains.foreach(l => require(cents.contains(l) &&
       cents(l).length == NumBuckets + 1,
       s"domain score: missing/miswidth centroids for $l"))
-    // one single-pass histogram kernel per row (HashBucketCounts — the
-    // 64-rescans declarative x build it replaces dominated this row),
-    // then x as one 64-element transform over the counts
+    // one fused tokenize+hash+bucket+marker-count kernel pass per row
+    // (TokenHashFeatures — it replaced the split-regex + token-array +
+    // md5-per-token front-end the 100× probes measured as this row's
+    // dominant remaining cost; the four label marker groups ride in the
+    // SAME pass), then x as one 64-element transform over the counts
     val xSql =
       s"transform(_cnt, c -> ((c * ${Scale}L) div _n) * ${Scale}L)"
     def marginSql(c: Array[Long]): String = {
@@ -138,12 +145,14 @@ object DomainClassifier {
          |  0L, (acc, v) -> acc + v) - ${normSq}L""".stripMargin
     }
     val scored = docs
-      .select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("_t"))
-      .select(col("doc_id"), labelColFrom(col("_t")).as("label"),
-        size(col("_t")).cast(LongType).as("_n"),
-        graft.functions.TextExpressions
-          .hashBucketCounts(col("_t"), NumBuckets).as("_cnt"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.tokenHashFeatures(
+          col("text"), NumBuckets, Domains.map(DomainMarkers)).as("_f"))
+      .select(col("doc_id"),
+        labelColFromCounts(expr(s"slice(_f, ${NumBuckets + 1}, " +
+          s"${1 + Domains.size})")).as("label"),
+        element_at(col("_f"), NumBuckets + 1).as("_n"),
+        expr(s"slice(_f, 1, $NumBuckets)").as("_cnt"))
       .select(col("doc_id"), col("label"), expr(xSql).as("_x"))
       .select(Seq(col("doc_id"), col("label")) ++
         Domains.map(l =>

@@ -35,8 +35,8 @@ import org.apache.spark.sql.types.LongType
   * training to one class). Swapping in human labels changes one
   * DataFrame.
   *
-  * Scale shape (100 TB): the feature frame is one explode + one
-  * (doc, bucket) groupBy + a per-doc total join; the centroid init is ONE
+  * Scale shape (100 TB): the feature frame is map-side only (the fused
+  * TokenHashFeatures kernel + posexplode); the centroid init is ONE
   * integer aggregation collected at `NumBuckets+1` rows; each fine-tune
   * epoch is one margin aggregation + one gradient aggregation (both
   * partial-aggregable integer sums) and a 65-row collect — the weight
@@ -63,19 +63,28 @@ object QualityClassifier {
   /** The (doc_id, f, v) integer ratio-feature frame + bias rows: v_f =
     * (count_f · 1000) div total_tokens (zero-valued features dropped),
     * plus one (doc_id, 64, 1000) bias row per doc. Shared by training
-    * and (in expression form) scoring, so the two can never drift. */
+    * and (in expression form) scoring, so the two can never drift.
+    *
+    * ENTIRELY MAP-SIDE since the [[graft.functions.TokenHashFeatures]]
+    * kernel: the per-doc bucket counts come out of one fused byte-scan
+    * pass and posexplode, replacing the explode → groupBy(doc, f) +
+    * groupBy(doc) → join formulation — two shuffles of every token and a
+    * corpus self-join gone from every training pass. Counts are
+    * identical by the kernel's pinned equivalence, so the oracle's replay
+    * (which still derives counts declaratively) is untouched. */
   private[ops] def featureFrame(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val f = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.tokenHashFeatures(
+        col("text"), NumBuckets, Nil).as("_f"))
       .select(col("doc_id"),
-        (TextAnalysis.hash16(col("t")) % NumBuckets).cast("int").as("f"))
-    val cnts = toks.groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
-    val tots = toks.groupBy("doc_id").agg(count(lit(1)).as("tot"))
-    val v = cnts.join(tots, "doc_id")
-      .select(col("doc_id"), col("f"),
+        expr(s"slice(_f, 1, $NumBuckets)").as("_h"),
+        element_at(col("_f"), NumBuckets + 1).as("tot"))
+    val v = f.select(col("doc_id"), col("tot"),
+        posexplode(col("_h")).as(Seq("f", "cnt")))
+      .select(col("doc_id"), col("f").cast("int"),
         expr(s"(cnt * $Scale) div tot").as("v"))
       .where(col("v") > 0)
-    v.unionByName(tots.select(col("doc_id"),
+    v.unionByName(f.select(col("doc_id"),
       lit(NumBuckets).cast("int").as("f"), lit(Scale).as("v")))
   }
 
@@ -143,16 +152,15 @@ object QualityClassifier {
     w
   }
 
-  /** The label rule as a per-row COLUMN over a materialized token array +
-    * the raw text — [[labels]]' semantics exactly (the qualityQuery
-    * formula, median-split, NULL → false), composable inline so scoring
-    * needs no corpus self-join. */
-  private def labelCol(t: Column, text: Column): Column = {
-    val nTok = size(t).cast(LongType)
+  /** The label rule as a per-row COLUMN over already-counted stopword /
+    * token totals + the raw text — [[labels]]' semantics exactly (the
+    * qualityQuery formula, median-split, NULL → false), composable inline
+    * so scoring needs no corpus self-join and no token array. */
+  private def labelColFromCounts(nStop: Column, nTok: Column,
+                                 text: Column): Column = {
     val nChars = length(text).cast(LongType)
     val quality = TextAnalysis.round6(
-      (TextAnalysis.markerCount(t, TextAnalysis.Stopwords).cast("double") /
-        nTok) * 0.4 +
+      (nStop.cast("double") / nTok) * 0.4 +
         least(nChars.cast("double") / nTok / 10.0, lit(1.0)) * 0.3 +
         (lit(1.0) - when(nChars > 0,
           TextAnalysis.punctCount(text).cast("double") / nChars)) * 0.3)
@@ -160,13 +168,14 @@ object QualityClassifier {
   }
 
   /** Score a corpus with a trained weight vector — MAP-SIDE ONLY: one
-    * single-pass hashed-bucket histogram per row (the codegen'd
-    * [[graft.functions.HashBucketCounts]] kernel — the declarative
-    * 64-rescans-of-the-token-array formulation it replaces was the
-    * dominant cost of this row) folded against the weight literals with
-    * one 64-element zip_with; the label rule rides inline as a per-row
-    * column, so the plan has NO join and NO shuffle beyond the output
-    * sort. `pred` is the margin's sign. One row per doc:
+    * fused tokenize+hash+bucket pass per row (the codegen'd
+    * [[graft.functions.TokenHashFeatures]] kernel — it replaced the
+    * split-regex + token-array + md5-per-token front-end that SCALING.md's
+    * 100× probes measured as the dominant remaining cost of this row)
+    * folded against the weight literals with one 64-element zip_with; the
+    * stopword count the label rule needs rides in the SAME kernel pass as
+    * a marker group, so the plan has NO join and NO shuffle beyond the
+    * output sort. `pred` is the margin's sign. One row per doc:
     * (doc_id, margin, pred, label). */
   def scoreQuery(docs: DataFrame, w: Array[Long]): DataFrame = {
     require(w.length == NumBuckets + 1,
@@ -179,12 +188,13 @@ object QualityClassifier {
          |  acc -> acc + ${w(NumBuckets)}L * ${Scale}L)""".stripMargin
     docs
       .select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("_t"))
+        graft.functions.TextExpressions.tokenHashFeatures(
+          col("text"), NumBuckets, Seq(TextAnalysis.Stopwords)).as("_f"))
       .select(col("doc_id"),
-        labelCol(col("_t"), col("text")).as("label"),
-        size(col("_t")).cast(LongType).as("_n"),
-        graft.functions.TextExpressions
-          .hashBucketCounts(col("_t"), NumBuckets).as("_cnt"))
+        labelColFromCounts(element_at(col("_f"), NumBuckets + 2),
+          element_at(col("_f"), NumBuckets + 1), col("text")).as("label"),
+        element_at(col("_f"), NumBuckets + 1).as("_n"),
+        expr(s"slice(_f, 1, $NumBuckets)").as("_cnt"))
       .select(col("doc_id"),
         expr(marginSql).cast(LongType).as("margin"), col("label"))
       .withColumn("pred", col("margin") > 0)

@@ -135,15 +135,18 @@ object TextAnalysis {
 
   /** Quality-score query in [0,1]: stopword density + token-length sanity +
     * punctuation penalty. Deterministic double math, pre-rounded to 6
-    * decimals. Tokens are projected once (see [[Dedup.minhashSignature]]
-    * note on lambda inlining). */
+    * decimals. Token and stopword counts come from ONE fused byte-scan
+    * pass ([[graft.functions.TokenHashFeatures]] in marker-only mode —
+    * no token array, no split regex; layout [total, n_stopwords]). */
   def qualityQuery(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextExpressions.tokenHashFeatures(
+          col("text"), 0, Seq(Stopwords)).as("_f"))
       .select(col("doc_id"),
-        size(col("_t")).cast(LongType).as("n_tokens"),
+        element_at(col("_f"), 1).as("n_tokens"),
         length(col("text")).cast(LongType).as("n_chars2"),
-        markerCount(col("_t"), Stopwords).as("n_stopwords"),
+        element_at(col("_f"), 2).as("n_stopwords"),
         punctCount(col("text")).as("n_punct"))
       .withColumn("quality",
         round6(
