@@ -4334,6 +4334,45 @@ object SparkEntry {
         Multimodal.audioLake(s, dir, math.max(64L, n / 16)), 3)
     }),
 
+    // REAL video decode — the last modality loses its stub: the lake
+    // synthesizes genuine AVI containers (uncompressed 24-bit DIB
+    // frames), the lock-free chunk walk decodes actual frames back, and
+    // the oracle recomputes every pixel of every frame symbolically. A
+    // bug anywhere in container layout, row direction, channel order,
+    // frame order, or the fps tag breaks the digest.
+    "mm_video_decode" -> ((s, dir) => {
+      Multimodal.decodeVideo(Multimodal.videoLake(s, dir)).toDF()
+        .select(col("media_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("fps").cast(LongType).as("fps"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("ok"),
+          md5(concat_ws(",", col("gray").cast("array<string>")))
+            .as("gray_md5"))
+        .orderBy("media_id")
+    }),
+    // REAL frame sampling (supersedes the mm_frame_sample stub's byte
+    // chunking): every 4th decoded frame, per-frame pixel digest — the
+    // 1->N flatMap rides the same decode pass, skipped frames never
+    // leave the scan partition.
+    "mm_frame_sample_real" -> ((s, dir) => {
+      Multimodal.frameSampleReal(Multimodal.videoLake(s, dir), 4).toDF()
+        .select(col("media_id"), col("frame_no"),
+          md5(concat_ws(",", col("gray").cast("array<string>")))
+            .as("frame_md5"))
+        .orderBy("media_id", "frame_no")
+    }),
+    // Perceptual video near-dup, auto-dialed base-clip classes (the
+    // mm_dedup_phash_auto convention): per-frame dHash -> majority vote
+    // -> banded Hamming pairing. Frame-rate-doubled copies pair at
+    // distance 0, per-frame watermarks within the Hamming budget.
+    "mm_dedup_video_auto" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      Multimodal.dedupVideo(
+        Multimodal.videoLake(s, dir, math.max(64L, n / 16)), 3)
+    }),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4558,6 +4597,57 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(fp AS BIGINT) AS fp
          |FROM asig ORDER BY media_id""".stripMargin),
 
+    // Symbolic replay of the AVI lake: every pixel of every payload
+    // frame recomputed from the synthesis arithmetic (watermark slot,
+    // upsampled base-frame mapping, the fps/frame-count tags), flattened
+    // frame-major and digested — drift anywhere in AVI encode, the chunk
+    // walk, DIB row order, or channel extraction hash-mismatches.
+    "mm_video_decode" -> ("WITH " + videoCtes("SELECT 64 AS cm") +
+      s""",
+         |vflat AS (
+         |  SELECT doc_id,
+         |    flatten(list_transform(range(0, $videoNf), q ->
+         |      list_transform(range(0, 96), i ->
+         |        ${videoPx(videoBaseFrame("q"), "i")}))) AS g
+         |  FROM vvb)
+         |SELECT doc_id AS media_id,
+         |  12::BIGINT AS width, 8::BIGINT AS height,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 10 END AS BIGINT)
+         |    AS fps,
+         |  CAST($videoNf AS BIGINT) AS n_frames,
+         |  true AS ok,
+         |  md5(array_to_string(g, ',')) AS gray_md5
+         |FROM vflat ORDER BY media_id""".stripMargin),
+
+    // Every 4th payload frame, per-frame digest.
+    "mm_frame_sample_real" -> ("WITH " + videoCtes("SELECT 64 AS cm") +
+      s"""
+         |SELECT doc_id AS media_id, CAST(qq.q AS BIGINT) AS frame_no,
+         |  md5(array_to_string(list_transform(range(0, 96), i ->
+         |    ${videoPx(videoBaseFrame("qq.q"), "i")}), ',')) AS frame_md5
+         |FROM vvb, LATERAL (SELECT unnest(range(0, $videoNf)) AS q) qq
+         |WHERE qq.q % 4 = 0
+         |ORDER BY media_id, frame_no""".stripMargin),
+
+    // Majority-of-frame-dHashes print from BASE frames only (the Spark
+    // side's fps normalization must collapse the 2x clips back onto
+    // their base frame sequence), banded Hamming pairing.
+    "mm_dedup_video_auto" -> ("WITH " +
+      videoCtes("SELECT greatest(64, count(*) // 16) AS cm FROM documents") +
+      s", $videoSigCtes" +
+      """
+        |, vch AS (
+        |  SELECT doc_id, CAST(fp AS BIGINT) AS ph, c,
+        |         (CAST(fp AS BIGINT) >> (c * 16)) & 65535 AS ckey
+        |  FROM vsig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) cc
+        |)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM vch a JOIN vch b
+        |  ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY d1, d2""".stripMargin),
+
     // Same pipeline, auto-dialed class count, banded Hamming pairing (the
     // mm_dedup_phash_auto topology in sample space).
     "mm_dedup_audio_auto" -> ("WITH " +
@@ -4596,6 +4686,69 @@ object SparkEntry {
        |      j -> CASE WHEN en[j + 2] > en[j + 1] THEN ms[j + 1]
        |                ELSE 0::BIGINT END), 'bit_or') AS fp
        |  FROM aen, aam
+       |)""".stripMargin
+  }
+
+  /** AVI-lake coefficient CTEs (no leading WITH): class dial `cm` from
+    * `cmCte`, then the lin/quad pixel coefficients and the watermark
+    * slot `pp` (−1 when absent) —
+    * [[graft.ops.Multimodal.videoLake]] digit-for-digit. */
+  private def videoCtes(cmCte: String): String =
+    s"""vvc AS ($cmCte),
+       |vvb AS (
+       |  SELECT doc_id, ((doc_id % cm) % 256) * 37 AS lin,
+       |         11 + (doc_id % cm) // 256 AS quad,
+       |         CASE WHEN doc_id % 5 = 0 THEN (doc_id * 7) % 96
+       |              ELSE -1 END AS pp
+       |  FROM documents, vvc
+       |)""".stripMargin
+
+  /** The payload frame count / base-frame mapping as SQL fragments:
+    * upsampled docs (doc_id % 3 = 0) carry 2× frames at 2× fps, payload
+    * frame q showing base frame q/2. */
+  private def videoNf: String =
+    s"CASE WHEN doc_id % 3 = 0 THEN ${2 * graft.ops.Multimodal.VideoFrames}" +
+      s" ELSE ${graft.ops.Multimodal.VideoFrames} END"
+  private def videoBaseFrame(q: String): String =
+    s"CASE WHEN doc_id % 3 = 0 THEN ($q) // 2 ELSE ($q) END"
+  /** Pixel value of base frame `f`, slot `i` (both SQL fragments),
+    * watermark applied. */
+  private def videoPx(f: String, i: String): String =
+    s"(lin * ($i) + quad * ($i) * ($i) + 29 * ($f)" +
+      s" + CASE WHEN ($i) = pp THEN 128 ELSE 0 END) % 256"
+
+  /** Majority-of-frame-dHashes print CTEs over `vvb` (no leading
+    * comma): per base frame, the 9x8 nearest-resample grid (slot
+    * (j//9)*12 + ((j%9)*12)//9 — the mm_dedup_phash resample one frame
+    * at a time), dHash bit j = grid[x+1] > grid[x], then bit j of the
+    * video print = majority over the 17 frames (odd: no ties). */
+  private def videoSigCtes: String = {
+    val masks = graft.ops.Quantization.signMasks(64)
+      .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+    s"""vm AS (SELECT $masks AS ms),
+       |vgrid AS (
+       |  SELECT doc_id, ff.f AS f,
+       |    list_transform(
+       |      list_transform(range(0, 72), j ->
+       |        (j // 9) * 12 + ((j % 9) * 12) // 9),
+       |      sl -> ${videoPx("ff.f", "sl")}) AS g
+       |  FROM vvb, LATERAL (SELECT unnest(range(0,
+       |    ${graft.ops.Multimodal.VideoFrames})) AS f) ff
+       |),
+       |vbit AS (
+       |  SELECT doc_id, jj.j AS j,
+       |    CASE WHEN g[(jj.j // 8) * 9 + (jj.j % 8) + 2] >
+       |              g[(jj.j // 8) * 9 + (jj.j % 8) + 1]
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM vgrid, LATERAL (SELECT unnest(range(0, 64)) AS j) jj
+       |),
+       |vsig AS (
+       |  SELECT doc_id,
+       |    bit_or(CASE WHEN cnt * 2 > ${graft.ops.Multimodal.VideoFrames}
+       |           THEN ms[j + 1] ELSE 0::BIGINT END) AS fp
+       |  FROM (SELECT doc_id, j, sum(b) AS cnt FROM vbit
+       |        GROUP BY doc_id, j), vm
+       |  GROUP BY doc_id
        |)""".stripMargin
   }
 

@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * Pandas UDF: no per-row task overhead, constant memory, codegen-friendly
   * boundaries on both sides).
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * libraries — behind [[MediaCodec.decodeStub]], a deterministic fake that
-  * derives a fixed-shape feature vector from the payload bytes. The
-  * Spark-side contract (schema, partitioning, batch shape, null handling)
-  * is real and tested; swapping the stub for a JNI/OpenCV decoder changes
-  * no plan topology.
+  * ALL THREE modalities decode for real, pure-JVM: images through
+  * ImageIO ([[ImageCodec]] — BMP/PNG/JPEG), audio through a lock-free
+  * RIFF/PCM chunk walk with the javax.sound codec as fallback
+  * ([[AudioCodec]]), video through the same chunk walk one container
+  * level deeper — AVI with uncompressed DIB or MJPEG frames
+  * ([[VideoCodec]]). The generic-payload stubs ([[MediaCodec.decodeStub]],
+  * [[frameSampleStub]], [[resizeStub]]) remain as the modality-agnostic
+  * plumbing fixtures (schema / batch-shape contract for codecs the JVM
+  * does not ship, e.g. H.264 — swapping in a JNI decoder changes no plan
+  * topology).
   */
 object Multimodal {
 
@@ -738,6 +742,398 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "fp")
+  }
+
+  // ------------------------------------------------------------------
+  // Real video decode (pure JVM) — the last modality loses its stub.
+  // AVI is RIFF (the container family the audio path already walks):
+  // LIST(hdrl){avih, LIST(strl){strh, strf}} then LIST(movi){00db...}.
+  // The lake synthesizes genuine AVI files with uncompressed 24-bit DIB
+  // frames (the BMP pixel layout per frame — bottom-up rows, 4-byte row
+  // padding), the walker decodes ACTUAL frames back, and the oracle
+  // recomputes every pixel symbolically. MJPEG ('00dc' chunks, JPEG
+  // payloads) decodes through the JDK's ImageIO codec — real but lossy,
+  // so it is spec-verified rather than oracle-hashed.
+  // ------------------------------------------------------------------
+
+  /** A decoded video: spatial dims, frame rate, and all frames' gray
+    * pixels flattened frame-major (frame q occupies
+    * `[q·width·height, (q+1)·width·height)`). */
+  final case class DecodedVideo(
+      media_id: Long, width: Int, height: Int, fps: Int, n_frames: Int,
+      gray: Array[Int], ok: Boolean)
+
+  /** One real sampled frame: row-major top-down gray pixels. */
+  final case class RealFrame(media_id: Long, frame_no: Long, gray: Array[Int])
+
+  /** Frames per base-rate clip (odd, so the majority fingerprint vote
+    * can never tie). */
+  val VideoFrames = 17
+  /** Base frame rate of the synthetic lake (frames/s). */
+  val VideoFps = 10
+
+  object VideoCodec {
+    private val FccRIFF = 0x46464952 // 'RIFF'
+    private val FccAVI = 0x20495641 // 'AVI '
+    private val FccLIST = 0x5453494c // 'LIST'
+    private val FccHdrl = 0x6c726468 // 'hdrl'
+    private val FccMovi = 0x69766f6d // 'movi'
+    private val FccAvih = 0x68697661 // 'avih'
+    private val FccStrh = 0x68727473 // 'strh'
+    private val FccStrf = 0x66727473 // 'strf'
+    private val FccVids = 0x73646976 // 'vids'
+    private val FccMjpg = 0x47504a4d // 'MJPG'
+
+    /** Deterministic AVI encoder: one 'vids' stream of uncompressed
+      * 24-bit DIB frames (gray replicated to b=g=r, bottom-up rows,
+      * 4-byte row padding — the BITMAPINFOHEADER layout the BMP encoder
+      * shares), frame rate as strh dwRate/dwScale. Canonical chunk
+      * order: hdrl(avih, strl(strh, strf)) then movi(00db...). */
+    def encodeAviDib(w: Int, h: Int, fps: Int,
+                     frames: Array[Array[Int]]): Array[Byte] = {
+      require(fps > 0, s"fps must be positive, got $fps")
+      frames.foreach(f => require(f.length == w * h,
+        s"need $w*$h pixels per frame, got ${f.length}"))
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val frameBytes = rowSize * h // multiple of 4: no chunk padding needed
+      val n = frames.length
+      val moviSize = 4 + n * (8 + frameBytes)
+      val strlSize = 4 + 8 + 56 + 8 + 40
+      val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); b.putInt(riffSize); fcc("AVI ")
+      fcc("LIST"); b.putInt(hdrlSize); fcc("hdrl")
+      fcc("avih"); b.putInt(56)
+      b.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0).putInt(0)
+        .putInt(n).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(strlSize); fcc("strl")
+      fcc("strh"); b.putInt(56)
+      fcc("vids"); fcc("DIB ")
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps) // dwScale, dwRate: fps = rate/scale
+        .putInt(0).putInt(n).putInt(frameBytes).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+        .putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(moviSize); fcc("movi")
+      frames.foreach { g =>
+        fcc("00db"); b.putInt(frameBytes)
+        var y = h - 1
+        while (y >= 0) { // bottom-up
+          var x = 0
+          while (x < w) {
+            val v = g(y * w + x).toByte
+            b.put(v).put(v).put(v)
+            x += 1
+          }
+          var p = w * 3
+          while (p < rowSize) { b.put(0.toByte); p += 1 }
+          y -= 1
+        }
+      }
+      b.array()
+    }
+
+    /** MJPEG AVI encoder: same container, '00dc' chunks holding real
+      * JPEG bytes (the JDK's ImageIO JPEG codec). Lossy by nature — the
+      * fixture for the spec's cross-codec test, not for oracle rows. */
+    def encodeAviMjpeg(w: Int, h: Int, fps: Int,
+                       frames: Array[Array[Int]]): Array[Byte] = {
+      val jpegs = frames.map { g =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < g.length) {
+          val v = g(i) & 0xff
+          img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val strlSize = 4 + 8 + 56 + 8 + 40
+      val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+      val bufSize = jpegs.map(_.length).max
+      fcc("RIFF"); b.putInt(riffSize); fcc("AVI ")
+      fcc("LIST"); b.putInt(hdrlSize); fcc("hdrl")
+      fcc("avih"); b.putInt(56)
+      b.putInt(1000000 / fps).putInt(bufSize * fps).putInt(0).putInt(0)
+        .putInt(jpegs.length).putInt(0).putInt(1).putInt(bufSize)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(strlSize); fcc("strl")
+      fcc("strh"); b.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps)
+        .putInt(0).putInt(jpegs.length).putInt(bufSize).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); b.putInt(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(FccMjpg).putInt(0).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      fcc("LIST"); b.putInt(moviSize); fcc("movi")
+      jpegs.foreach { j =>
+        fcc("00dc"); b.putInt(j.length); b.put(j)
+        if ((j.length & 1) == 1) b.put(0.toByte) // chunks are word-aligned
+      }
+      b.array()
+    }
+
+    /** Lock-free AVI walk + frame decode — the audio path's canonical
+      * RIFF chunk walk, one container level deeper (LIST chunks recurse).
+      * Returns (width, height, fps, frames as gray row-major top-down) or
+      * None for null / malformed / unsupported payloads — one corrupt
+      * asset must not kill a 100 TB scan. Uncompressed 24-bit DIB frames
+      * ('..db') decode by hand (bottom-up BGR rows, blue channel as gray
+      * — the [[ImageCodec.decodeGray]] convention); MJPEG frames ('..dc'
+      * under the MJPG fourcc) decode through the JDK's ImageIO JPEG
+      * codec. */
+    def parseAvi(payload: Array[Byte])
+        : Option[(Int, Int, Int, Array[Array[Int]])] = {
+      if (payload == null || payload.length < 24) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != FccRIFF || bb.getInt(8) != FccAVI) return None
+      var w = -1; var h = -1; var rate = -1; var scale = -1
+      var compression = 0; var bitCount = 0
+      var bad = false
+      val frameChunks = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Boolean)] // (offset, size, isCompressed)
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (!bad && off + 8 <= end) {
+          val id = bb.getInt(off)
+          val size = bb.getInt(off + 4)
+          if (size < 0 || off + 8 + size > end) { bad = true; return }
+          if (id == FccLIST && size >= 4) {
+            // descend into hdrl/strl/movi lists uniformly
+            walk(off + 12, off + 8 + size)
+          } else if (id == FccAvih && size >= 56) {
+            w = bb.getInt(off + 8 + 32); h = bb.getInt(off + 8 + 36)
+          } else if (id == FccStrh && size >= 56 &&
+            bb.getInt(off + 8) == FccVids) {
+            scale = bb.getInt(off + 8 + 20); rate = bb.getInt(off + 8 + 24)
+          } else if (id == FccStrf && size >= 40) {
+            bitCount = bb.getShort(off + 8 + 14)
+            compression = bb.getInt(off + 8 + 16)
+          } else if ((id >>> 16) == 0x6264) { // '..db': uncompressed DIB
+            frameChunks += ((off + 8, size, false))
+          } else if ((id >>> 16) == 0x6364) { // '..dc': compressed
+            frameChunks += ((off + 8, size, true))
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      if (bad || w <= 0 || h <= 0 || scale <= 0 || rate <= 0) return None
+      val fps = rate / scale
+      if (fps <= 0) return None
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val frames = new Array[Array[Int]](frameChunks.length)
+      var q = 0
+      while (q < frameChunks.length) {
+        val (off, size, isDc) = frameChunks(q)
+        if (!isDc) {
+          if (bitCount != 24 || compression != 0 || size != rowSize * h)
+            return None
+          val g = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              g(y * w + x) =
+                payload((h - 1 - y) * rowSize + x * 3 + off) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          frames(q) = g
+        } else {
+          if (compression != FccMjpg) return None
+          val chunk = java.util.Arrays.copyOfRange(payload, off, off + size)
+          ImageCodec.decodeGray(chunk) match {
+            case Some((fw, fh, g)) if fw == w && fh == h => frames(q) = g
+            case _ => return None
+          }
+        }
+        q += 1
+      }
+      Some((w, h, fps, frames))
+    }
+  }
+
+  /** Synthetic AVI lake with REAL duplicate structure — the [[audioLake]]
+    * recipe lifted to the time axis: every doc renders one of `classMod`
+    * base 17-frame clips of 12x8 frames — base = doc_id % classMod,
+    * pixel(f, i) = (lin·i + quad·i² + 29·f) mod 256 with
+    * lin = (base % 256)·37 and quad = 11 + base/256 (base feeds BOTH
+    * coefficients — the [[phashLakeScaled]] wrap argument). Two
+    * controlled variations:
+    *
+    *   - docs with doc_id % 3 == 0 ship the 2× FRAME-RATE-upsampled copy
+    *     (20 fps, every frame duplicated: U(q) = F(q/2)) — different
+    *     bytes, different frame count, same video content; the
+    *     fingerprint's rate normalization decimates it back onto the
+    *     base frame sequence exactly, so the print collides at distance
+    *     0 (the re-timed-duplicate class [[dedupBinary]] is blind to);
+    *   - docs with doc_id % 5 == 0 bump ONE pixel (+128 mod 256 at slot
+    *     (doc_id·7) % 96) in EVERY frame BEFORE any upsample — a
+    *     watermark/logo-style edit that flips the same ≤ 2 dHash bits
+    *     per frame and so stays within 2 bits of the majority print.
+    *
+    * Pixel values are pure integer arithmetic on doc_id, so the oracle
+    * recomputes every frame symbolically; the Spark side goes through
+    * the REAL AVI encode + chunk-walk decode. */
+  def videoLake(spark: SparkSession, sfDir: String,
+                classMod: Long = 64L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast(LongType).as("media_id"))
+      .as[Long]
+      // spread the ids before the CPU-heavy synthesis/decode — the
+      // audioLake lesson: a 100x id file is ONE scan split otherwise
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % classMod
+          val lin = (base % 256) * 37
+          val quad = 11 + base / 256
+          val perturb = if (id % 5 == 0) ((id * 7) % 96).toInt else -1
+          val baseFrames = Array.tabulate(VideoFrames) { f =>
+            Array.tabulate(ImageW * ImageH) { i =>
+              val v = ((lin * i + quad * i.toLong * i + 29L * f) % 256).toInt
+              if (i == perturb) (v + 128) % 256 else v
+            }
+          }
+          val payload =
+            if (id % 3 == 0)
+              VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps * 2,
+                Array.tabulate(VideoFrames * 2)(q => baseFrames(q / 2)))
+            else
+              VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps, baseFrames)
+          MediaRecord(id, "video", "avi", payload, payload.length.toLong)
+        }
+      }
+  }
+
+  /** REAL video decode over a media dataset: the AVI chunk walk per
+    * payload in one iterator-to-iterator `mapPartitions` pass — same
+    * batch shape as [[decodeImages]]/[[decodeAudio]], genuine frames
+    * out (flattened frame-major). Undecodable payloads survive as
+    * ok = false. */
+  def decodeVideo(media: Dataset[MediaRecord]): Dataset[DecodedVideo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        VideoCodec.parseAvi(r.payload) match {
+          case Some((w, h, fps, frames)) =>
+            val flat = new Array[Int](frames.length * w * h)
+            var q = 0
+            while (q < frames.length) {
+              System.arraycopy(frames(q), 0, flat, q * w * h, w * h)
+              q += 1
+            }
+            DecodedVideo(r.media_id, w, h, fps, frames.length, flat, ok = true)
+          case None =>
+            DecodedVideo(r.media_id, 0, 0, 0, 0, Array.empty, ok = false)
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling — [[frameSampleStub]]'s contract on genuine
+    * decoded frames: every `stride`-th frame of each decodable clip, as
+    * a 1→N flatMap over one decode pass (pixels of skipped frames never
+    * leave the scan partition). */
+  def frameSampleReal(media: Dataset[MediaRecord],
+                      stride: Int): Dataset[RealFrame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoCodec.parseAvi(r.payload) match {
+          case Some((_, _, _, frames)) =>
+            Iterator.range(0, frames.length, stride)
+              .map(q => RealFrame(r.media_id, q.toLong, frames(q)))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** (media_id, fp) per decodable clip: decode → frame-rate
+    * normalization (take every `fps / VideoFps`-th frame — the audio
+    * path's decimation on the time axis; non-multiple rates are skipped,
+    * the documented fractional-ratio contract) → per-frame 64-bit dHash
+    * (9x8 nearest resample + horizontal neighbor compares — the
+    * [[dedupPhash]] hash, reused verbatim) → MAJORITY vote per bit over
+    * the 17 normalized frames (odd count: no ties). A re-timed copy
+    * votes on the identical frame multiset → distance 0; a per-frame
+    * watermark flips the same ≤ 2 bits in every frame → within 2 bits.
+    * One fused iterator pass: only the 8-byte print and ids leave the
+    * scan. */
+  def videoFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        VideoCodec.parseAvi(r.payload).flatMap { case (w, h, fps, frames) =>
+          val step = fps / VideoFps
+          if (fps % VideoFps != 0 || step < 1 ||
+            frames.length < VideoFrames * step) None
+          else {
+            val counts = new Array[Int](64)
+            var k = 0
+            while (k < VideoFrames) {
+              val grid = ImageCodec.resizeNearest(
+                w, h, frames(k * step), PhashW + 1, PhashH)
+              var j = 0
+              while (j < 64) {
+                val x = j % PhashW; val y = j / PhashW
+                if (grid(y * (PhashW + 1) + x + 1) >
+                  grid(y * (PhashW + 1) + x)) counts(j) += 1
+                j += 1
+              }
+              k += 1
+            }
+            var fp = 0L
+            var j = 0
+            while (j < 64) {
+              if (counts(j) * 2 > VideoFrames) fp |= (1L << j)
+              j += 1
+            }
+            Some((r.media_id, fp))
+          }
+        }
+      }
+    }.toDF("media_id", "fp")
+  }
+
+  /** Perceptual video near-dup: majority-of-frame-dHashes print →
+    * banded Hamming pairing ([[Dedup.hammingPairsFromSig]] — the shared
+    * simhash64 topology). The video twin of [[dedupAudio]]: re-timed or
+    * re-containered copies of the same clip sail through [[dedupBinary]]
+    * and are caught here. */
+  def dedupVideo(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
+    dedupVideoManaged(media, maxDist)._1
+
+  /** As [[dedupVideo]], plus the interior-signature-cache cleanup thunk
+    * (the [[dedupAudioManaged]] contract). */
+  def dedupVideoManaged(media: Dataset[MediaRecord],
+                        maxDist: Int = 3): (DataFrame, () => Unit) = {
+    val sig = videoFingerprints(media)
+      .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
+    Dedup.hammingPairsFromSig(sig, 64, maxDist)
   }
 
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,

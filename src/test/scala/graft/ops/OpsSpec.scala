@@ -1089,6 +1089,87 @@ class OpsSpec extends SparkSuite {
       s"unrelated clip must not pair: $pairs")
   }
 
+  test("real video codec: AVI DIB encode -> chunk-walk decode round-trips " +
+    "frames exactly; MJPEG decodes through the JDK JPEG codec; corrupt " +
+    "payloads survive as ok=false") {
+    import graft.ops.Multimodal._
+    val w = 12; val h = 8
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(w * h)(i => (f * 37 + i * 11) % 256))
+    val avi = VideoCodec.encodeAviDib(w, h, 10, frames)
+    val Some((dw, dh, fps, df)) = VideoCodec.parseAvi(avi)
+    assert(dw == w && dh == h && fps == 10 && df.length == 5)
+    (0 until 5).foreach(f => assert(df(f).toSeq == frames(f).toSeq,
+      s"frame $f pixels differ after AVI round-trip"))
+    // MJPEG: real JPEG bytes in '00dc' chunks through ImageIO — lossy,
+    // so assert dims/count exactly and pixels approximately (the same
+    // image content, not the same bytes)
+    val mj = VideoCodec.encodeAviMjpeg(w, h, 10, frames)
+    val Some((mw, mh, mfps, mf)) = VideoCodec.parseAvi(mj)
+    assert(mw == w && mh == h && mfps == 10 && mf.length == 5)
+    (0 until 5).foreach { f =>
+      val err = frames(f).zip(mf(f)).map { case (a, b) =>
+        math.abs(a - b) }.sum.toDouble / (w * h)
+      assert(err < 24.0, s"MJPEG frame $f mean abs pixel error $err")
+    }
+    assert(VideoCodec.parseAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.parseAvi(null).isEmpty)
+    // truncated container: header intact, movi cut mid-frame
+    assert(VideoCodec.parseAvi(avi.take(avi.length - 10)).isEmpty)
+    val media = Seq(
+      MediaRecord(0L, "video", "avi", avi, avi.length.toLong),
+      MediaRecord(1L, "video", "avi", Array[Byte](9, 9), 2L)).toDS()
+    val dec = decodeVideo(media).collect().sortBy(_.media_id)
+    assert(dec(0).ok && dec(0).n_frames == 5 && dec(0).fps == 10 &&
+      dec(0).gray.length == 5 * w * h)
+    assert(dec(0).gray.toSeq == frames.flatten.toSeq)
+    assert(!dec(1).ok && dec(1).gray.isEmpty)
+    // real frame sampling: every 2nd frame, genuine pixels
+    val sampled = frameSampleReal(media, 2).collect().sortBy(_.frame_no)
+    assert(sampled.map(_.frame_no).toSeq == Seq(0L, 2L, 4L))
+    assert(sampled(1).gray.toSeq == frames(2).toSeq)
+  }
+
+  test("dedupVideo: a frame-rate-doubled copy pairs with its base at " +
+    "hamming 0 (the re-timed-duplicate class byte dedup misses); a " +
+    "per-frame watermark stays within 2 bits; an unrelated clip does " +
+    "not pair; the managed cleanup unpersists the signature cache") {
+    import graft.ops.Multimodal._
+    def clip(base: Long, up: Boolean, perturbAt: Int = -1): Array[Byte] = {
+      val lin = (base % 256) * 37; val quad = 11 + base / 256
+      val fs = Array.tabulate(VideoFrames)(f =>
+        Array.tabulate(ImageW * ImageH) { i =>
+          val v = ((lin * i + quad * i.toLong * i + 29L * f) % 256).toInt
+          if (i == perturbAt) (v + 128) % 256 else v
+        })
+      if (up) VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps * 2,
+        Array.tabulate(VideoFrames * 2)(q => fs(q / 2)))
+      else VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps, fs)
+    }
+    val media = Seq(
+      MediaRecord(0L, "video", "avi", clip(1, up = false), 0L),
+      MediaRecord(1L, "video", "avi", clip(1, up = true), 0L),
+      MediaRecord(2L, "video", "avi", clip(2, up = false), 0L),
+      MediaRecord(3L, "video", "avi", clip(1, up = false, perturbAt = 40),
+        0L)).toDS()
+    // byte-level dedup sees four DISTINCT assets — the blind spot
+    assert(dedupBinary(media).count() == 4)
+    val (pairsDf, cleanup) = dedupVideoManaged(media, maxDist = 3)
+    val pairs = pairsDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "signature cache should be live while pairs are consumed")
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cleanup thunk must unpersist the interior signature cache")
+    assert(pairs.get((0L, 1L)).contains(0L),
+      s"re-timed copy must pair at hamming 0: $pairs")
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) <= 2L,
+      s"watermark edit must pair within 2 bits: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated clip must not pair: $pairs")
+  }
+
   test("substringRuns: merges anchor windows into ONE maximal run with " +
     "exact positions/length; short docs emit nothing; k bound enforced") {
     val run = "a b c d e f g h i j" // 10 shared tokens
