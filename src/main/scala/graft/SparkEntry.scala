@@ -1599,6 +1599,46 @@ object SparkEntry {
           TextAnalysis.redactNumbers(col("props")).as("props_red"),
           TextAnalysis.numberRunCount(col("props")).as("n_nums"))
         .orderBy("event_id")
+    }),
+    // Full PII scrub (email/URL/IPv4/phone/number) as ONE codegen'd
+    // five-pass byte-scan kernel — regexp_replace per pattern was the
+    // 25 s Matcher.find() trap the punctuation kernel killed, times five
+    // rules. The corpus is digit/PII-free by construction, so a
+    // deterministic PII-rich suffix (every rule exercised, synthesized
+    // identically in SQL) rides on each event's props; audit counts are
+    // placeholder occurrences in the redacted text (literal replace
+    // arithmetic — engine-identical). The oracle replays the rule CHAIN
+    // declaratively in RE2; the kernel↔Java-regex equivalence is pinned
+    // in PiiExpressionsSpec.
+    "text_redact_pii" -> ((s, dir) => {
+      val full = concat(col("props"),
+        lit(" mail u"), col("event_id").cast("string"),
+        lit("@ex"), (col("event_id") % 7).cast("string"),
+        lit(".com via http://h"), (col("event_id") % 5).cast("string"),
+        lit(".io/p?q="), col("event_id").cast("string"),
+        lit("&x=<y> ip "), (col("event_id") % 256).cast("string"),
+        lit("."), ((col("event_id") * 7) % 256).cast("string"),
+        lit("."), ((col("event_id") * 13) % 256).cast("string"),
+        lit("."), (col("event_id") % 250).cast("string"),
+        lit(" tel +49151"),
+        (lit(1000000) + col("event_id") % 1000000).cast("string"),
+        lit(" alt "), (lit(100) + col("event_id") % 900).cast("string"),
+        lit("-"), (lit(100) + (col("event_id") * 3) % 900).cast("string"),
+        lit("-"), (lit(1000) + col("event_id") % 9000).cast("string"),
+        lit(" ref "), (col("event_id") * col("event_id")).cast("string"))
+      def nOf(p: String): Column = expr(
+        s"CAST((length(_red) - length(replace(_red, '$p', '')))" +
+          s" div ${p.length} AS BIGINT)")
+      Records.readEvents(s, dir)
+        .select(col("event_id"),
+          graft.functions.PiiExpressions.redactPii(full).as("_red"))
+        .select(col("event_id"), col("_red").as("props_red"),
+          nOf("<EMAIL>").as("n_emails"),
+          nOf("<URL>").as("n_urls"),
+          nOf("<IP>").as("n_ips"),
+          nOf("<PHONE>").as("n_phones"),
+          nOf("<NUM>").as("n_nums"))
+        .orderBy("event_id")
     })
   )
 
@@ -1643,6 +1683,45 @@ object SparkEntry {
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_red,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // The five-rule chain replayed declaratively in RE2 over the same
+    // synthesized PII-rich text; audit counts are placeholder-occurrence
+    // arithmetic on the final string (literal replace — engine-identical).
+    "text_redact_pii" -> {
+      val full = "props || ' mail u' || CAST(event_id AS VARCHAR)" +
+        " || '@ex' || CAST(event_id % 7 AS VARCHAR)" +
+        " || '.com via http://h' || CAST(event_id % 5 AS VARCHAR)" +
+        " || '.io/p?q=' || CAST(event_id AS VARCHAR)" +
+        " || '&x=<y> ip ' || CAST(event_id % 256 AS VARCHAR)" +
+        " || '.' || CAST((event_id * 7) % 256 AS VARCHAR)" +
+        " || '.' || CAST((event_id * 13) % 256 AS VARCHAR)" +
+        " || '.' || CAST(event_id % 250 AS VARCHAR)" +
+        " || ' tel +49151' || CAST(1000000 + event_id % 1000000 AS VARCHAR)" +
+        " || ' alt ' || CAST(100 + event_id % 900 AS VARCHAR)" +
+        " || '-' || CAST(100 + (event_id * 3) % 900 AS VARCHAR)" +
+        " || '-' || CAST(1000 + event_id % 9000 AS VARCHAR)" +
+        " || ' ref ' || CAST(event_id * event_id AS VARCHAR)"
+      def nOf(p: String): String =
+        s"CAST((len(_red) - len(replace(_red, '$p', ''))) // ${p.length}" +
+          s" AS BIGINT)"
+      s"""WITH r AS (
+         |  SELECT event_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace($full,
+         |      '${graft.functions.PiiRedact.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.functions.PiiRedact.UrlRe}', '<URL>', 'g'),
+         |      '${graft.functions.PiiRedact.IpRe}', '<IP>', 'g'),
+         |      '${graft.functions.PiiRedact.PhoneRe}', '<PHONE>', 'g'),
+         |      '${graft.functions.PiiRedact.NumRe}', '<NUM>', 'g') AS _red
+         |  FROM events)
+         |SELECT event_id, _red AS props_red,
+         |  ${nOf("<EMAIL>")} AS n_emails,
+         |  ${nOf("<URL>")} AS n_urls,
+         |  ${nOf("<IP>")} AS n_ips,
+         |  ${nOf("<PHONE>")} AS n_phones,
+         |  ${nOf("<NUM>")} AS n_nums
+         |FROM r ORDER BY event_id""".stripMargin
+    },
 
     "sample_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (
