@@ -469,6 +469,28 @@ object SparkEntry {
             .as("bpe_md5"))
         .orderBy("doc_id")
     }),
+    // Unigram-LM (SentencePiece-style) tokenizer trainer — BPE's
+    // complement: over-complete substring seed, 2 integer-exact EM
+    // rounds (bit-quantized log scores, fixed Viterbi tie-break), prune
+    // to chars + top-256. The oracle replays seed -> both EM rounds ->
+    // prune digit-for-digit, Viterbi included (recursive CTEs).
+    "tok_train_unigram" -> ((s, dir) =>
+      graft.ops.Unigram.vocabDf(s, graft.ops.Unigram.train(docs(s, dir)))
+        .orderBy("piece")),
+    // ... the trained vocab MANAGED (the bpemerges precedent): trained
+    // once per corpus fingerprint, persisted; a warm call reads <=
+    // charset+256 parquet rows and runs zero training jobs.
+    "tok_train_unigram_managed" -> ((s, dir) =>
+      graft.ops.Unigram.vocabDf(s,
+        graft.ops.Unigram.vocabStore(s, docs(s, dir),
+          s"$dir/documents.parquet"))
+        .orderBy("piece")),
+    // ... and the vocab CONSUMED: per-doc unigram token counts, map-only
+    // (broadcast vocab, in-scan Viterbi) — trainer and tokenizer
+    // composed end-to-end, oracle-replayed end-to-end.
+    "text_token_count_unigram" -> ((s, dir) =>
+      graft.ops.Unigram.tokenCounts(docs(s, dir),
+        graft.ops.Unigram.train(docs(s, dir)))),
     "text_quality_score" -> ((s, dir) => TextAnalysis.qualityQuery(docs(s, dir))),
     // TRAINED quality classifier (graft.ops.QualityClassifier): hashed
     // word-unigram ratio features, Rocchio centroid init + damped batch
@@ -1222,6 +1244,40 @@ object SparkEntry {
          |SELECT CAST(rank AS BIGINT) AS rank, ma, mb FROM (
          |  ${bpeTrainSelect(40)}
          |) ORDER BY rank""".stripMargin),
+
+    // Unigram trainer replayed end to end: substring seed, both EM
+    // rounds (bit-quantized scores, the Viterbi recursion with its
+    // longest-piece tie-break), the prune — every count integer-exact.
+    "tok_train_unigram" -> ("WITH RECURSIVE " + unigramChain +
+      """
+        |SELECT p AS piece, cnt FROM uvocabf ORDER BY piece""".stripMargin),
+    // The managed row replays the same training (the store must be
+    // bit-identical to a fresh train — the bpemerges contract).
+    "tok_train_unigram_managed" -> ("WITH RECURSIVE " + unigramChain +
+      """
+        |SELECT p AS piece, cnt FROM uvocabf ORDER BY piece""".stripMargin),
+    // ... and the vocab consumed: a THIRD Viterbi pass under the final
+    // vocab, summed per document.
+    "text_token_count_unigram" -> ("WITH RECURSIVE " + unigramChain +
+      s""",
+         |usf AS MATERIALIZED (
+         |  SELECT p, CAST(length(bin(cnt + 1)) - 1 AS BIGINT) AS s
+         |  FROM uvocabf),
+         |ucf AS MATERIALIZED (
+         |  SELECT CAST(length(bin(SUM(cnt) + 1)) - 1 AS BIGINT) AS c
+         |  FROM uvocabf),
+         |${unigramViterbi("seg3", "usf", "ucf")},
+         |uplen AS MATERIALIZED (
+         |  SELECT w, CAST(len(p0) AS BIGINT) AS n FROM seg3
+         |  WHERE j = len(w)),
+         |udw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT d.doc_id, CAST(SUM(u.n) AS BIGINT) AS n_tokens
+         |FROM udw d JOIN uplen u ON u.w = d.w
+         |WHERE len(d.w) > 0
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
     // Trained-tokenizer composition: 12 training rounds replayed, the
     // replayed table fed into the encode chain as `bpem`.
@@ -4767,6 +4823,121 @@ object SparkEntry {
        |  FROM aen, aam
        |)""".stripMargin
   }
+
+  /** One Viterbi segmentation pass as a recursive CTE (requires the
+    * whole statement to open with WITH RECURSIVE): DP over word
+    * positions carrying the last [[graft.ops.Unigram.MaxPieceLen]]
+    * dp values AND best-path piece lists as columns (standard SQL
+    * forbids aggregation in the recursive term — the bounded-lookback
+    * state makes the max a `greatest` over four candidates). Tie-break
+    * = the CASE order: longest piece first —
+    * [[graft.ops.Unigram.segment]]'s loop order exactly. */
+  private def unigramViterbi(seg: String, score: String,
+                             cNorm: String): String = {
+    val g =
+      s"""greatest(
+         |      coalesce(d0 + s1.s - CC.c, -9223372036854775807),
+         |      coalesce(d1 + s2.s - CC.c, -9223372036854775807),
+         |      coalesce(d2 + s3.s - CC.c, -9223372036854775807),
+         |      coalesce(d3 + s4.s - CC.c, -9223372036854775807))""".stripMargin
+    s"""$seg AS (
+       |  SELECT w, freq, 0 AS j,
+       |    CAST(0 AS BIGINT) AS d0, CAST(NULL AS BIGINT) AS d1,
+       |    CAST(NULL AS BIGINT) AS d2, CAST(NULL AS BIGINT) AS d3,
+       |    []::VARCHAR[] AS p0, CAST(NULL AS VARCHAR[]) AS p1,
+       |    CAST(NULL AS VARCHAR[]) AS p2, CAST(NULL AS VARCHAR[]) AS p3
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT w, freq, j + 1,
+       |    $g AS nd, d0, d1, d2,
+       |    CASE
+       |      WHEN d3 IS NOT NULL AND s4.s IS NOT NULL
+       |           AND d3 + s4.s - CC.c = $g
+       |        THEN list_append(p3, substr(w, j - 2, 4))
+       |      WHEN d2 IS NOT NULL AND s3.s IS NOT NULL
+       |           AND d2 + s3.s - CC.c = $g
+       |        THEN list_append(p2, substr(w, j - 1, 3))
+       |      WHEN d1 IS NOT NULL AND s2.s IS NOT NULL
+       |           AND d1 + s2.s - CC.c = $g
+       |        THEN list_append(p1, substr(w, j, 2))
+       |      ELSE list_append(p0, substr(w, j + 1, 1))
+       |    END AS np,
+       |    p0, p1, p2
+       |  FROM $seg
+       |  LEFT JOIN $score s1 ON s1.p = substr($seg.w, $seg.j + 1, 1)
+       |  LEFT JOIN $score s2 ON $seg.j >= 1
+       |    AND s2.p = substr($seg.w, $seg.j, 2)
+       |  LEFT JOIN $score s3 ON $seg.j >= 2
+       |    AND s3.p = substr($seg.w, $seg.j - 1, 3)
+       |  LEFT JOIN $score s4 ON $seg.j >= 3
+       |    AND s4.p = substr($seg.w, $seg.j - 2, 4)
+       |  CROSS JOIN $cNorm CC
+       |  WHERE $seg.j < len($seg.w)
+       |)""".stripMargin
+  }
+
+  /** One unigram EM round as CTEs: bit-quantized scores from the
+    * incoming vocab, Viterbi re-segmentation, freq-weighted piece
+    * recount, chars kept (coverage) + zero-count multis dropped —
+    * [[graft.ops.Unigram.emRound]] digit-for-digit. MATERIALIZED is
+    * load-bearing: the score table is referenced four times per
+    * recursion level and the chain nests two rounds deep — inlining
+    * re-evaluates the whole upstream chain multiplicatively. */
+  private def unigramRound(r: Int, inVocab: String): String =
+    s"""us$r AS MATERIALIZED (
+       |  SELECT p, CAST(length(bin(cnt + 1)) - 1 AS BIGINT) AS s
+       |  FROM $inVocab),
+       |uc$r AS MATERIALIZED (
+       |  SELECT CAST(length(bin(SUM(cnt) + 1)) - 1 AS BIGINT) AS c
+       |  FROM $inVocab),
+       |${unigramViterbi(s"seg$r", s"us$r", s"uc$r")},
+       |upath$r AS MATERIALIZED (
+       |  SELECT w, freq, p0 AS path FROM seg$r WHERE j = len(w)),
+       |ucnt$r AS MATERIALIZED (
+       |  SELECT tt.pp AS p, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM upath$r, LATERAL (SELECT unnest(path) AS pp) tt
+       |  GROUP BY tt.pp),
+       |uvocab$r AS MATERIALIZED (
+       |  SELECT c.p, coalesce(u.cnt, 0) AS cnt
+       |  FROM uchars c LEFT JOIN ucnt$r u ON u.p = c.p
+       |  UNION ALL
+       |  SELECT u.p, u.cnt FROM ucnt$r u WHERE len(u.p) >= 2)""".stripMargin
+
+  /** The full unigram training chain (word freqs → substring seed →
+    * top-512 multi + all chars → 2 EM rounds → prune to chars +
+    * top-256), ending at `uvocabf` — [[graft.ops.Unigram.train]]
+    * replayed end to end. Callers must prepend WITH RECURSIVE. */
+  private def unigramChain: String =
+    s"""uw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |useed AS MATERIALIZED (
+       |  SELECT substr(uw.w, ii.i, ll.l) AS p,
+       |    CAST(SUM(uw.freq) AS BIGINT) AS cnt
+       |  FROM uw,
+       |    LATERAL (SELECT unnest(range(1, len(uw.w) + 1)) AS i) ii,
+       |    LATERAL (SELECT unnest(
+       |      range(1, least(4, len(uw.w) - ii.i + 1) + 1)) AS l) ll
+       |  GROUP BY p),
+       |uchars AS MATERIALIZED (
+       |  SELECT p, cnt FROM useed WHERE len(p) = 1),
+       |uvocab0 AS MATERIALIZED (
+       |  SELECT p, cnt FROM uchars
+       |  UNION ALL
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt FROM useed WHERE len(p) >= 2
+       |    ORDER BY cnt DESC, p LIMIT ${graft.ops.Unigram.SeedMulti}) s),
+       |${unigramRound(1, "uvocab0")},
+       |${unigramRound(2, "uvocab1")},
+       |uvocabf AS MATERIALIZED (
+       |  SELECT p, cnt FROM uvocab2 WHERE len(p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt FROM uvocab2 WHERE len(p) >= 2
+       |    ORDER BY cnt DESC, p LIMIT ${graft.ops.Unigram.FinalMulti}) s)"""
+      .stripMargin
 
   /** AVI-lake coefficient CTEs (no leading WITH): class dial `cm` from
     * `cmCte`, then the lin/quad pixel coefficients and the watermark
