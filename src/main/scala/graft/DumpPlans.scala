@@ -117,7 +117,14 @@ object DumpPlans {
     // show might_contain in the probe scan's filter (prefilter BEFORE
     // the verify join's shuffle) and zero gram-side broadcast; acoustic
     // near-dup must ride the pinned banding with decode+print map-side
-    "text_lm_score", "text_decontaminate_bloom", "mm_dedup_audio_auto")
+    "text_lm_score", "text_decontaminate_bloom", "mm_dedup_audio_auto",
+    // round-19: video near-dup must ride the same pinned banding with
+    // the AVI decode + majority-dHash print map-side (only the 8-byte
+    // print shuffles); the PII scrub must be a zero-exchange map-only
+    // plan beyond the output sort (one kernel projection, no regex,
+    // no join); the unigram consumer must be map-only over a broadcast
+    // vocab (no corpus-side join; training jobs run at construction)
+    "mm_dedup_video_auto", "text_redact_pii", "text_token_count_unigram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1072,7 +1072,10 @@ class OpsSpec extends SparkSuite {
     // byte-level dedup sees four DISTINCT assets — the blind spot
     assert(dedupBinary(media).count() == 4)
     // the managed facade: same pairs, plus a cleanup thunk that must
-    // unpersist the interior signature cache (cache-lifetime contract)
+    // unpersist the interior signature cache (cache-lifetime contract).
+    // Start from a clean cache: earlier tests in the shared session may
+    // have live entries, which would mask the isEmpty assertions.
+    spark.catalog.clearCache()
     val (pairsDf, cleanup) = dedupAudioManaged(media, maxDist = 3)
     val pairs = pairsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -1154,6 +1157,7 @@ class OpsSpec extends SparkSuite {
         0L)).toDS()
     // byte-level dedup sees four DISTINCT assets — the blind spot
     assert(dedupBinary(media).count() == 4)
+    spark.catalog.clearCache() // clean slate for the isEmpty assertions
     val (pairsDf, cleanup) = dedupVideoManaged(media, maxDist = 3)
     val pairs = pairsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
