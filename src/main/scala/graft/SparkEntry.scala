@@ -4508,6 +4508,19 @@ object SparkEntry {
         Multimodal.videoLake(s, dir, math.max(64L, n / 16)), 3)
     }),
 
+    // REAL feature extraction over the MIXED lake (all three modalities
+    // unioned, dispatch by payload sniffing): image gray histogram,
+    // audio frame energies, video frame brightness — one fixed-width
+    // integer vector per asset, every cell oracle-recomputed from the
+    // lake arithmetic. The "one API over a heterogeneous media crawl"
+    // shape; supersedes the mm_feature_extract stub for real payloads.
+    "mm_feature_extract_real" -> ((s, dir) =>
+      Multimodal.extractFeaturesReal(Multimodal.mixedLake(s, dir)).toDF()
+        .select(col("media_id"), col("modality"), col("ok"),
+          md5(concat_ws(",", col("feature").cast("array<string>")))
+            .as("feat_md5"))
+        .orderBy("modality", "media_id")),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4731,6 +4744,39 @@ object SparkEntry {
       s""", ${audioSigCtes}
          |SELECT doc_id AS media_id, CAST(fp AS BIGINT) AS fp
          |FROM asig ORDER BY media_id""".stripMargin),
+
+    // Mixed-lake real features: all three modalities' vectors
+    // recomputed symbolically (image histogram over (id·31+i) mod 256,
+    // audio energies over the asmp sample lists incl. the 2x-upsample
+    // index map, video brightness over the frame pixel formula).
+    "mm_feature_extract_real" -> ("WITH " + audioCtes("SELECT 64 AS cm") +
+      ", " + videoCtes("SELECT 64 AS cm") +
+      s""",
+         |fimg AS (
+         |  SELECT doc_id AS media_id, 'image' AS modality, true AS ok,
+         |    md5(array_to_string(list_transform(range(0, 8), b ->
+         |      len(list_filter(range(0, 96), i ->
+         |        ((doc_id * 31 + i) % 256) // 32 = b))), ',')) AS feat_md5
+         |  FROM documents),
+         |faud AS (
+         |  SELECT doc_id AS media_id, 'audio' AS modality, true AS ok,
+         |    md5(array_to_string(list_transform(range(0, 8), f ->
+         |      list_aggregate(list_transform(range(0, 32), k ->
+         |        CASE WHEN doc_id % 3 = 0
+         |          THEN s[(f * 32 + k) // 2 + 1] * s[(f * 32 + k) // 2 + 1]
+         |          ELSE s[f * 32 + k + 1] * s[f * 32 + k + 1]
+         |        END), 'sum')), ',')) AS feat_md5
+         |  FROM asmp),
+         |fvid AS (
+         |  SELECT doc_id AS media_id, 'video' AS modality, true AS ok,
+         |    md5(array_to_string(list_transform(range(0, 8), q ->
+         |      list_aggregate(list_transform(range(0, 96), i ->
+         |        ${videoPx(videoBaseFrame("q"), "i")}), 'sum')), ','))
+         |      AS feat_md5
+         |  FROM vvb)
+         |SELECT * FROM fimg UNION ALL SELECT * FROM faud
+         |UNION ALL SELECT * FROM fvid
+         |ORDER BY modality, media_id""".stripMargin),
 
     // Symbolic replay of the AVI lake: every pixel of every payload
     // frame recomputed from the synthesis arithmetic (watermark slot,

@@ -1136,6 +1136,82 @@ object Multimodal {
     Dedup.hammingPairsFromSig(sig, 64, maxDist)
   }
 
+  /** A mixed media lake: the three synthetic lakes (BMP images, WAV
+    * audio, AVI video) unioned — the heterogeneous-asset shape a real
+    * 100 TB media crawl has. ids repeat across modalities; rows key by
+    * (modality, media_id). */
+  def mixedLake(spark: SparkSession, sfDir: String): Dataset[MediaRecord] =
+    syntheticImageLake(spark, sfDir)
+      .unionByName(audioLake(spark, sfDir))
+      .unionByName(videoLake(spark, sfDir))
+
+  final case class RealFeatures(
+      media_id: Long, modality: String, feature: Array[Long], ok: Boolean)
+
+  /** REAL feature extraction over the mixed lake — [[extractFeatures]]'
+    * contract with genuine decoders behind it, one fixed-width integer
+    * feature vector (8 longs) per asset, dispatched by payload sniffing
+    * (RIFF/WAVE → PCM energies, RIFF/AVI → frame brightness, anything
+    * ImageIO reads → gray histogram):
+    *
+    *   - image: 8-bin histogram of decoded gray values (bin = v / 32)
+    *   - audio: first 8 frame energies (Σ s² over 32-sample frames) of
+    *     the decoded stream at its native rate
+    *   - video: per-frame brightness (Σ gray) of the first 8 payload
+    *     frames
+    *
+    * Integer features end to end, so the oracle recomputes all three
+    * modalities symbolically from the lake arithmetic. One
+    * iterator-to-iterator pass; only the 64-byte vector leaves the
+    * scan. Undecodable payloads survive as ok = false. */
+  def extractFeaturesReal(media: Dataset[MediaRecord]): Dataset[RealFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = featuresOf(r.payload)
+        RealFeatures(r.media_id, r.modality,
+          f.getOrElse(Array.empty[Long]), ok = f.isDefined)
+      }
+    }
+  }
+
+  private def featuresOf(payload: Array[Byte]): Option[Array[Long]] = {
+    if (payload == null || payload.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val isRiff = payload.length >= 12 && bb.getInt(0) == 0x46464952
+    if (isRiff && bb.getInt(8) == 0x45564157) { // WAVE: frame energies
+      AudioCodec.decodePcm16(payload).flatMap { case (_, s) =>
+        if (s.length < 8 * FrameLen) None
+        else Some(Array.tabulate(8) { f =>
+          var acc = 0L
+          var k = 0
+          while (k < FrameLen) {
+            val v = s(f * FrameLen + k).toLong; acc += v * v; k += 1
+          }
+          acc
+        })
+      }
+    } else if (isRiff && bb.getInt(8) == 0x20495641) { // AVI : brightness
+      VideoCodec.parseAvi(payload).flatMap { case (_, _, _, frames) =>
+        if (frames.length < 8) None
+        else Some(Array.tabulate(8) { f =>
+          var acc = 0L
+          var i = 0
+          while (i < frames(f).length) { acc += frames(f)(i); i += 1 }
+          acc
+        })
+      }
+    } else { // image: gray histogram
+      ImageCodec.decodeGray(payload).map { case (_, _, g) =>
+        val h = new Array[Long](8)
+        var i = 0
+        while (i < g.length) { h(g(i) / 32) += 1; i += 1 }
+        h
+      }
+    }
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =

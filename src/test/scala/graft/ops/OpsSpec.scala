@@ -1174,6 +1174,40 @@ class OpsSpec extends SparkSuite {
       s"unrelated clip must not pair: $pairs")
   }
 
+  test("extractFeaturesReal dispatches by payload sniffing (RIFF/WAVE -> " +
+    "energies, RIFF/AVI -> brightness, BMP -> histogram) and survives " +
+    "corrupt payloads as ok=false") {
+    import graft.ops.Multimodal._
+    val gray = Array.tabulate(ImageW * ImageH)(i => (i * 7) % 256)
+    val bmp = ImageCodec.encodeGrayBmp(ImageW, ImageH, gray)
+    val wav = AudioCodec.encodePcmWav(8000,
+      Array.tabulate(FrameLen * 8)(i => ((i * 31) % 4096 - 2048).toShort))
+    val avi = VideoCodec.encodeAviDib(ImageW, ImageH, 10,
+      Array.tabulate(8)(f => Array.tabulate(ImageW * ImageH)(i =>
+        (f + i) % 256)))
+    val media = Seq(
+      MediaRecord(0L, "image", "bmp", bmp, 0L),
+      MediaRecord(1L, "audio", "wav", wav, 0L),
+      MediaRecord(2L, "video", "avi", avi, 0L),
+      MediaRecord(3L, "image", "bmp", Array[Byte](1, 2, 3), 0L)).toDS()
+    val f = extractFeaturesReal(media).collect().sortBy(_.media_id)
+    // image: 8-bin histogram sums to the pixel count
+    assert(f(0).ok && f(0).feature.sum == ImageW * ImageH)
+    assert(f(0).feature.toSeq ==
+      gray.groupBy(_ / 32).toSeq.sortBy(_._1).map(_._2.length.toLong))
+    // audio: 8 frame energies, each the sum of 32 squares
+    val s0 = Array.tabulate(FrameLen * 8)(i => ((i * 31) % 4096 - 2048).toLong)
+    assert(f(1).ok && f(1).feature.toSeq ==
+      (0 until 8).map(fr =>
+        (0 until FrameLen).map(k => s0(fr * FrameLen + k) *
+          s0(fr * FrameLen + k)).sum))
+    // video: per-frame brightness
+    assert(f(2).ok && f(2).feature.toSeq ==
+      (0 until 8).map(fr =>
+        (0 until ImageW * ImageH).map(i => ((fr + i) % 256).toLong).sum))
+    assert(!f(3).ok && f(3).feature.isEmpty)
+  }
+
   test("substringRuns: merges anchor windows into ONE maximal run with " +
     "exact positions/length; short docs emit nothing; k bound enforced") {
     val run = "a b c d e f g h i j" // 10 shared tokens
