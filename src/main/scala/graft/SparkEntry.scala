@@ -4521,6 +4521,18 @@ object SparkEntry {
             .as("feat_md5"))
         .orderBy("modality", "media_id")),
 
+    // Incremental media near-dup: odd-id assets (the "new batch") pair
+    // against even-id assets (the "existing corpus") whose prints are
+    // served from the persisted mediafp store — built on first run,
+    // parquet after, so repeat batches never re-decode the old corpus.
+    // One cross-corpus banded Hamming join with modality on the key
+    // covers audio + video at once; auto-dialed classes.
+    "mm_dedup_media_incremental" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      // odd dial: see dedupMediaIncremental's parity note
+      Multimodal.dedupMediaIncremental(s, dir, math.max(63L, (n / 16) | 1L))
+    }),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4777,6 +4789,37 @@ object SparkEntry {
          |SELECT * FROM fimg UNION ALL SELECT * FROM faud
          |UNION ALL SELECT * FROM fvid
          |ORDER BY modality, media_id""".stripMargin),
+
+    // Incremental cross-corpus pairing: audio + video prints recomputed
+    // symbolically for ALL docs, then every (even, odd) pair within
+    // Hamming 3 per modality — the Spark side's store detour must be
+    // invisible in the result (store build == fresh prints).
+    "mm_dedup_media_incremental" -> ("WITH " +
+      audioCtes(
+        "SELECT greatest(63, (count(*) // 16) | 1) AS cm FROM documents") +
+      s", $audioSigCtes, " +
+      videoCtes(
+        "SELECT greatest(63, (count(*) // 16) | 1) AS cm FROM documents") +
+      s", $videoSigCtes" +
+      """
+        |, mps AS (
+        |  SELECT 'audio' AS modality, doc_id, CAST(fp AS BIGINT) AS fp
+        |  FROM asig
+        |  UNION ALL
+        |  SELECT 'video' AS modality, doc_id, CAST(fp AS BIGINT) AS fp
+        |  FROM vsig),
+        |mch AS (
+        |  SELECT modality, doc_id, fp, cc.c,
+        |         (fp >> (cc.c * 16)) & 65535 AS ckey
+        |  FROM mps, LATERAL (SELECT unnest([0, 1, 2, 3]) AS c) cc)
+        |SELECT DISTINCT a.modality AS modality, a.doc_id AS d1,
+        |  b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM mch a JOIN mch b
+        |  ON a.modality = b.modality AND a.c = b.c AND a.ckey = b.ckey
+        |  AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY modality, d1, d2""".stripMargin),
 
     // Symbolic replay of the AVI lake: every pixel of every payload
     // frame recomputed from the synthesis arithmetic (watermark slot,

@@ -428,6 +428,55 @@ object Dedup {
     (pairs, () => { sig.unpersist(); () })
   }
 
+  /** Cross-corpus banded Hamming pairing — [[hammingPairsFromSig]]'s
+    * topology with the self-join replaced by an old×new join: every
+    * (old, new) pair within `maxDist`, orientation FIXED d1 = old id,
+    * d2 = new id (the [[crossCorpusPairs]] incremental convention; no
+    * old-old or new-new pairs). Both sides carry (`keys`…, doc_id,
+    * simhash) — `keys` (e.g. a modality column) ride every join, so one
+    * call pairs a heterogeneous print table per family. Same scale
+    * shape: distinct-signature chunk banding (pigeonhole-complete at
+    * maxDist < chunks), both corpus-bound sides merge-pinned, sig
+    * tables cached pre-partitioned on the join key; the cleanup thunk
+    * unpersists both. */
+  private[graft] def crossHammingPairs(oldSig0: DataFrame,
+      newSig0: DataFrame, bits: Int, maxDist: Int,
+      keys: Seq[String] = Nil): (DataFrame, () => Unit) = {
+    require(maxDist < SimhashChunks,
+      s"crossHammingPairs: maxDist must be < $SimhashChunks, got $maxDist")
+    val chunkBits = bits / SimhashChunks
+    val chunkMask = (1L << chunkBits) - 1
+    val kc = keys.map(col)
+    val oldSig = oldSig0.repartition(col("simhash")).cache()
+    val newSig = newSig0.repartition(col("simhash")).cache()
+    def chunksOf(sig: DataFrame) =
+      sig.select(kc :+ col("simhash"): _*).distinct()
+        .select(kc ++ Seq(col("simhash"),
+          explode(sequence(lit(0), lit(SimhashChunks - 1))).as("chunk")): _*)
+        .withColumn("ckey",
+          expr(s"shiftright(simhash, chunk * $chunkBits) & $chunkMask"))
+    val joinCond = (keys ++ Seq("chunk", "ckey"))
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val sigPairs = chunksOf(oldSig).as("a")
+      .join(chunksOf(newSig).as("b").hint("SHUFFLE_MERGE"), joinCond)
+      .select(keys.map(k => col(s"a.$k")) ++
+        Seq(col("a.simhash").as("s1"), col("b.simhash").as("s2")): _*)
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
+      .where(col("hamming") <= maxDist)
+    val out = sigPairs
+      .join(oldSig.select(kc ++ Seq(col("simhash").as("s1"),
+        col("doc_id").as("d1")): _*).hint("SHUFFLE_MERGE"),
+        keys :+ "s1")
+      .join(newSig.select(kc ++ Seq(col("simhash").as("s2"),
+        col("doc_id").as("d2")): _*).hint("SHUFFLE_MERGE"),
+        keys :+ "s2")
+      .select(kc ++ Seq(col("d1"), col("d2"), col("hamming")): _*)
+      .orderBy(kc ++ Seq(col("d1"), col("d2")): _*)
+    (out, () => { oldSig.unpersist(); newSig.unpersist(); () })
+  }
+
   /** Connected components over a near-dup pair graph — the final step of a
     * dedup pipeline: transitively-linked docs form one cluster; the keeper
     * is the cluster's minimum doc_id.

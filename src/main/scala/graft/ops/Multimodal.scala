@@ -1212,6 +1212,57 @@ object Multimodal {
     }
   }
 
+  /** The 64-bit print table of a media batch over the print-bearing
+    * modalities: (modality, media_id, fp) — audio energy-delta prints +
+    * video majority-dHash prints, each the fused map pass of its
+    * fingerprint operator. */
+  def mediaPrints(audio: Dataset[MediaRecord],
+                  video: Dataset[MediaRecord]): DataFrame =
+    audioFingerprints(audio)
+      .select(lit("audio").as("modality"), col("media_id"), col("fp"))
+      .unionByName(videoFingerprints(video)
+        .select(lit("video").as("modality"), col("media_id"), col("fp")))
+
+  /** Incremental media near-dup — the [[Dedup.crossCorpusPairs]]
+    * pattern on the perceptual axis: a NEW batch of assets pairs
+    * against the EXISTING corpus, whose prints come from a persisted
+    * [[FingerprintStore]] family (`mediafp`) — built on first run,
+    * served from parquet after, so repeat batches never re-decode the
+    * old corpus (at 100 TB: the daily-crawl shape — decode cost is paid
+    * once per asset, ever). Orientation fixed d1 = old, d2 = new;
+    * pairing is the cross-corpus banded Hamming join with modality
+    * riding the join key ([[Dedup.crossHammingPairs]]), so one call
+    * covers the heterogeneous lake. The parity filters run BEFORE
+    * decode — only the new batch pays fingerprinting on a warm store. */
+  def dedupMediaIncremental(spark: SparkSession, sfDir: String,
+      classMod: Long = 63L, maxDist: Int = 3,
+      storeRoot: Option[String] = None): DataFrame = {
+    // the class dial must be ODD: with an even modulus every member of a
+    // class shares the parity of its base (c, c+m, c+2m ... all ≡ c mod
+    // 2), so the even/old–odd/new split would never place a copy of an
+    // old asset in the new batch and the row would measure only
+    // accidental cross-class collisions. An odd modulus alternates
+    // parity down each class — the re-uploaded-asset structure the
+    // incremental operator exists to catch.
+    require(classMod % 2 == 1,
+      s"dedupMediaIncremental: classMod must be odd, got $classMod")
+    def prints(parity: Int): DataFrame = mediaPrints(
+      audioLake(spark, sfDir, classMod)
+        .filter(col("media_id") % 2 === parity),
+      videoLake(spark, sfDir, classMod)
+        .filter(col("media_id") % 2 === parity))
+    // the dial is part of the store key: the same corpus under a
+    // different classMod synthesizes different payloads (the
+    // CodeStoreVersion staleness contract)
+    val oldPrints = FingerprintStore.getOrBuild(spark,
+      s"$sfDir/documents.parquet", "mediafp", s"v1-av-even-m$classMod",
+      storeRoot)(prints(0))
+    def asSig(df: DataFrame): DataFrame = df.select(col("modality"),
+      col("media_id").as("doc_id"), col("fp").as("simhash"))
+    Dedup.crossHammingPairs(asSig(oldPrints), asSig(prints(1)),
+      64, maxDist, Seq("modality"))._1
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =

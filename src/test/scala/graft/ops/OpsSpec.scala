@@ -1174,6 +1174,34 @@ class OpsSpec extends SparkSuite {
       s"unrelated clip must not pair: $pairs")
   }
 
+  test("dedupMediaIncremental: new-batch assets pair against the stored " +
+    "old-corpus prints with fixed old->new orientation across both " +
+    "modalities; a warm store reproduces the cold run exactly") {
+    import graft.ops.Multimodal._
+    val src = java.nio.file.Files
+      .createTempDirectory("media-incr").toString
+    // 130 docs with the ODD dial 63: ids c and c+63 share a class with
+    // OPPOSITE parity, so every odd/new asset has an even/old classmate
+    // (the re-uploaded-asset structure); evens are "old", odds "new"
+    spark.range(0, 130).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val root = Some(s"$src/store")
+    val cold = dedupMediaIncremental(spark, src, 63L, 3, root).collect()
+    val warm = dedupMediaIncremental(spark, src, 63L, 3, root).collect()
+    assert(cold.map(_.toString).sorted.toSeq ==
+      warm.map(_.toString).sorted.toSeq,
+      "warm store must reproduce the cold run")
+    assert(cold.nonEmpty, "class-sharing ids must produce cross pairs")
+    cold.foreach { r =>
+      assert(r.getLong(1) % 2 == 0 && r.getLong(2) % 2 == 1,
+        s"orientation must be d1=old(even), d2=new(odd): $r")
+      assert(r.getLong(3) <= 3)
+      assert(Set("audio", "video")(r.getString(0)))
+    }
+    // both modalities represented (same doc ids print in both lakes)
+    assert(cold.map(_.getString(0)).toSet == Set("audio", "video"))
+  }
+
   test("extractFeaturesReal dispatches by payload sniffing (RIFF/WAVE -> " +
     "energies, RIFF/AVI -> brightness, BMP -> histogram) and survives " +
     "corrupt payloads as ok=false") {
