@@ -4790,10 +4790,10 @@ object SparkEntry {
          |UNION ALL SELECT * FROM fvid
          |ORDER BY modality, media_id""".stripMargin),
 
-    // Incremental cross-corpus pairing: audio + video prints recomputed
-    // symbolically for ALL docs, then every (even, odd) pair within
-    // Hamming 3 per modality — the Spark side's store detour must be
-    // invisible in the result (store build == fresh prints).
+    // Incremental cross-corpus pairing: image + audio + video prints
+    // recomputed symbolically for ALL docs, then every (even, odd) pair
+    // within Hamming 3 per modality — the Spark side's store detour
+    // must be invisible in the result (store build == fresh prints).
     "mm_dedup_media_incremental" -> ("WITH " +
       audioCtes(
         "SELECT greatest(63, (count(*) // 16) | 1) AS cm FROM documents") +
@@ -4801,8 +4801,42 @@ object SparkEntry {
       videoCtes(
         "SELECT greatest(63, (count(*) // 16) | 1) AS cm FROM documents") +
       s", $videoSigCtes" +
+      // image dHash under the same odd dial (the phashLakeScaled
+      // arithmetic — spatial 2x upscale for doc_id % 3 = 0, watermark
+      // slot, 9x8 resample, neighbor-compare bits); cm rides in from
+      // the audio branch's aac
+      s""",
+         |pm AS (SELECT ${graft.ops.Quantization.signMasks(64)
+          .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")} AS ms),
+         |pg AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(0, 72), j ->
+         |        (j // 9) * 12 +
+         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
+         |             ELSE (j % 9) * 12 // 9 END),
+         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
+         |                 THEN (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl
+         |                       + 128) % 256
+         |                 ELSE (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl)
+         |                      % 256 END) AS g
+         |  FROM documents, aac
+         |),
+         |psig AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, 64),
+         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
+         |                     g[(j // 8) * 9 + (j % 8) + 1]
+         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
+         |  FROM pg, pm
+         |)""".stripMargin +
       """
         |, mps AS (
+        |  SELECT 'image' AS modality, doc_id, CAST(ph AS BIGINT) AS fp
+        |  FROM psig
+        |  UNION ALL
         |  SELECT 'audio' AS modality, doc_id, CAST(fp AS BIGINT) AS fp
         |  FROM asig
         |  UNION ALL

@@ -417,12 +417,19 @@ object Multimodal {
     * catches byte-identical assets only — a re-encoded or resized
     * duplicate sails through it and is caught here. */
   def dedupPhash(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
-    val sig = resizeImages(media, PhashW + 1, PhashH).toDF()
-      .where(col("ok"))
-      .select(col("media_id").as("doc_id"), dhash64(col("gray")).as("simhash"))
+    val sig = imagePrints(media)
+      .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
     val (pairs, _) = Dedup.hammingPairsFromSig(sig, 64, maxDist)
     pairs
   }
+
+  /** (media_id, fp) per decodable image: REAL decode → 9x8 resample →
+    * 64-bit dHash — [[dedupPhash]]'s signature stage, factored out for
+    * the mixed print table. */
+  def imagePrints(media: Dataset[MediaRecord]): DataFrame =
+    resizeImages(media, PhashW + 1, PhashH).toDF()
+      .where(col("ok"))
+      .select(col("media_id"), dhash64(col("gray")).as("fp"))
 
   // ------------------------------------------------------------------
   // Real audio decode (pure JVM, javax.sound.sampled) — no stub. The
@@ -1212,14 +1219,17 @@ object Multimodal {
     }
   }
 
-  /** The 64-bit print table of a media batch over the print-bearing
-    * modalities: (modality, media_id, fp) — audio energy-delta prints +
-    * video majority-dHash prints, each the fused map pass of its
-    * fingerprint operator. */
-  def mediaPrints(audio: Dataset[MediaRecord],
+  /** The 64-bit print table of a media batch over ALL THREE modalities:
+    * (modality, media_id, fp) — image dHash prints, audio energy-delta
+    * prints, video majority-dHash prints, each the fused map pass of
+    * its fingerprint operator. */
+  def mediaPrints(images: Dataset[MediaRecord],
+                  audio: Dataset[MediaRecord],
                   video: Dataset[MediaRecord]): DataFrame =
-    audioFingerprints(audio)
-      .select(lit("audio").as("modality"), col("media_id"), col("fp"))
+    imagePrints(images)
+      .select(lit("image").as("modality"), col("media_id"), col("fp"))
+      .unionByName(audioFingerprints(audio)
+        .select(lit("audio").as("modality"), col("media_id"), col("fp")))
       .unionByName(videoFingerprints(video)
         .select(lit("video").as("modality"), col("media_id"), col("fp")))
 
@@ -1247,6 +1257,8 @@ object Multimodal {
     require(classMod % 2 == 1,
       s"dedupMediaIncremental: classMod must be odd, got $classMod")
     def prints(parity: Int): DataFrame = mediaPrints(
+      phashLakeScaled(spark, sfDir, classMod)
+        .filter(col("media_id") % 2 === parity),
       audioLake(spark, sfDir, classMod)
         .filter(col("media_id") % 2 === parity),
       videoLake(spark, sfDir, classMod)
@@ -1255,7 +1267,7 @@ object Multimodal {
     // different classMod synthesizes different payloads (the
     // CodeStoreVersion staleness contract)
     val oldPrints = FingerprintStore.getOrBuild(spark,
-      s"$sfDir/documents.parquet", "mediafp", s"v1-av-even-m$classMod",
+      s"$sfDir/documents.parquet", "mediafp", s"v2-iav-even-m$classMod",
       storeRoot)(prints(0))
     def asSig(df: DataFrame): DataFrame = df.select(col("modality"),
       col("media_id").as("doc_id"), col("fp").as("simhash"))

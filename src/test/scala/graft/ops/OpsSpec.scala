@@ -1175,8 +1175,8 @@ class OpsSpec extends SparkSuite {
   }
 
   test("dedupMediaIncremental: new-batch assets pair against the stored " +
-    "old-corpus prints with fixed old->new orientation across both " +
-    "modalities; a warm store reproduces the cold run exactly") {
+    "old-corpus prints with fixed old->new orientation across all three " +
+    "modalities (image dHash, audio, video); warm store == cold run") {
     import graft.ops.Multimodal._
     val src = java.nio.file.Files
       .createTempDirectory("media-incr").toString
@@ -1196,10 +1196,11 @@ class OpsSpec extends SparkSuite {
       assert(r.getLong(1) % 2 == 0 && r.getLong(2) % 2 == 1,
         s"orientation must be d1=old(even), d2=new(odd): $r")
       assert(r.getLong(3) <= 3)
-      assert(Set("audio", "video")(r.getString(0)))
+      assert(Set("image", "audio", "video")(r.getString(0)))
     }
-    // both modalities represented (same doc ids print in both lakes)
-    assert(cold.map(_.getString(0)).toSet == Set("audio", "video"))
+    // all three modalities represented (same doc ids print in each lake)
+    assert(cold.map(_.getString(0)).toSet ==
+      Set("image", "audio", "video"))
   }
 
   test("extractFeaturesReal dispatches by payload sniffing (RIFF/WAVE -> " +
