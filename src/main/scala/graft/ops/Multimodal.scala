@@ -1233,6 +1233,30 @@ object Multimodal {
       .unionByName(videoFingerprints(video)
         .select(lit("video").as("modality"), col("media_id"), col("fp")))
 
+  /** [[mediaPrints]] over a HETEROGENEOUS batch, routed by the batch's
+    * own modality metadata (the MIME-type column a real lake carries). */
+  def mediaPrintsMixed(media: Dataset[MediaRecord]): DataFrame =
+    mediaPrints(media.filter(_.modality == "image"),
+      media.filter(_.modality == "audio"),
+      media.filter(_.modality == "video"))
+
+  /** Pair a NEW media batch against an EXISTING print table
+    * (modality, media_id, fp) — the micro-batch form of
+    * [[dedupMediaIncremental]]: `foreachBatch` calls this per batch
+    * against the stored prints and never re-decodes the old corpus.
+    * Output (modality, d1 = old id, d2 = new id, hamming). */
+  def dedupMediaAgainst(newMedia: Dataset[MediaRecord],
+      oldPrints: DataFrame, maxDist: Int = 3): DataFrame =
+    pairPrints(oldPrints, mediaPrintsMixed(newMedia), maxDist)
+
+  private def pairPrints(oldPrints: DataFrame, newPrints: DataFrame,
+                         maxDist: Int): DataFrame = {
+    def asSig(df: DataFrame): DataFrame = df.select(col("modality"),
+      col("media_id").as("doc_id"), col("fp").as("simhash"))
+    Dedup.crossHammingPairs(asSig(oldPrints), asSig(newPrints),
+      64, maxDist, Seq("modality"))._1
+  }
+
   /** Incremental media near-dup — the [[Dedup.crossCorpusPairs]]
     * pattern on the perceptual axis: a NEW batch of assets pairs
     * against the EXISTING corpus, whose prints come from a persisted
@@ -1269,10 +1293,7 @@ object Multimodal {
     val oldPrints = FingerprintStore.getOrBuild(spark,
       s"$sfDir/documents.parquet", "mediafp", s"v2-iav-even-m$classMod",
       storeRoot)(prints(0))
-    def asSig(df: DataFrame): DataFrame = df.select(col("modality"),
-      col("media_id").as("doc_id"), col("fp").as("simhash"))
-    Dedup.crossHammingPairs(asSig(oldPrints), asSig(prints(1)),
-      64, maxDist, Seq("modality"))._1
+    pairPrints(oldPrints, prints(1), maxDist)
   }
 
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,

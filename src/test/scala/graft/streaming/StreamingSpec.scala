@@ -574,6 +574,80 @@ class StreamingSpec extends SparkSuite {
       "streamed twin of a training doc must reproduce its batch score")
   }
 
+  test("streaming media near-dup: micro-batches of mixed-modality assets " +
+    "pair against the stored print table; two batches reproduce the " +
+    "batch-mode pairs; the old corpus is never re-decoded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Multimodal._
+    // deterministic assets (the dedupAudio/dedupVideo fixtures): one
+    // old asset per modality, new batches carrying a re-encoded copy of
+    // each plus novel content
+    def audioClip(base: Long, up: Boolean): Array[Byte] = {
+      val lin = (base % 4096) * 7 + 3; val quad = 13 + base / 4096
+      val s0 = Array.tabulate(AudioLen)(i =>
+        ((lin * i + quad * i.toLong * i) % 4096 - 2048).toShort)
+      if (up) AudioCodec.encodePcmWav(AudioRate * 2,
+        Array.tabulate(AudioLen * 2)(j => s0(j / 2)))
+      else AudioCodec.encodePcmWav(AudioRate, s0)
+    }
+    def videoClip(base: Long, up: Boolean): Array[Byte] = {
+      val lin = (base % 256) * 37; val quad = 11 + base / 256
+      val fs = Array.tabulate(VideoFrames)(f =>
+        Array.tabulate(ImageW * ImageH)(i =>
+          ((lin * i + quad * i.toLong * i + 29L * f) % 256).toInt))
+      if (up) VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps * 2,
+        Array.tabulate(VideoFrames * 2)(q => fs(q / 2)))
+      else VideoCodec.encodeAviDib(ImageW, ImageH, VideoFps, fs)
+    }
+    def image(base: Long, perturbAt: Int): Array[Byte] = {
+      val g = Array.tabulate(ImageW * ImageH)(i =>
+        ((base * 37 * i + i * i * 11) % 256).toInt)
+      if (perturbAt >= 0) g(perturbAt) = (g(perturbAt) + 128) % 256
+      ImageCodec.encodeGrayBmp(ImageW, ImageH, g)
+    }
+    val oldMedia = Seq(
+      MediaRecord(0L, "audio", "wav", audioClip(1, up = false), 0L),
+      MediaRecord(2L, "video", "avi", videoClip(1, up = false), 0L),
+      MediaRecord(4L, "image", "bmp", image(1, -1), 0L)).toDS()
+    val stored = mediaPrintsMixed(oldMedia).cache()
+    stored.count() // the "store": prints materialized once, up front
+    val out = tmpDir("streammedia-out")
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRecord]
+    val stream = MemoryStream[MediaRecord](enc, spark)
+    val query = stream.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[MediaRecord],
+                       _: Long) =>
+        dedupMediaAgainst(batch, stored)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    val b1 = Seq(
+      MediaRecord(101L, "audio", "wav", audioClip(1, up = true), 0L),
+      MediaRecord(102L, "audio", "wav", audioClip(7, up = false), 0L))
+    val b2 = Seq(
+      MediaRecord(103L, "video", "avi", videoClip(1, up = true), 0L),
+      MediaRecord(104L, "image", "bmp", image(1, 40), 0L))
+    stream.addData(b1: _*); query.processAllAvailable()
+    stream.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batchTwin = dedupMediaAgainst((b1 ++ b2).toDS(), stored).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+    // re-encoded copies surface per modality; novel content does not
+    assert(streamed.contains(("audio", 0L, 101L, 0L)), streamed)
+    assert(streamed.contains(("video", 2L, 103L, 0L)), streamed)
+    assert(streamed.exists(p =>
+      p._1 == "image" && p._2 == 4L && p._3 == 104L && p._4 <= 2L), streamed)
+    assert(!streamed.exists(_._3 == 102L), "novel clip must not pair")
+    stored.unpersist()
+  }
+
   test("windowed counts with watermark run in streaming mode") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[(java.sql.Timestamp, String)]
