@@ -124,7 +124,11 @@ object DumpPlans {
     // plan beyond the output sort (one kernel projection, no regex,
     // no join); the unigram consumer must be map-only over a broadcast
     // vocab (no corpus-side join; training jobs run at construction)
-    "mm_dedup_video_auto", "text_redact_pii", "text_token_count_unigram")
+    "mm_dedup_video_auto", "text_redact_pii", "text_token_count_unigram",
+    // the incremental media row must show the cross-corpus banded join
+    // (old side a store scan, no decode subtree on it; both sides
+    // merge-pinned, modality in every join key, zero broadcast)
+    "mm_dedup_media_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
