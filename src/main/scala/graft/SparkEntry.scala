@@ -1274,10 +1274,13 @@ object SparkEntry {
          |  SELECT doc_id,
          |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
          |  FROM documents)
-         |SELECT d.doc_id, CAST(SUM(u.n) AS BIGINT) AS n_tokens
-         |FROM udw d JOIN uplen u ON u.w = d.w
-         |WHERE len(d.w) > 0
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+         |SELECT d0.doc_id, CAST(COALESCE(SUM(u.n), 0) AS BIGINT)
+         |  AS n_tokens
+         |FROM documents d0
+         |LEFT JOIN (SELECT doc_id, w FROM udw WHERE len(w) > 0) dw
+         |  ON dw.doc_id = d0.doc_id
+         |LEFT JOIN uplen u ON u.w = dw.w
+         |GROUP BY d0.doc_id ORDER BY d0.doc_id""".stripMargin),
 
     // Trained-tokenizer composition: 12 training rounds replayed, the
     // replayed table fed into the encode chain as `bpem`.

@@ -141,18 +141,24 @@ object PiiRedact {
     -1
   }
 
+  private val Http = "http".getBytes("US-ASCII")
+  private val SchemeSep = "://".getBytes("US-ASCII")
+
+  /** Literal byte-sequence match at `at` (no per-call allocation —
+    * urlAt runs at every 'h' byte of the corpus). */
+  private def litAt(b: Array[Byte], at: Int, lit: Array[Byte]): Boolean = {
+    if (at + lit.length > b.length) return false
+    var t = 0
+    while (t < lit.length) { if (b(at + t) != lit(t)) return false; t += 1 }
+    true
+  }
+
   private def urlAt(b: Array[Byte], i: Int): Int = {
-    var j = i
-    def lit(s: String): Boolean = {
-      val sb = s.getBytes("US-ASCII")
-      if (j + sb.length > b.length) return false
-      var t = 0
-      while (t < sb.length) { if (b(j + t) != sb(t)) return false; t += 1 }
-      j += sb.length; true
-    }
-    if (!lit("http")) return -1
+    if (!litAt(b, i, Http)) return -1
+    var j = i + Http.length
     if (j < b.length && b(j) == 's') j += 1
-    if (!lit("://")) return -1
+    if (!litAt(b, j, SchemeSep)) return -1
+    j += SchemeSep.length
     val start = j
     while (j < b.length && !isUrlStop(b(j))) j += 1
     if (j == start) -1 else j

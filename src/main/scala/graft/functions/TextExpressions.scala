@@ -211,8 +211,9 @@ case class TokenHashFeatures(child: Expression, numBuckets: Int,
 }
 
 object TokenHashFeatures {
-  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
+  // shared with HashBucketCounts: one per-thread MessageDigest serves
+  // both kernels (identical hash-prefix contract)
+  private def md5 = HashBucketCounts.md5
 
   /** Java-regex `\s`: the six ASCII whitespace bytes. Multi-byte code
     * points can never alias them (UTF-8 continuation/lead bytes are all
@@ -278,9 +279,11 @@ object TokenHashFeatures {
 }
 
 object HashBucketCounts {
-  // MessageDigest is stateful; one per thread, reset by digest()
-  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
+  // MessageDigest is stateful; one per thread, reset by digest().
+  // Shared by TokenHashFeatures (same hash-prefix contract).
+  private[functions] val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
 
   /** The kernel body — static so generated code calls it directly.
     * NULL array elements count into bucket of the empty string's hash?

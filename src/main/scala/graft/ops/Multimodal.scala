@@ -525,7 +525,9 @@ object Multimodal {
       while (off + 8 <= b.length) {
         val id = bb.getInt(off)
         val size = bb.getInt(off + 4)
-        if (size < 0 || off + 8 + size > b.length) return None
+        // overflow-safe form (see parseAvi): a huge declared size must
+        // fail the bound, not wrap the Int sum negative
+        if (size < 0 || size > b.length - off - 8) return None
         if (id == 0x20746d66 && size >= 16) { // 'fmt '
           pcm16Mono = bb.getShort(off + 8) == 1 && // PCM
             bb.getShort(off + 10) == 1 && // mono
@@ -922,7 +924,11 @@ object Multimodal {
         while (!bad && off + 8 <= end) {
           val id = bb.getInt(off)
           val size = bb.getInt(off + 4)
-          if (size < 0 || off + 8 + size > end) { bad = true; return }
+          // `size > end - off - 8`, NOT `off + 8 + size > end`: a huge
+          // declared size would overflow the Int sum to negative, pass
+          // the guard, wrap `off` negative, and throw out of the buffer
+          // — one corrupt asset must return None, never kill the task
+          if (size < 0 || size > end - off - 8) { bad = true; return }
           if (id == FccLIST && size >= 4) {
             // descend into hdrl/strl/movi lists uniformly
             walk(off + 12, off + 8 + size)
@@ -1244,17 +1250,30 @@ object Multimodal {
     * (modality, media_id, fp) — the micro-batch form of
     * [[dedupMediaIncremental]]: `foreachBatch` calls this per batch
     * against the stored prints and never re-decodes the old corpus.
-    * Output (modality, d1 = old id, d2 = new id, hamming). */
+    * Output (modality, d1 = old id, d2 = new id, hamming).
+    *
+    * Cache lifecycle: the pairing caches both signature tables
+    * interior to the plan ([[Dedup.crossHammingPairs]]); a per-batch
+    * caller MUST use [[dedupMediaAgainstManaged]] and invoke the thunk
+    * after consuming each batch's pairs, or cached tables accumulate
+    * across micro-batches until LRU eviction (the
+    * [[dedupAudioManaged]] contract). */
   def dedupMediaAgainst(newMedia: Dataset[MediaRecord],
       oldPrints: DataFrame, maxDist: Int = 3): DataFrame =
+    dedupMediaAgainstManaged(newMedia, oldPrints, maxDist)._1
+
+  /** As [[dedupMediaAgainst]], plus the interior-cache cleanup thunk —
+    * the form a streaming `foreachBatch` loop must call. */
+  def dedupMediaAgainstManaged(newMedia: Dataset[MediaRecord],
+      oldPrints: DataFrame, maxDist: Int = 3): (DataFrame, () => Unit) =
     pairPrints(oldPrints, mediaPrintsMixed(newMedia), maxDist)
 
   private def pairPrints(oldPrints: DataFrame, newPrints: DataFrame,
-                         maxDist: Int): DataFrame = {
+                         maxDist: Int): (DataFrame, () => Unit) = {
     def asSig(df: DataFrame): DataFrame = df.select(col("modality"),
       col("media_id").as("doc_id"), col("fp").as("simhash"))
     Dedup.crossHammingPairs(asSig(oldPrints), asSig(newPrints),
-      64, maxDist, Seq("modality"))._1
+      64, maxDist, Seq("modality"))
   }
 
   /** Incremental media near-dup — the [[Dedup.crossCorpusPairs]]
@@ -1293,7 +1312,10 @@ object Multimodal {
     val oldPrints = FingerprintStore.getOrBuild(spark,
       s"$sfDir/documents.parquet", "mediafp", s"v2-iav-even-m$classMod",
       storeRoot)(prints(0))
-    pairPrints(oldPrints, prints(1), maxDist)
+    // one-shot query form: Verify/Bench clear caches wholesale between
+    // queries (the documented caller-must-clearCache contract); the
+    // per-batch streaming form is dedupMediaAgainstManaged
+    pairPrints(oldPrints, prints(1), maxDist)._1
   }
 
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,

@@ -76,6 +76,11 @@ object QualityClassifier {
     val f = docs.select(col("doc_id"),
       graft.functions.TextExpressions.tokenHashFeatures(
         col("text"), NumBuckets, Nil).as("_f"))
+      // NULL text -> NULL features: drop the doc entirely, matching the
+      // old explode formulation (which emitted no rows for it) and the
+      // oracle's declarative count derivation — without this the bias
+      // union below would still emit the doc's (doc_id, 64, 1000) row
+      .where(col("_f").isNotNull)
       .select(col("doc_id"),
         expr(s"slice(_f, 1, $NumBuckets)").as("_h"),
         element_at(col("_f"), NumBuckets + 1).as("tot"))

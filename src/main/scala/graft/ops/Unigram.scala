@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * training is a long, so the DuckDB oracle replays seed → 2 EM rounds →
   * prune → segmentation digit-for-digit, including every tie.
   *
+  * PRECONDITION of the digit-for-digit replay: text within the Basic
+  * Multilingual Plane. Piece positions/lengths are UTF-16 code units
+  * here but code points in the oracle's substr/len — identical for all
+  * 1–3-byte UTF-8 (every BMP char), divergent only for
+  * supplementary-plane characters (emoji), whose "pieces" this side
+  * would split at surrogate boundaries.
+  *
   * Scale shape (100 TB): the corpus collapses to the DISTINCT-WORD
   * frequency table after one groupBy (natural-language vocab is
   * ~10⁷ ≪ corpus); seeding is one substring explode + groupBy + a
@@ -55,8 +62,17 @@ object Unigram {
 
   /** Viterbi segmentation of one word under (piece → score) with
     * normalizer penalty `c`: maximize Σ(score − c); ties prefer the
-    * LONGEST piece (smallest split start) — the oracle's CASE order. */
-  private[ops] def segment(w: String, score: java.util.HashMap[String, Long],
+    * LONGEST piece (smallest split start) — the oracle's CASE order.
+    *
+    * Coverage: a single char ABSENT from the vocab still segments, at
+    * the +1-smoothed zero-count score (⌊log₂(0+1)⌋ = 0) — the case a
+    * stored vocab applied to a NEWER corpus hits (an unseen character
+    * must not strand the DP; an unreachable position would otherwise
+    * loop the reconstruction forever). In-corpus training/consumption
+    * never exercises it (every corpus char is seeded), so the oracle
+    * replay is untouched. */
+  private[ops] def segment(w: String,
+                           score: java.util.HashMap[String, java.lang.Long],
                            c: Long): List[String] = {
     val n = w.length
     val dp = new Array[Long](n + 1)
@@ -67,8 +83,11 @@ object Unigram {
       var bestL = 0
       var l = math.min(MaxPieceLen, j)
       while (l >= 1) { // longest first: ties keep the first (longest)
-        val s = score.get(w.substring(j - l, j))
-        if (s != null && dp(j - l) != Long.MinValue) {
+        val s0 = score.get(w.substring(j - l, j))
+        // unseen single char: smoothed zero-count score (coverage)
+        val known = s0 != null || l == 1
+        val s: Long = if (s0 != null) s0.longValue() else 0L
+        if (known && dp(j - l) != Long.MinValue) {
           val v = dp(j - l) + s - c
           if (v > best) { best = v; bestL = l }
         }
@@ -78,7 +97,6 @@ object Unigram {
       back(j) = bestL
       j += 1
     }
-    // chars are always in the vocab, so every position is reachable
     var out = List.empty[String]
     var k = n
     while (k > 0) {
@@ -98,8 +116,12 @@ object Unigram {
     import spark.implicits._
     val t = vocab.valuesIterator.sum
     val c = bitLog(t)
-    val scores = new java.util.HashMap[String, Long](vocab.size * 2)
-    vocab.foreach { case (p, cnt) => scores.put(p, bitLog(cnt)) }
+    // java.lang.Long values: a scala.Long-valued java map unboxes a
+    // missing key's null to 0, making every piece silently "known" at
+    // score 0 — the null check must see real nulls
+    val scores =
+      new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, cnt) => scores.put(p, Long.box(bitLog(cnt))) }
     val bc = spark.sparkContext.broadcast(scores)
     val used = words.as[(String, Long)].mapPartitions { it =>
       val sc = bc.value
@@ -135,8 +157,22 @@ object Unigram {
     var vocab = chars ++ multi0
     (1 to Rounds).foreach(_ => vocab = emRound(words, vocab))
     words.unpersist()
+    // final-prune tie-break in UTF-8 BINARY order — the ordering BOTH
+    // engines use elsewhere (Spark's orderBy on the seed top-S, DuckDB's
+    // ORDER BY p): Java String.compareTo is UTF-16 code-unit order,
+    // which disagrees for BMP chars >= U+E000 vs supplementary pieces
+    // and could select a different top-256 set at a count tie. (Piece
+    // POSITIONS remain UTF-16 code units on this side — corpora with
+    // supplementary-plane characters are outside the replay contract,
+    // documented on the object.)
+    val utf8Order = new Ordering[String] {
+      def compare(a: String, b: String): Int = java.util.Arrays
+        .compareUnsigned(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val multiF = vocab.toSeq.filter(_._1.length >= 2)
-      .sortBy { case (p, cnt) => (-cnt, p) }.take(FinalMulti)
+      .sortBy { case (p, cnt) => (-cnt, p) }(
+        Ordering.Tuple2(Ordering.Long, utf8Order)).take(FinalMulti)
     vocab.filter(_._1.length == 1) ++ multiF
   }
 
@@ -155,8 +191,9 @@ object Unigram {
     import spark.implicits._
     val t = vocab.valuesIterator.sum
     val c = bitLog(t)
-    val scores = new java.util.HashMap[String, Long](vocab.size * 2)
-    vocab.foreach { case (p, cnt) => scores.put(p, bitLog(cnt)) }
+    val scores =
+      new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, cnt) => scores.put(p, Long.box(bitLog(cnt))) }
     val bc = spark.sparkContext.broadcast(scores)
     // tokenization stays the Catalyst expression (identical semantics
     // to wordFreqs/the oracle — Java String.trim/toLowerCase differ on
@@ -166,7 +203,10 @@ object Unigram {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val sc = bc.value
-        it.map { case (id, toks) =>
+        it.map { case (id, toks0) =>
+          // NULL text tokenizes to a null array; degenerate docs count 0
+          // (the oracle's LEFT JOIN + COALESCE emits the same 0 row)
+          val toks = Option(toks0).getOrElse(Seq.empty)
           var n = 0L
           toks.foreach(w => if (w.nonEmpty) n += segment(w, sc, c).length)
           (id, n)

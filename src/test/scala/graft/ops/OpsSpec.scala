@@ -1119,6 +1119,14 @@ class OpsSpec extends SparkSuite {
     assert(VideoCodec.parseAvi(null).isEmpty)
     // truncated container: header intact, movi cut mid-frame
     assert(VideoCodec.parseAvi(avi.take(avi.length - 10)).isEmpty)
+    // declared chunk size near Int.MaxValue: the bounds check must not
+    // overflow (a wrapped sum would walk the parser out of the buffer)
+    val huge = java.util.Arrays.copyOf(avi, avi.length)
+    val hb = java.nio.ByteBuffer.wrap(huge)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(16, 0x7ffffff0) // LIST hdrl size field
+    assert(VideoCodec.parseAvi(huge).isEmpty,
+      "huge declared chunk size must parse as None, not throw")
     val media = Seq(
       MediaRecord(0L, "video", "avi", avi, avi.length.toLong),
       MediaRecord(1L, "video", "avi", Array[Byte](9, 9), 2L)).toDS()

@@ -9,9 +9,10 @@ class UnigramSpec extends SparkSuite {
 
   import spark.implicits._
 
-  private def scores(m: (String, Long)*): java.util.HashMap[String, Long] = {
-    val h = new java.util.HashMap[String, Long]()
-    m.foreach { case (p, s) => h.put(p, s) }
+  private def scores(m: (String, Long)*)
+      : java.util.HashMap[String, java.lang.Long] = {
+    val h = new java.util.HashMap[String, java.lang.Long]()
+    m.foreach { case (p, s) => h.put(p, Long.box(s)) }
     h
   }
 
@@ -31,6 +32,9 @@ class UnigramSpec extends SparkSuite {
     // per-position tie between equal-length alternatives resolves by
     // the DP's left-to-right structure deterministically
     assert(Unigram.segment("", s3, 0) == Nil)
+    // a char ABSENT from the vocab (stored vocab on a newer corpus):
+    // must segment at the smoothed zero score, never strand the DP
+    assert(Unigram.segment("xqz", s3, 0) == List("x", "q", "z"))
   }
 
   test("bitLog is floor(log2(c + 1)) — the DuckDB length(bin(c+1))-1 " +

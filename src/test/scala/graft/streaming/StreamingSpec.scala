@@ -618,9 +618,11 @@ class StreamingSpec extends SparkSuite {
     val query = stream.toDS().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[MediaRecord],
                        _: Long) =>
-        dedupMediaAgainst(batch, stored)
-          .write.mode("append").parquet(out)
-        ()
+        // the managed form: unpersist the interior signature caches
+        // after each batch or they accumulate across micro-batches
+        val (pairs, cleanup) = dedupMediaAgainstManaged(batch, stored)
+        pairs.write.mode("append").parquet(out)
+        cleanup()
       }
       .start()
     val b1 = Seq(
