@@ -4536,6 +4536,15 @@ object SparkEntry {
       Multimodal.dedupMediaIncremental(s, dir, math.max(63L, (n / 16) | 1L))
     }),
 
+    // Media-lake inventory — the media twin of pipeline_report: one row
+    // per modality with asset count, payload bytes (container sizes
+    // recomputed symbolically by the oracle), distinct prints, and the
+    // hamming-0 duplicate volume. Auto-dialed classes.
+    "pipeline_media_report" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      Multimodal.mediaReport(s, dir, math.max(64L, n / 16))
+    }),
+
     // Stubbed resize (8x4 = 32-byte grid, payload bytes repeated
     // cyclically): the grid is deterministic, so its md5 is mirrored in
     // SQL as md5 of the payload string tiled to 32 chars (ASCII payloads
@@ -4792,6 +4801,71 @@ object SparkEntry {
          |SELECT * FROM fimg UNION ALL SELECT * FROM faud
          |UNION ALL SELECT * FROM fvid
          |ORDER BY modality, media_id""".stripMargin),
+
+    // Inventory replay: container byte sizes are CLOSED-FORM from the
+    // encoders' layouts (BMP 54 + rows, WAV 44 + 2·samples, AVI
+    // 224 + 296·frames — a wrong header layout on the Spark side
+    // mismatches bytes_total), prints from the three symbolic sig
+    // chains at the same auto dial.
+    "pipeline_media_report" -> ("WITH " +
+      audioCtes("SELECT greatest(64, count(*) // 16) AS cm FROM documents") +
+      s", $audioSigCtes, " +
+      videoCtes("SELECT greatest(64, count(*) // 16) AS cm FROM documents") +
+      s", $videoSigCtes" +
+      s""",
+         |pm AS (SELECT ${graft.ops.Quantization.signMasks(64)
+          .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")} AS ms),
+         |pg AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(0, 72), j ->
+         |        (j // 9) * 12 +
+         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
+         |             ELSE (j % 9) * 12 // 9 END),
+         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
+         |                 THEN (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl
+         |                       + 128) % 256
+         |                 ELSE (((doc_id % cm) % 256) * 37 * sl
+         |                       + (11 + (doc_id % cm) // 256) * sl * sl)
+         |                      % 256 END) AS g
+         |  FROM documents, aac
+         |),
+         |psig AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(range(0, 64),
+         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
+         |                     g[(j // 8) * 9 + (j % 8) + 1]
+         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
+         |  FROM pg, pm
+         |),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'audio' AS modality, nn.n AS n_assets,
+         |    CAST((SELECT SUM(CASE WHEN doc_id % 3 = 0 THEN 8364
+         |                          ELSE 4204 END) FROM documents)
+         |      AS BIGINT) AS bytes_total,
+         |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_prints,
+         |    CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)
+         |      AS n_h0_dup_assets
+         |  FROM asig, nn GROUP BY nn.n
+         |  UNION ALL
+         |  SELECT 'image', nn.n,
+         |    CAST((SELECT SUM(CASE WHEN doc_id % 3 = 0 THEN 1206
+         |                          ELSE 342 END) FROM documents)
+         |      AS BIGINT),
+         |    CAST(COUNT(DISTINCT ph) AS BIGINT),
+         |    CAST(COUNT(*) - COUNT(DISTINCT ph) AS BIGINT)
+         |  FROM psig, nn GROUP BY nn.n
+         |  UNION ALL
+         |  SELECT 'video', nn.n,
+         |    CAST((SELECT SUM(CASE WHEN doc_id % 3 = 0 THEN 10288
+         |                          ELSE 5256 END) FROM documents)
+         |      AS BIGINT),
+         |    CAST(COUNT(DISTINCT fp) AS BIGINT),
+         |    CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)
+         |  FROM vsig, nn GROUP BY nn.n
+         |) ORDER BY modality""".stripMargin),
 
     // Incremental cross-corpus pairing: image + audio + video prints
     // recomputed symbolically for ALL docs, then every (even, odd) pair

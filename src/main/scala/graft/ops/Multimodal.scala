@@ -1318,6 +1318,36 @@ object Multimodal {
     pairPrints(oldPrints, prints(1), maxDist)._1
   }
 
+  /** One-row-per-modality inventory of the near-dup lakes — the media
+    * twin of the text pipeline's `pipeline_report`: asset count, total
+    * payload bytes, distinct perceptual prints, and the hamming-0
+    * duplicate volume (assets sharing a print with another = count −
+    * distinct). Pair-level detail lives in the `mm_dedup_*_auto` rows;
+    * this is the cheap inventory pass a curation DAG runs first (print
+    * stats need NO pair join — one aggregation over the print table). */
+  def mediaReport(spark: SparkSession, sfDir: String,
+                  classMod: Long = 64L): DataFrame = {
+    val lakes: Seq[(String, Dataset[MediaRecord])] = Seq(
+      "image" -> phashLakeScaled(spark, sfDir, classMod),
+      "audio" -> audioLake(spark, sfDir, classMod),
+      "video" -> videoLake(spark, sfDir, classMod))
+    val assets = lakes.map { case (m, l) =>
+      l.toDF().select(lit(m).as("modality"), col("byte_len"))
+    }.reduce(_ unionByName _)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_assets"), sum("byte_len").as("bytes_total"))
+    val prints = mediaPrints(lakes(0)._2, lakes(1)._2, lakes(2)._2)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_printed"),
+        countDistinct(col("fp")).as("n_prints"))
+      .select(col("modality"), col("n_prints"),
+        (col("n_printed") - col("n_prints")).as("n_h0_dup_assets"))
+    assets.join(prints, "modality")
+      .select(col("modality"), col("n_assets"), col("bytes_total"),
+        col("n_prints"), col("n_h0_dup_assets"))
+      .orderBy("modality")
+  }
+
   /** Oracle-checkable metadata projection: byte length, md5 of the payload,
     * sniffed format — the plumbing the oracle can verify without a decoder. */
   def metaQuery(spark: SparkSession, sfDir: String): DataFrame =
