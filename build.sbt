@@ -13,8 +13,13 @@ Test / fork := true
 run / fork := true
 // Keep `sbt runMain graft.Bench` output machine-parseable: the bench
 // driver tails the log and parses the final JSON line, so suppress sbt's
-// trailing "[success] Total time: ..." banner.
+// trailing "[success] Total time: ..." banner AND route the forked
+// process's stdout straight through (StdoutOutput) instead of through
+// sbt's logger, which prefixes every line with "[info] " and defeats
+// JSON parsing of the last line.
 Global / showSuccess := false
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

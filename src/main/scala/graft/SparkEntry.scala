@@ -1986,6 +1986,11 @@ object SparkEntry {
     // Asymmetric containment (quote/subset detection) on the same blocks.
     "dedup_containment" -> ((s, dir) =>
       Dedup.blockedContainment(docs(s, dir), 0.01)),
+    // ... with the stop-shingle df-cut (block df > 2 dropped before the
+    // posting join) — closes the one posting family that still lacked
+    // the boilerplate hot-key guard.
+    "dedup_containment_dfcut" -> ((s, dir) =>
+      Dedup.blockedContainment(docs(s, dir), 0.01, Some(2L))),
     // Exact-substring duplication: maximal runs of >= 8 consecutive
     // tokens shared verbatim between two documents (shingle-anchor
     // candidates -> diagonal gaps-and-islands extension -> span-equality
@@ -2372,6 +2377,42 @@ object SparkEntry {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
         |WHERE containment >= 0.01
         |ORDER BY d1, d2""".stripMargin),
+
+    // df-cut containment replays the Spark shape declaratively: distinct
+    // per-doc shingles -> block document frequency -> drop stop-shingles
+    // -> sizes and shared counts over the SURVIVORS, min-size denominator.
+    "dedup_containment_dfcut" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i) g
+        |), df AS (
+        |  SELECT lang, source, sh, count(*) AS df FROM dsh GROUP BY 1, 2, 3
+        |), kept AS (
+        |  SELECT dsh.* FROM dsh JOIN df USING (lang, source, sh)
+        |  WHERE df.df <= 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, containment FROM (
+        |  SELECT d1, d2,
+        |    floor((i.inter * 1.0 / least(x.sz, y.sz)) * 1000000 + 0.5)
+        |      / 1000000 AS containment
+        |  FROM inter i JOIN sizes x ON i.d1 = x.doc_id
+        |               JOIN sizes y ON i.d2 = y.doc_id
+        |) WHERE containment >= 0.01
+        |ORDER BY d1, d2""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT a.vec_id AS d1, b.vec_id AS d2,

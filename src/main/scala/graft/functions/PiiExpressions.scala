@@ -94,23 +94,34 @@ object PiiRedact {
   private val Num = "<NUM>".getBytes("US-ASCII")
 
   /** One redaction pass: `matchAt(bytes, i)` returns the match end
-    * (exclusive) or −1; `tryAt(bytes, i)` gates which positions attempt
-    * a match (leftmost-start semantics without O(n²) rescans — e.g. an
-    * email can only start at the head of a local-charset run). */
+    * (exclusive) or −1; `tryAt(bytes, i, lastEnd)` gates which positions
+    * attempt a match (leftmost-start semantics without O(n²) rescans —
+    * e.g. an email can only start at the head of a local-charset run).
+    * `lastEnd` is the input-coordinate end of the previous match this
+    * pass made (−1 before the first): `Matcher.find()` resumes at the
+    * match end regardless of context, so lookbehind-style gates MUST
+    * also fire at `i == lastEnd` — otherwise abutting matches (e.g.
+    * `a@b.cc+bob@d.ee`) are missed, which for a PII scrubber means a
+    * leak. Skipping the rest of a run after a failed attempt at its
+    * head (or at `lastEnd`) stays sound: every start inside one
+    * charset-run scans to the same run end, so one failure covers the
+    * run. */
   private def pass(in: Array[Byte], placeholder: Array[Byte],
-                   tryAt: (Array[Byte], Int) => Boolean,
+                   tryAt: (Array[Byte], Int, Int) => Boolean,
                    matchAt: (Array[Byte], Int) => Int): Array[Byte] = {
     var out: java.io.ByteArrayOutputStream = null // allocated on 1st match
     var copied = 0
+    var lastEnd = -1
     var i = 0
     while (i < in.length) {
       var end = -1
-      if (tryAt(in, i)) end = matchAt(in, i)
+      if (tryAt(in, i, lastEnd)) end = matchAt(in, i)
       if (end > i) {
         if (out == null) out = new java.io.ByteArrayOutputStream(in.length)
         out.write(in, copied, i - copied)
         out.write(placeholder, 0, placeholder.length)
         copied = end
+        lastEnd = end
         i = end
       } else i += 1
     }
@@ -218,12 +229,13 @@ object PiiRedact {
       : org.apache.spark.unsafe.types.UTF8String = {
     var b = s.getBytes
     b = pass(b, Email,
-      (a, i) => isLocal(a(i)) && (i == 0 || !isLocal(a(i - 1))), emailAt)
-    b = pass(b, Url, (a, i) => a(i) == 'h', urlAt)
+      (a, i, le) => isLocal(a(i)) &&
+        (i == le || i == 0 || !isLocal(a(i - 1))), emailAt)
+    b = pass(b, Url, (a, i, _) => a(i) == 'h', urlAt)
     b = pass(b, Ip,
-      (a, i) => isDigit(a(i)) && (i == 0 || !isWord(a(i - 1))), ipAt)
-    b = pass(b, Phone, (a, i) => a(i) == '+' || isDigit(a(i)), phoneAt)
-    b = pass(b, Num, (a, i) => isDigit(a(i)), numAt)
+      (a, i, _) => isDigit(a(i)) && (i == 0 || !isWord(a(i - 1))), ipAt)
+    b = pass(b, Phone, (a, i, _) => a(i) == '+' || isDigit(a(i)), phoneAt)
+    b = pass(b, Num, (a, i, _) => isDigit(a(i)), numAt)
     org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
   }
 }

@@ -987,12 +987,41 @@ object Dedup {
     * the asymmetric near-dup metric for quote/subset detection (a short
     * document fully contained in a long one scores 1.0 where Jaccard is
     * tiny). Same inverted-index topology as [[blockedNgramJaccard]]. */
-  def blockedContainment(docs: DataFrame, minScore: Double): DataFrame = {
-    val sh = docs
+  def blockedContainment(docs: DataFrame, minScore: Double): DataFrame =
+    blockedContainment(docs, minScore, None)
+
+  /** As above, with the same optional stop-shingle document-frequency cut
+    * as [[blockedNgramJaccard]]'s dfcut overload — this was the ONE
+    * posting-join family without the guard, so a single boilerplate
+    * shingle (license header, nav chrome) viral inside a (lang, source)
+    * block still paired quadratically here at 100×. Shingles with
+    * block-df > `maxShingleDf` are anti-joined away BEFORE the posting
+    * self-join, bounding worst-case pairs per (block, shingle) at
+    * maxShingleDf² instead of L². Containment is then scored over each
+    * doc's SURVIVING shingles on both the intersection and the
+    * min-size denominator, so scores stay in [0,1]; docs whose every
+    * shingle is stop-cut drop out (nothing left to compare) — exactly
+    * the dfcut semantics the Jaccard overload declares and the oracle
+    * replays. */
+  def blockedContainment(docs: DataFrame, minScore: Double,
+                         maxShingleDf: Option[Long]): DataFrame = {
+    val shAll = docs
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("_t"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(TextAnalysis.shingles3(col("_t")))).as("sh"))
+    val sh = maxShingleDf match {
+      case Some(k) =>
+        // Same anti-join-the-STOP-set shape (and no-broadcast-hint
+        // rationale) as [[blockedNgramJaccard]]'s dfcut: the stop set is
+        // boilerplate-sized by construction, the df aggregation reuses
+        // the (lang, source, sh) partitioning the posting join needs.
+        val stop = shAll.groupBy("lang", "source", "sh")
+          .agg(count(lit(1)).as("_df")).where(col("_df") > k)
+          .select("lang", "source", "sh")
+        shAll.join(stop, Seq("lang", "source", "sh"), "left_anti")
+      case None => shAll
+    }
     val sizes = sh.groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("sz"))
     // Same never-broadcast-the-posting-self-join rule as

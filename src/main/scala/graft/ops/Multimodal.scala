@@ -120,7 +120,9 @@ object Multimodal {
   def frameSampleStub(media: Dataset[MediaRecord], frameBytes: Int,
                       stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.filter(_.modality == "video").mapPartitions { it =>
+    // Column predicate, not a typed lambda: the filter stays in the scan
+    // (pushed/codegen'd) instead of forcing DeserializeToObject first
+    media.filter(col("modality") === "video").mapPartitions { it =>
       it.flatMap { r =>
         if (r.payload == null) Iterator.empty
         else r.payload.grouped(frameBytes).zipWithIndex
@@ -416,11 +418,17 @@ object Multimodal {
     * multimodal twin of the exact-substring family: [[dedupBinary]]
     * catches byte-identical assets only — a re-encoded or resized
     * duplicate sails through it and is caught here. */
-  def dedupPhash(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame = {
+  def dedupPhash(media: Dataset[MediaRecord], maxDist: Int = 3): DataFrame =
+    dedupPhashManaged(media, maxDist)._1
+
+  /** As [[dedupPhash]], plus the interior-signature-cache cleanup thunk
+    * (the [[dedupAudioManaged]] contract) — with this, all three
+    * modalities expose the managed form. */
+  def dedupPhashManaged(media: Dataset[MediaRecord],
+                        maxDist: Int = 3): (DataFrame, () => Unit) = {
     val sig = imagePrints(media)
       .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
-    val (pairs, _) = Dedup.hammingPairsFromSig(sig, 64, maxDist)
-    pairs
+    Dedup.hammingPairsFromSig(sig, 64, maxDist)
   }
 
   /** (media_id, fp) per decodable image: REAL decode → 9x8 resample →
@@ -1242,9 +1250,12 @@ object Multimodal {
   /** [[mediaPrints]] over a HETEROGENEOUS batch, routed by the batch's
     * own modality metadata (the MIME-type column a real lake carries). */
   def mediaPrintsMixed(media: Dataset[MediaRecord]): DataFrame =
-    mediaPrints(media.filter(_.modality == "image"),
-      media.filter(_.modality == "audio"),
-      media.filter(_.modality == "video"))
+    // Column predicates, not typed lambdas: each modality's filter
+    // reaches the scan (pushed into parquet on a persisted lake) instead
+    // of deserializing every row to MediaRecord three times over
+    mediaPrints(media.filter(col("modality") === "image"),
+      media.filter(col("modality") === "audio"),
+      media.filter(col("modality") === "video"))
 
   /** Pair a NEW media batch against an EXISTING print table
     * (modality, media_id, fp) — the micro-batch form of
@@ -1286,10 +1297,12 @@ object Multimodal {
     * pairing is the cross-corpus banded Hamming join with modality
     * riding the join key ([[Dedup.crossHammingPairs]]), so one call
     * covers the heterogeneous lake. The parity filters run BEFORE
-    * decode — only the new batch pays fingerprinting on a warm store. */
-  def dedupMediaIncremental(spark: SparkSession, sfDir: String,
+    * decode — only the new batch pays fingerprinting on a warm store.
+    * Returns the pairs plus the interior-signature-cache cleanup thunk
+    * (the [[dedupAudioManaged]] contract). */
+  def dedupMediaIncrementalManaged(spark: SparkSession, sfDir: String,
       classMod: Long = 63L, maxDist: Int = 3,
-      storeRoot: Option[String] = None): DataFrame = {
+      storeRoot: Option[String] = None): (DataFrame, () => Unit) = {
     // the class dial must be ODD: with an even modulus every member of a
     // class shares the parity of its base (c, c+m, c+2m ... all ≡ c mod
     // 2), so the even/old–odd/new split would never place a copy of an
@@ -1312,11 +1325,21 @@ object Multimodal {
     val oldPrints = FingerprintStore.getOrBuild(spark,
       s"$sfDir/documents.parquet", "mediafp", s"v2-iav-even-m$classMod",
       storeRoot)(prints(0))
-    // one-shot query form: Verify/Bench clear caches wholesale between
-    // queries (the documented caller-must-clearCache contract); the
-    // per-batch streaming form is dedupMediaAgainstManaged
-    pairPrints(oldPrints, prints(1), maxDist)._1
+    pairPrints(oldPrints, prints(1), maxDist)
   }
+
+  /** One-shot facade over [[dedupMediaIncrementalManaged]], discarding
+    * the cleanup thunk: fine for Verify/Bench callers, which clear
+    * caches wholesale between queries (the documented
+    * caller-must-clearCache contract). A LONG-LIVED session calling
+    * repeatedly must use the managed variant and invoke the thunk after
+    * consuming each result, or both corpus-sized cached signature
+    * tables accumulate per call until LRU eviction. */
+  def dedupMediaIncremental(spark: SparkSession, sfDir: String,
+      classMod: Long = 63L, maxDist: Int = 3,
+      storeRoot: Option[String] = None): DataFrame =
+    dedupMediaIncrementalManaged(spark, sfDir, classMod, maxDist,
+      storeRoot)._1
 
   /** One-row-per-modality inventory of the near-dup lakes — the media
     * twin of the text pipeline's `pipeline_report`: asset count, total

@@ -123,13 +123,18 @@ object Unigram {
       new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
     vocab.foreach { case (p, cnt) => scores.put(p, Long.box(bitLog(cnt))) }
     val bc = spark.sparkContext.broadcast(scores)
-    val used = words.as[(String, Long)].mapPartitions { it =>
-      val sc = bc.value
-      it.flatMap { case (w, f) =>
-        segment(w, sc, c).map(p => (p, f))
-      }
-    }.toDF("p", "f").groupBy("p").agg(sum("f").as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val used =
+      try words.as[(String, Long)].mapPartitions { it =>
+        val sc = bc.value
+        it.flatMap { case (w, f) =>
+          segment(w, sc, c).map(p => (p, f))
+        }
+      }.toDF("p", "f").groupBy("p").agg(sum("f").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the collect is the only action under this broadcast — destroy
+      // immediately so repeated train() calls (streaming foreachBatch,
+      // pipeline loops) don't accumulate one dead broadcast per round
+      finally bc.destroy()
     vocab.keysIterator.filter(_.length == 1)
       .map(ch => ch -> used.getOrElse(ch, 0L)).toMap ++
       used.filter { case (p, cnt) => p.length >= 2 && cnt > 0 }
@@ -185,8 +190,21 @@ object Unigram {
 
   /** Per-document unigram token counts under a trained vocab — MAP-ONLY:
     * the vocab broadcasts, each doc tokenizes and Viterbi-segments in
-    * its scan partition; nothing but (doc_id, count) leaves the scan. */
-  def tokenCounts(docs: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    * its scan partition; nothing but (doc_id, count) leaves the scan.
+    *
+    * The score broadcast (kilobytes) stays registered until session end
+    * — fine for one-shot Verify/Bench callers; long-lived sessions
+    * calling this repeatedly should use [[tokenCountsManaged]] and
+    * invoke the cleanup thunk once the result is materialized. */
+  def tokenCounts(docs: DataFrame, vocab: Map[String, Long]): DataFrame =
+    tokenCountsManaged(docs, vocab)._1
+
+  /** [[tokenCounts]] plus a cleanup thunk that destroys the score
+    * broadcast (the `dedupAudioManaged` convention). The returned
+    * DataFrame is LAZY — call the thunk only after an action has
+    * materialized it; the broadcast is unusable afterwards. */
+  def tokenCountsManaged(docs: DataFrame, vocab: Map[String, Long])
+      : (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = vocab.valuesIterator.sum
@@ -198,7 +216,7 @@ object Unigram {
     // tokenization stays the Catalyst expression (identical semantics
     // to wordFreqs/the oracle — Java String.trim/toLowerCase differ on
     // edge inputs); only the segmentation is JVM code
-    docs.select(col("doc_id").cast("long"),
+    val counted = docs.select(col("doc_id").cast("long"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -211,8 +229,9 @@ object Unigram {
           toks.foreach(w => if (w.nonEmpty) n += segment(w, sc, c).length)
           (id, n)
         }
-      }.toDF("doc_id", "n_tokens")
-      .orderBy("doc_id")
+      }
+    val out = counted.toDF("doc_id", "n_tokens").orderBy("doc_id")
+    (out, () => bc.destroy())
   }
 
   /** Build-once/score-many vocabulary through [[FingerprintStore]] (the

@@ -20,6 +20,12 @@ class PiiExpressionsSpec extends SparkSuite {
     "a@b.cde@f.gh", "a@b..x@c.de", "pre xxa@b.cc post",
     "é@b.cc unicode-local", "u%x+y_z.9@sub.do-main.org",
     "a@b.c single-letter-tld", "a@-.cc", "@nolocal.cc", "trail@dom.",
+    // --- abutting-match resume edges (Matcher.find resumes at match
+    // end regardless of the preceding byte — the run-head gate alone
+    // under-redacts these; round-20 ADVICE regression)
+    "a@b.cc+bob@d.ee", "a@b.cc9x@d.ee", "a@b.cc@d.ee abut-at",
+    "a@b.cc-x@d.ee", "a@b.cc.x@d.ee dot-resume",
+    "a@b.ccb@c.dd@e.ff triple-abut", "a@b.cc+ tail-local-no-second",
     // --- url edges
     "http://a.com?u=x@y.de order-of-rules", "https://x<y bracket-stop",
     "xhttp://a b embedded-start", "http:// nope empty-rest",

@@ -1005,8 +1005,18 @@ class OpsSpec extends SparkSuite {
       .toDS()
     // byte-level dedup sees four DISTINCT assets — the blind spot
     assert(dedupBinary(media).count() == 4)
-    val pairs = dedupPhash(media, maxDist = 3).collect()
+    // the managed facade: same pairs, plus a cleanup thunk that must
+    // unpersist the interior signature cache (the dedupAudioManaged
+    // contract — with this, all three modalities expose the form)
+    spark.catalog.clearCache()
+    val (pairsDf, cleanup) = dedupPhashManaged(media, maxDist = 3)
+    val pairs = pairsDf.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "signature cache should be live while pairs are consumed")
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cleanup thunk must unpersist the interior signature cache")
     assert(pairs.get((0L, 1L)).contains(0L),
       s"upscaled copy must pair at hamming 0: $pairs")
     assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) <= 2L,
@@ -1195,7 +1205,18 @@ class OpsSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$src/documents.parquet")
     val root = Some(s"$src/store")
     val cold = dedupMediaIncremental(spark, src, 63L, 3, root).collect()
-    val warm = dedupMediaIncremental(spark, src, 63L, 3, root).collect()
+    // warm pass through the MANAGED form: same pairs, and the cleanup
+    // thunk unpersists both interior signature caches (the long-lived-
+    // session contract the one-shot facade documents)
+    spark.catalog.clearCache()
+    val (warmDf, cleanup) =
+      dedupMediaIncrementalManaged(spark, src, 63L, 3, root)
+    val warm = warmDf.collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "signature caches should be live while pairs are consumed")
+    cleanup()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cleanup thunk must unpersist the interior signature caches")
     assert(cold.map(_.toString).sorted.toSeq ==
       warm.map(_.toString).sorted.toSeq,
       "warm store must reproduce the cold run")

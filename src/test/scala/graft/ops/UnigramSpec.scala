@@ -59,8 +59,13 @@ class UnigramSpec extends SparkSuite {
     // 'park'/'spar' (4-gram of the 3x-repeated word) must survive
     assert(vocab.keys.exists(p => p.length == 4 && "spark".contains(p)),
       s"no 4-gram of the dominant word in ${vocab.keys.toSeq.sorted}")
-    val counts = Unigram.tokenCounts(docs, vocab).collect()
+    // the managed form: same counts, then the thunk destroys the score
+    // broadcast (long-lived-session contract; emRound's broadcasts are
+    // destroyed internally after their collect)
+    val (countsDf, cleanup) = Unigram.tokenCountsManaged(docs, vocab)
+    val counts = countsDf.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cleanup()
     assert(counts.size == 60)
     // 'spark' (5 chars, pieces <= 4) segments into exactly 2 pieces
     // under the trained vocab; row$i into a handful — the count per doc

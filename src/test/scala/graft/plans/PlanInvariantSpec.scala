@@ -42,7 +42,8 @@ class PlanInvariantSpec extends SparkSuite {
     "cartesian or broadcast nested loop, and the posting SELF-join is " +
     "pinned to a shuffle join (never broadcast)") {
     for (q <- Seq("dedup_ngram_jaccard", "dedup_ngram_jaccard_dfcut",
-      "dedup_containment", "dedup_substring", "dedup_substring_dfcut",
+      "dedup_containment", "dedup_containment_dfcut", "dedup_substring",
+      "dedup_substring_dfcut",
       "dedup_substring_remove", "dedup_substring_incremental")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
