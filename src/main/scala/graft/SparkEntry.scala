@@ -1698,8 +1698,64 @@ object SparkEntry {
           nOf("<PHONE>").as("n_phones"),
           nOf("<NUM>").as("n_nums"))
         .orderBy("event_id")
-    })
+    }),
+    // Markup/boilerplate text extraction — the FIRST operator of a real
+    // crawl pipeline: strip script/style blocks, comments, tags,
+    // entities, and collapse whitespace to main text, as ONE codegen'd
+    // byte-scan kernel (the PiiRedact pattern). The corpus is
+    // markup-free by construction, so a deterministic HTML wrapper
+    // (every rule exercised, synthesized identically in SQL) rides on
+    // each document's text; the oracle replays the rule CHAIN
+    // declaratively in RE2, and the kernel↔Java-regex equivalence is
+    // pinned in MarkupExpressionsSpec.
+    "text_extract_markup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MarkupExpressions.extractMarkup(
+            markupWrapped(col("doc_id"), col("text"))).as("main_text"))
+        .select(col("doc_id"), col("main_text"),
+          length(col("main_text")).cast("long").as("n_chars_clean"))
+        .orderBy("doc_id"))
   )
+
+  /** The deterministic markup wrapper `text_extract_markup` and
+    * `pipeline_clean_corpus_v5` synthesize around each document — every
+    * extraction rule exercised: a script block (with `&&` and `<` that
+    * must NOT leak), a style block, a comment, attributed + plain tags,
+    * a raw newline, and all entity classes. [[markupWrappedSql]] is the
+    * same expression in DuckDB SQL. */
+  private[graft] def markupWrapped(id: Column, text: Column): Column =
+    concat(lit("<html><head><script src=\"a"), id.cast("string"),
+      lit(".js\">var x=1 && y<2;</script><style>p{color:#"),
+      (id % 10).cast("string"),
+      lit("}</style></head><body><!-- c"), id.cast("string"),
+      lit(" --><h1 class=\"t\">T"), id.cast("string"),
+      lit("</h1>\n<p>"), text,
+      lit(" &amp; more &lt;b&gt;bold&lt;/b&gt;&nbsp;end</p></body></html>"))
+
+  private def markupWrappedSql(id: String, text: String): String =
+    s"'<html><head><script src=\"a' || CAST($id AS VARCHAR)" +
+      " || '.js\">var x=1 && y<2;</script><style>p{color:#'" +
+      s" || CAST($id % 10 AS VARCHAR)" +
+      s" || '}</style></head><body><!-- c' || CAST($id AS VARCHAR)" +
+      s" || ' --><h1 class=\"t\">T' || CAST($id AS VARCHAR)" +
+      s" || '</h1>' || chr(10) || '<p>' || $text" +
+      " || ' &amp; more &lt;b&gt;bold&lt;/b&gt;&nbsp;end</p></body></html>'"
+
+  /** The declared extraction chain over a SQL expression — RE2 replay
+    * of [[graft.functions.MarkupExtract]]'s rules, nesting order the
+    * contract: blocks, comments, tags, entity decodes (amp last),
+    * whitespace collapse, trim. */
+  private def markupExtractSql(t: String): String = {
+    import graft.functions.MarkupExtract._
+    val blocks = s"regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace($t, '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g')," +
+      s" '$CommentRe', ' ', 'g'), '$TagRe', ' ', 'g')"
+    val entities = "replace(replace(replace(replace(replace(replace(" +
+      blocks + ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')," +
+      " '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+    s"trim(regexp_replace($entities, '$WsRe', ' ', 'g'))"
+  }
 
   private def samplingOracles: Map[String, String] = Map(
     "sample_split" ->
@@ -1781,6 +1837,16 @@ object SparkEntry {
          |  ${nOf("<NUM>")} AS n_nums
          |FROM r ORDER BY event_id""".stripMargin
     },
+
+    "text_extract_markup" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${markupWrappedSql("doc_id", "text")} AS t
+         |  FROM documents
+         |), ext AS (
+         |  SELECT doc_id, ${markupExtractSql("t")} AS main_text FROM raw)
+         |SELECT doc_id, main_text,
+         |  CAST(len(main_text) AS BIGINT) AS n_chars_clean
+         |FROM ext ORDER BY doc_id""".stripMargin,
 
     "sample_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (
@@ -2581,6 +2647,20 @@ object SparkEntry {
           col("quality"), (col("doc_id") === col("keep_id")).as("keep"),
           md5(col("text")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // v5: the CRAWL-SHAPED front of the DAG — raw HTML-ish payloads
+    // (the deterministic markup wrapper) go through the byte-scan
+    // extraction kernel FIRST, and the C4 quality-filter stage consumes
+    // the EXTRACTED main text (the v4 staged-flow doctrine applied one
+    // stage earlier: markup stripping is the first operator of a real
+    // pipeline, before any text statistic is meaningful). Map-only up to
+    // the filter flags — extraction adds zero shuffles.
+    "pipeline_clean_corpus_v5" -> ((s, dir) => {
+      val extracted = docs(s, dir).select(col("doc_id"),
+        graft.functions.MarkupExpressions.extractMarkup(
+          markupWrapped(col("doc_id"), col("text"))).as("text"))
+      TextAnalysis.c4FilterQuery(extracted)
     })
   )
 
@@ -2848,7 +2928,40 @@ object SparkEntry {
         |FROM cl c
         |JOIN q ON q.doc_id = c.doc_id
         |JOIN k ON md5(c.text) = k.h
-        |ORDER BY c.doc_id""".stripMargin)
+        |ORDER BY c.doc_id""".stripMargin),
+
+    // v5: markup extraction first (the declared RE2 chain over the
+    // deterministic wrapper), then the text_c4_filters replay over the
+    // EXTRACTED text.
+    "pipeline_clean_corpus_v5" ->
+      (s"""WITH raw AS (
+         |  SELECT doc_id, ${markupWrappedSql("doc_id", "text")} AS t0
+         |  FROM documents
+         |), ext AS (
+         |  SELECT doc_id, ${markupExtractSql("t0")} AS text FROM raw
+         |), toks AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM ext
+         |)
+         |""".stripMargin +
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tok,
+        |  coalesce(len(t) BETWEEN 10 AND 5000, false) AS len_ok,
+        |  coalesce((length(array_to_string(t, '')) * 1.0 / len(t))
+        |    BETWEEN 2.0 AND 12.0, false) AS wordlen_ok,
+        |  coalesce(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |    / length(text) < 0.15, false) AS symbol_ok,
+        |  coalesce(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+        |    / len(t) >= 0.5, false) AS alpha_ok,
+        |  coalesce(list_max(list_transform(t, x -> length(x))) <= 25, false)
+        |    AS toklen_ok,
+        |  coalesce(NOT contains(lower(text), 'lorem ipsum'), false) AS lorem_ok,
+        |  coalesce(len(list_distinct(t)) * 1.0 / len(t) >= 0.2, false)
+        |    AS distinct_ok,
+        |  (len_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND toklen_ok
+        |    AND lorem_ok AND distinct_ok) AS keep
+        |FROM toks ORDER BY doc_id""".stripMargin)
   )
 
   // ------------------------------------------------------ similarity family

@@ -62,6 +62,70 @@ case class PiiRedact(child: Expression) extends UnaryExpression {
       newChild: Expression): PiiRedact = copy(child = newChild)
 }
 
+/** Shared byte-scan replacement machinery for the codegen'd text
+  * kernels ([[PiiRedact]], [[MarkupExtract]]): one sequential
+  * find-and-replace pass, byte-exact to a `regexp_replace` /
+  * `replace` over the same rule. */
+private[functions] object ByteScan {
+
+  /** One replacement pass: `matchAt(bytes, i)` returns the match end
+    * (exclusive) or −1; `tryAt(bytes, i, lastEnd)` gates which positions
+    * attempt a match (leftmost-start semantics without O(n²) rescans —
+    * e.g. an email can only start at the head of a local-charset run).
+    * `lastEnd` is the input-coordinate end of the previous match this
+    * pass made (−1 before the first): `Matcher.find()` resumes at the
+    * match end regardless of context, so lookbehind-style gates MUST
+    * also fire at `i == lastEnd` — otherwise abutting matches (e.g.
+    * `a@b.cc+bob@d.ee`) are missed, which for a PII scrubber means a
+    * leak. Skipping the rest of a run after a failed attempt at its
+    * head (or at `lastEnd`) stays sound: every start inside one
+    * charset-run scans to the same run end, so one failure covers the
+    * run. */
+  def pass(in: Array[Byte], placeholder: Array[Byte],
+           tryAt: (Array[Byte], Int, Int) => Boolean,
+           matchAt: (Array[Byte], Int) => Int): Array[Byte] = {
+    var out: java.io.ByteArrayOutputStream = null // allocated on 1st match
+    var copied = 0
+    var lastEnd = -1
+    var i = 0
+    while (i < in.length) {
+      var end = -1
+      if (tryAt(in, i, lastEnd)) end = matchAt(in, i)
+      if (end > i) {
+        if (out == null) out = new java.io.ByteArrayOutputStream(in.length)
+        out.write(in, copied, i - copied)
+        out.write(placeholder, 0, placeholder.length)
+        copied = end
+        lastEnd = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) in
+    else { out.write(in, copied, in.length - copied); out.toByteArray }
+  }
+
+  /** Literal byte-sequence match at `at` (no per-call allocation — the
+    * gates run at every candidate byte of the corpus). */
+  def litAt(b: Array[Byte], at: Int, lit: Array[Byte]): Boolean = {
+    if (at + lit.length > b.length) return false
+    var t = 0
+    while (t < lit.length) { if (b(at + t) != lit(t)) return false; t += 1 }
+    true
+  }
+
+  /** First index >= `from` where the literal occurs, or −1 — the
+    * non-greedy `.*?<lit>` step of a block rule. */
+  def indexOf(b: Array[Byte], from: Int, lit: Array[Byte]): Int = {
+    var i = math.max(from, 0)
+    val last = b.length - lit.length
+    while (i <= last) {
+      if (litAt(b, i, lit)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
 object PiiRedact {
 
   /** The declared per-rule regexes — the single source of truth the
@@ -93,41 +157,12 @@ object PiiRedact {
   private val Phone = "<PHONE>".getBytes("US-ASCII")
   private val Num = "<NUM>".getBytes("US-ASCII")
 
-  /** One redaction pass: `matchAt(bytes, i)` returns the match end
-    * (exclusive) or −1; `tryAt(bytes, i, lastEnd)` gates which positions
-    * attempt a match (leftmost-start semantics without O(n²) rescans —
-    * e.g. an email can only start at the head of a local-charset run).
-    * `lastEnd` is the input-coordinate end of the previous match this
-    * pass made (−1 before the first): `Matcher.find()` resumes at the
-    * match end regardless of context, so lookbehind-style gates MUST
-    * also fire at `i == lastEnd` — otherwise abutting matches (e.g.
-    * `a@b.cc+bob@d.ee`) are missed, which for a PII scrubber means a
-    * leak. Skipping the rest of a run after a failed attempt at its
-    * head (or at `lastEnd`) stays sound: every start inside one
-    * charset-run scans to the same run end, so one failure covers the
-    * run. */
+  // the pass machinery lives in [[ByteScan]] (shared with the markup
+  // kernel); see its scaladoc for the lastEnd resume contract
   private def pass(in: Array[Byte], placeholder: Array[Byte],
                    tryAt: (Array[Byte], Int, Int) => Boolean,
-                   matchAt: (Array[Byte], Int) => Int): Array[Byte] = {
-    var out: java.io.ByteArrayOutputStream = null // allocated on 1st match
-    var copied = 0
-    var lastEnd = -1
-    var i = 0
-    while (i < in.length) {
-      var end = -1
-      if (tryAt(in, i, lastEnd)) end = matchAt(in, i)
-      if (end > i) {
-        if (out == null) out = new java.io.ByteArrayOutputStream(in.length)
-        out.write(in, copied, i - copied)
-        out.write(placeholder, 0, placeholder.length)
-        copied = end
-        lastEnd = end
-        i = end
-      } else i += 1
-    }
-    if (out == null) in
-    else { out.write(in, copied, in.length - copied); out.toByteArray }
-  }
+                   matchAt: (Array[Byte], Int) => Int): Array[Byte] =
+    ByteScan.pass(in, placeholder, tryAt, matchAt)
 
   /** Email: attempt only at the head of a local-charset run (mid-run
     * starts reach the same `@`/domain and fail or match identically).
@@ -157,12 +192,8 @@ object PiiRedact {
 
   /** Literal byte-sequence match at `at` (no per-call allocation —
     * urlAt runs at every 'h' byte of the corpus). */
-  private def litAt(b: Array[Byte], at: Int, lit: Array[Byte]): Boolean = {
-    if (at + lit.length > b.length) return false
-    var t = 0
-    while (t < lit.length) { if (b(at + t) != lit(t)) return false; t += 1 }
-    true
-  }
+  private def litAt(b: Array[Byte], at: Int, lit: Array[Byte]): Boolean =
+    ByteScan.litAt(b, at, lit)
 
   private def urlAt(b: Array[Byte], i: Int): Int = {
     if (!litAt(b, i, Http)) return -1

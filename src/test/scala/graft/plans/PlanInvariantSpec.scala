@@ -23,7 +23,8 @@ class PlanInvariantSpec extends SparkSuite {
     "single-partition step (only the output sort's range partitioning)") {
     for (q <- Seq("sample_split", "sample_epochs", "text_c4_filters",
       "text_token_count", "text_token_count_bpe", "text_quality_score",
-      "text_redact_numbers")) {
+      "text_redact_numbers", "text_redact_pii", "text_extract_markup",
+      "pipeline_clean_corpus_v5")) {
       val p = planOf(q)
       assert(!p.contains("hashpartitioning"), s"$q shuffles: unexpected hash exchange")
       assert(!p.contains("SinglePartition"), s"$q has a single-partition step")
