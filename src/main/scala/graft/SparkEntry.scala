@@ -4690,6 +4690,56 @@ object SparkEntry {
       Multimodal.dedupMediaIncremental(s, dir, math.max(63L, (n / 16) | 1L))
     }),
 
+    // Recall gate for the perceptual near-dup topology: per modality,
+    // the banded Hamming pairing's pair count vs the EXACT
+    // Hamming<=3 brute force over the same bounded sample (media_id <
+    // 500 — all-pairs stays ~125k/modality at any sf). The banding is
+    // pigeonhole-complete for maxDist <= 3, so the oracle DECLARES
+    // recall 1.0 (n_banded = the brute-force count it computes): a
+    // banding regression that drops any pair flips the committed
+    // n_banded/recall_ok visibly. The ANN families' recall-row doctrine
+    // applied to the media lakes.
+    "mm_dedup_recall" -> ((s, dir) => {
+      val bound = 500L
+      val prints = Multimodal.mediaPrints(
+        Multimodal.phashLakeScaled(s, dir, 64)
+          .filter(col("media_id") < bound),
+        Multimodal.audioLake(s, dir, 64)
+          .filter(col("media_id") < bound),
+        Multimodal.videoLake(s, dir, 64)
+          .filter(col("media_id") < bound)).cache()
+      // brute force: all pairs within a modality (bounded sample — the
+      // quadratic side is the POINT of the row; never run unbounded)
+      val exact = prints.as("a")
+        .join(prints.as("b").hint("SHUFFLE_MERGE"),
+          col("a.modality") === col("b.modality") &&
+            col("a.media_id") < col("b.media_id"))
+        .where(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
+        .groupBy(col("a.modality").as("modality"))
+        .agg(count(lit(1)).as("n_exact"))
+      val banded = Seq("image", "audio", "video").map { m =>
+        Dedup.hammingPairsFromSig(
+          prints.where(col("modality") === m)
+            .select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+          64, 3)._1
+          .agg(count(lit(1)).as("n_banded"))
+          .select(lit(m).as("modality"), col("n_banded"))
+      }.reduce(_ unionByName _)
+      prints.groupBy("modality").agg(count(lit(1)).as("n_sampled"))
+        .join(exact, Seq("modality"), "left")
+        .join(banded, Seq("modality"), "left")
+        .select(col("modality"), col("n_sampled"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+          when(coalesce(col("n_exact"), lit(0L)) > 0,
+            graft.ops.TextAnalysis.round6(
+              col("n_banded").cast("double") / col("n_exact")))
+            .as("recall"),
+          (coalesce(col("n_banded"), lit(0L)) >=
+            coalesce(col("n_exact"), lit(0L))).as("recall_ok"))
+        .orderBy("modality")
+    }),
+
     // Media-lake inventory — the media twin of pipeline_report: one row
     // per modality with asset count, payload bytes (container sizes
     // recomputed symbolically by the oracle), distinct prints, and the
@@ -4966,33 +5016,8 @@ object SparkEntry {
       s", $audioSigCtes, " +
       videoCtes("SELECT greatest(64, count(*) // 16) AS cm FROM documents") +
       s", $videoSigCtes" +
+      s", $imageSigCtes" +
       s""",
-         |pm AS (SELECT ${graft.ops.Quantization.signMasks(64)
-          .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")} AS ms),
-         |pg AS (
-         |  SELECT doc_id,
-         |    list_transform(
-         |      list_transform(range(0, 72), j ->
-         |        (j // 9) * 12 +
-         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
-         |             ELSE (j % 9) * 12 // 9 END),
-         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
-         |                 THEN (((doc_id % cm) % 256) * 37 * sl
-         |                       + (11 + (doc_id % cm) // 256) * sl * sl
-         |                       + 128) % 256
-         |                 ELSE (((doc_id % cm) % 256) * 37 * sl
-         |                       + (11 + (doc_id % cm) // 256) * sl * sl)
-         |                      % 256 END) AS g
-         |  FROM documents, aac
-         |),
-         |psig AS (
-         |  SELECT doc_id,
-         |    list_aggregate(list_transform(range(0, 64),
-         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
-         |                     g[(j // 8) * 9 + (j % 8) + 1]
-         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
-         |  FROM pg, pm
-         |),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
          |SELECT * FROM (
          |  SELECT 'audio' AS modality, nn.n AS n_assets,
@@ -5032,37 +5057,9 @@ object SparkEntry {
       videoCtes(
         "SELECT greatest(63, (count(*) // 16) | 1) AS cm FROM documents") +
       s", $videoSigCtes" +
-      // image dHash under the same odd dial (the phashLakeScaled
-      // arithmetic — spatial 2x upscale for doc_id % 3 = 0, watermark
-      // slot, 9x8 resample, neighbor-compare bits); cm rides in from
-      // the audio branch's aac
-      s""",
-         |pm AS (SELECT ${graft.ops.Quantization.signMasks(64)
-          .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")} AS ms),
-         |pg AS (
-         |  SELECT doc_id,
-         |    list_transform(
-         |      list_transform(range(0, 72), j ->
-         |        (j // 9) * 12 +
-         |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
-         |             ELSE (j % 9) * 12 // 9 END),
-         |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
-         |                 THEN (((doc_id % cm) % 256) * 37 * sl
-         |                       + (11 + (doc_id % cm) // 256) * sl * sl
-         |                       + 128) % 256
-         |                 ELSE (((doc_id % cm) % 256) * 37 * sl
-         |                       + (11 + (doc_id % cm) // 256) * sl * sl)
-         |                      % 256 END) AS g
-         |  FROM documents, aac
-         |),
-         |psig AS (
-         |  SELECT doc_id,
-         |    list_aggregate(list_transform(range(0, 64),
-         |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
-         |                     g[(j // 8) * 9 + (j % 8) + 1]
-         |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
-         |  FROM pg, pm
-         |)""".stripMargin +
+      // image dHash under the same odd dial; cm rides in from the
+      // audio branch's aac (see imageSigCtes)
+      s", $imageSigCtes" +
       """
         |, mps AS (
         |  SELECT 'image' AS modality, doc_id, CAST(ph AS BIGINT) AS fp
@@ -5085,6 +5082,45 @@ object SparkEntry {
         |  AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY modality, d1, d2""".stripMargin),
+
+    // Recall gate: the oracle computes the EXACT Hamming<=3 brute-force
+    // pair count per modality over the bounded sample and DECLARES the
+    // banded count equal (pigeonhole completeness for maxDist <= 3) —
+    // recall 1.0. A Spark-side banding regression that drops a pair
+    // mismatches n_banded/recall/recall_ok.
+    "mm_dedup_recall" -> ("WITH " +
+      audioCtes("SELECT 64 AS cm") +
+      s", $audioSigCtes, " +
+      videoCtes("SELECT 64 AS cm") +
+      s", $videoSigCtes" +
+      s", $imageSigCtes" +
+      """
+        |, mps AS (
+        |  SELECT 'image' AS modality, doc_id, CAST(ph AS BIGINT) AS fp
+        |  FROM psig WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT 'audio' AS modality, doc_id, CAST(fp AS BIGINT) AS fp
+        |  FROM asig WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT 'video' AS modality, doc_id, CAST(fp AS BIGINT) AS fp
+        |  FROM vsig WHERE doc_id < 500),
+        |ex AS (
+        |  SELECT a.modality, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM mps a JOIN mps b
+        |    ON a.modality = b.modality AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |  GROUP BY a.modality),
+        |ns AS (
+        |  SELECT modality, CAST(count(*) AS BIGINT) AS n_sampled
+        |  FROM mps GROUP BY modality)
+        |SELECT ns.modality, ns.n_sampled,
+        |  CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_banded,
+        |  CASE WHEN coalesce(ex.n_exact, 0) > 0
+        |       THEN floor(1.0 * 1000000 + 0.5) / 1000000 END AS recall,
+        |  true AS recall_ok
+        |FROM ns LEFT JOIN ex ON ns.modality = ex.modality
+        |ORDER BY ns.modality""".stripMargin),
 
     // Symbolic replay of the AVI lake: every pixel of every payload
     // frame recomputed from the synthesis arithmetic (watermark slot,
@@ -5175,6 +5211,43 @@ object SparkEntry {
        |      j -> CASE WHEN en[j + 2] > en[j + 1] THEN ms[j + 1]
        |                ELSE 0::BIGINT END), 'bit_or') AS fp
        |  FROM aen, aam
+       |)""".stripMargin
+  }
+
+  /** Image dHash print CTEs (no leading comma): the phashLakeScaled
+    * arithmetic — spatial 2× upscale for doc_id % 3 = 0, watermark slot
+    * for doc_id % 5 = 0, 9×8 nearest resample, neighbor-compare bits.
+    * The class dial `cm` rides in from the audio branch's `aac` CTE, so
+    * callers must have [[audioCtes]] in scope. Shared by
+    * pipeline_media_report, mm_dedup_media_incremental, and
+    * mm_dedup_recall. */
+  private def imageSigCtes: String = {
+    val masks = graft.ops.Quantization.signMasks(64)
+      .map(m => s"($m)::BIGINT").mkString("[", ", ", "]")
+    s"""pm AS (SELECT $masks AS ms),
+       |pg AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(0, 72), j ->
+       |        (j // 9) * 12 +
+       |        CASE WHEN doc_id % 3 = 0 THEN ((j % 9) * 24 // 9) // 2
+       |             ELSE (j % 9) * 12 // 9 END),
+       |      sl -> CASE WHEN doc_id % 5 = 0 AND sl = (doc_id * 7) % 96
+       |                 THEN (((doc_id % cm) % 256) * 37 * sl
+       |                       + (11 + (doc_id % cm) // 256) * sl * sl
+       |                       + 128) % 256
+       |                 ELSE (((doc_id % cm) % 256) * 37 * sl
+       |                       + (11 + (doc_id % cm) // 256) * sl * sl)
+       |                      % 256 END) AS g
+       |  FROM documents, aac
+       |),
+       |psig AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, 64),
+       |      j -> CASE WHEN g[(j // 8) * 9 + (j % 8) + 2] >
+       |                     g[(j // 8) * 9 + (j % 8) + 1]
+       |           THEN ms[j + 1] ELSE 0::BIGINT END), 'bit_or') AS ph
+       |  FROM pg, pm
        |)""".stripMargin
   }
 
