@@ -128,7 +128,18 @@ object DumpPlans {
     // the incremental media row must show the cross-corpus banded join
     // (old side a store scan, no decode subtree on it; both sides
     // merge-pinned, modality in every join key, zero broadcast)
-    "mm_dedup_media_incremental")
+    "mm_dedup_media_incremental",
+    // the media inventory must be ONE aggregation pass over the print
+    // union (no pair join anywhere)
+    "pipeline_media_report",
+    // round-20: markup extraction must be a zero-exchange map-only plan
+    // beyond the output sort (one kernel projection — no regex, no
+    // join); v5 = extract feeding the C4 flags, still map-only; the
+    // containment df-cut must keep the cartesian-free posting shape
+    // (df agg + anti on the same key); the recall gate must show the
+    // bounded brute-force join AND the banded pairing both merge-pinned
+    "text_extract_markup", "pipeline_clean_corpus_v5",
+    "dedup_containment_dfcut", "mm_dedup_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
