@@ -18,8 +18,9 @@ run / fork := true
 // sbt's logger, which prefixes every line with "[info] " and defeats
 // JSON parsing of the last line.
 Global / showSuccess := false
+// (covers runMain too — it resolves fork options from the run scope;
+// validated: `sbt "runMain graft.Smoke"` emits unprefixed stdout)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

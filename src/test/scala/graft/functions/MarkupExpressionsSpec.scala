@@ -18,6 +18,9 @@ class MarkupExpressionsSpec extends SparkSuite {
     // --- script/style block edges
     "<script>a=1&&b<2;</script>rest", "<script src=x>b</script> tail",
     "<scriptfoo>word-boundary keeps</scriptfoo>", "<script>unclosed",
+    // é is NOT an ASCII word char: the declared (RE2) \b holds, so this
+    // OPENS a block on both sides (Java chain via ScriptReJava)
+    "<scripté x>unicode-after-name</script>tail",
     "<script</script>close-in-attrs</script>tail",
     "<script>first</script>mid<script>second</script>end",
     "<style>p{color:red}</style>x", "<style media=all>a</style>",
@@ -60,16 +63,13 @@ class MarkupExpressionsSpec extends SparkSuite {
 
   test("markup kernel equals the chain on generated crawl-like rows " +
     "(the synthesized wrapper the oracle row uses, over varied ids)") {
+    // THE wrapper the oracle row runs (SparkEntry.markupWrapped), not a
+    // re-synthesis — a wrapper change automatically re-exercises this
+    // parity test against the kernel
     val df = spark.range(0, 500)
       .select(col("id"),
-        concat(lit("<html><head><script src=\"a"), col("id").cast("string"),
-          lit(".js\">var x=1 && y<2;</script><style>p{color:#"),
-          (col("id") % 10).cast("string"),
-          lit("}</style></head><body><!-- c"), col("id").cast("string"),
-          lit(" --><h1 class=\"t\">T"), col("id").cast("string"),
-          lit("</h1>\n<p>body "), (col("id") * 7).cast("string"),
-          lit(" &amp; more &lt;b&gt;bold&lt;/b&gt;&nbsp;end</p></body></html>"))
-          .as("text"))
+        graft.SparkEntry.markupWrapped(col("id"),
+          concat(lit("body "), (col("id") * 7).cast("string"))).as("text"))
     val bad = df.select(
       MarkupExpressions.extractMarkup(col("text")).as("fast"),
       MarkupExpressions.extractMarkupDeclarative(col("text")).as("slow"))

@@ -32,6 +32,11 @@ class PiiExpressionsSpec extends SparkSuite {
     "httpsx://a broken-scheme", "httpss://a double-s",
     "see https://h.io/p?q=1&r=2#f;.. and more", "HTTP://upper no-match",
     // --- ipv4 boundary edges
+    // unicode neighbors: the declared \b is RE2's ASCII boundary, so é
+    // adjacency DOES bound an IP — the Java chain renders it via
+    // IpReJava's ASCII lookarounds (ByteScanFuzzSpec found the drift)
+    "é1.2.3.4 unicode-prev", "1.2.3.4é trailing-unicode",
+    "qé91.2.3.41.2.3.423 fuzz-repro",
     "1234.5.6.7 over-octet", "1.2.3.4.5 five-octets", "1.2.3.45a suffix",
     "a1.2.3.4 word-prev", "10.0.0.1 clean", "1.2.3.4", "_1.2.3.4 under",
     "x 999.999.999.999 in-range-of-regex", "1.2.3. trailing-dot",
