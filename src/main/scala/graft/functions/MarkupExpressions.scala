@@ -115,7 +115,7 @@ object MarkupExtract {
     }.toArray
 
   // Pass modes for the '<'-gated scans. The passes are hand-rolled
-  // loops with STATIC dispatch, not [[ByteScan.pass]] closures: a
+  // loops with STATIC dispatch, not shared closure-driven passes: a
   // Function3 gate invoked at every byte boxes each Int argument, and
   // against these cheap literal-prefix regexes (which Java's engine
   // skip-scans with indexOf-grade speed) the boxing alone made the

@@ -62,47 +62,14 @@ case class PiiRedact(child: Expression) extends UnaryExpression {
       newChild: Expression): PiiRedact = copy(child = newChild)
 }
 
-/** Shared byte-scan replacement machinery for the codegen'd text
-  * kernels ([[PiiRedact]], [[MarkupExtract]]): one sequential
-  * find-and-replace pass, byte-exact to a `regexp_replace` /
-  * `replace` over the same rule. */
+/** Shared byte-scan primitives for the codegen'd text kernels
+  * ([[PiiRedact]], [[MarkupExtract]]). Both kernels hand-roll their
+  * pass LOOPS with static dispatch (a closure-driven shared pass boxed
+  * every per-byte gate argument and lost to the cheap regexes — the
+  * MarkupExtract round-20 lesson); what they share are the literal
+  * primitives below and the lastEnd resume contract documented on each
+  * kernel's `pass`. */
 private[functions] object ByteScan {
-
-  /** One replacement pass: `matchAt(bytes, i)` returns the match end
-    * (exclusive) or −1; `tryAt(bytes, i, lastEnd)` gates which positions
-    * attempt a match (leftmost-start semantics without O(n²) rescans —
-    * e.g. an email can only start at the head of a local-charset run).
-    * `lastEnd` is the input-coordinate end of the previous match this
-    * pass made (−1 before the first): `Matcher.find()` resumes at the
-    * match end regardless of context, so lookbehind-style gates MUST
-    * also fire at `i == lastEnd` — otherwise abutting matches (e.g.
-    * `a@b.cc+bob@d.ee`) are missed, which for a PII scrubber means a
-    * leak. Skipping the rest of a run after a failed attempt at its
-    * head (or at `lastEnd`) stays sound: every start inside one
-    * charset-run scans to the same run end, so one failure covers the
-    * run. */
-  def pass(in: Array[Byte], placeholder: Array[Byte],
-           tryAt: (Array[Byte], Int, Int) => Boolean,
-           matchAt: (Array[Byte], Int) => Int): Array[Byte] = {
-    var out: java.io.ByteArrayOutputStream = null // allocated on 1st match
-    var copied = 0
-    var lastEnd = -1
-    var i = 0
-    while (i < in.length) {
-      var end = -1
-      if (tryAt(in, i, lastEnd)) end = matchAt(in, i)
-      if (end > i) {
-        if (out == null) out = new java.io.ByteArrayOutputStream(in.length)
-        out.write(in, copied, i - copied)
-        out.write(placeholder, 0, placeholder.length)
-        copied = end
-        lastEnd = end
-        i = end
-      } else i += 1
-    }
-    if (out == null) in
-    else { out.write(in, copied, in.length - copied); out.toByteArray }
-  }
 
   /** Literal byte-sequence match at `at` (no per-call allocation — the
     * gates run at every candidate byte of the corpus). */
@@ -169,12 +136,67 @@ object PiiRedact {
   private val Phone = "<PHONE>".getBytes("US-ASCII")
   private val Num = "<NUM>".getBytes("US-ASCII")
 
-  // the pass machinery lives in [[ByteScan]] (shared with the markup
-  // kernel); see its scaladoc for the lastEnd resume contract
-  private def pass(in: Array[Byte], placeholder: Array[Byte],
-                   tryAt: (Array[Byte], Int, Int) => Boolean,
-                   matchAt: (Array[Byte], Int) => Int): Array[Byte] =
-    ByteScan.pass(in, placeholder, tryAt, matchAt)
+  // Pass modes: the five rules as STATIC dispatch inside one loop body,
+  // not closures — a Function3 gate invoked at every byte boxes each
+  // argument (the MarkupExtract lesson: boxing alone made that kernel's
+  // first cut slower than its regex chain). Gates here are charclass
+  // tests (the literal-gate skip loop doesn't apply), but the calls are
+  // now private statics the JIT inlines.
+  private final val MEmail = 0
+  private final val MUrl = 1
+  private final val MIp = 2
+  private final val MPhone = 3
+  private final val MNum = 4
+  private val Placeholders: Array[Array[Byte]] =
+    Array(Email, Url, Ip, Phone, Num)
+
+  /** One redaction pass of rule `mode` over `in`. `lastEnd` is the end
+    * of this pass's previous match (−1 before the first):
+    * `Matcher.find()` resumes at the match end regardless of context,
+    * so lookbehind-style gates (email's head-of-run) MUST also fire at
+    * `i == lastEnd` — otherwise abutting matches (`a@b.cc+bob@d.ee`)
+    * are missed, which for a PII scrubber means a leak. Skipping the
+    * rest of a run after a failed attempt at its head (or at lastEnd)
+    * stays sound: every start inside one charset-run scans to the same
+    * run end, so one failure covers the run. The IP gate needs no
+    * lastEnd clause: an IP match ends on a trailing non-word byte, so
+    * the resume position can never start a digit run. */
+  private def pass(in: Array[Byte], mode: Int): Array[Byte] = {
+    val placeholder = Placeholders(mode)
+    var out: java.io.ByteArrayOutputStream = null // allocated on 1st match
+    var copied = 0
+    var lastEnd = -1
+    var i = 0
+    val n = in.length
+    while (i < n) {
+      val b0 = in(i)
+      var end = -1
+      mode match {
+        case MEmail =>
+          if (isLocal(b0) && (i == lastEnd || i == 0 || !isLocal(in(i - 1))))
+            end = emailAt(in, i)
+        case MUrl =>
+          if (b0 == 'h') end = urlAt(in, i)
+        case MIp =>
+          if (isDigit(b0) && (i == 0 || !isWord(in(i - 1))))
+            end = ipAt(in, i)
+        case MPhone =>
+          if (b0 == '+' || isDigit(b0)) end = phoneAt(in, i)
+        case _ =>
+          if (isDigit(b0)) end = numAt(in, i)
+      }
+      if (end > i) {
+        if (out == null) out = new java.io.ByteArrayOutputStream(n)
+        out.write(in, copied, i - copied)
+        out.write(placeholder, 0, placeholder.length)
+        copied = end
+        lastEnd = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) in
+    else { out.write(in, copied, n - copied); out.toByteArray }
+  }
 
   /** Email: attempt only at the head of a local-charset run (mid-run
     * starts reach the same `@`/domain and fail or match identically).
@@ -271,14 +293,11 @@ object PiiRedact {
   def compute(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
     var b = s.getBytes
-    b = pass(b, Email,
-      (a, i, le) => isLocal(a(i)) &&
-        (i == le || i == 0 || !isLocal(a(i - 1))), emailAt)
-    b = pass(b, Url, (a, i, _) => a(i) == 'h', urlAt)
-    b = pass(b, Ip,
-      (a, i, _) => isDigit(a(i)) && (i == 0 || !isWord(a(i - 1))), ipAt)
-    b = pass(b, Phone, (a, i, _) => a(i) == '+' || isDigit(a(i)), phoneAt)
-    b = pass(b, Num, (a, i, _) => isDigit(a(i)), numAt)
+    b = pass(b, MEmail)
+    b = pass(b, MUrl)
+    b = pass(b, MIp)
+    b = pass(b, MPhone)
+    b = pass(b, MNum)
     org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
   }
 }
