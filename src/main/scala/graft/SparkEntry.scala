@@ -4717,14 +4717,14 @@ object SparkEntry {
         .where(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 3)
         .groupBy(col("a.modality").as("modality"))
         .agg(count(lit(1)).as("n_exact"))
-      val banded = Seq("image", "audio", "video").map { m =>
-        Dedup.hammingPairsFromSig(
-          prints.where(col("modality") === m)
-            .select(col("media_id").as("doc_id"), col("fp").as("simhash")),
-          64, 3)._1
-          .agg(count(lit(1)).as("n_banded"))
-          .select(lit(m).as("modality"), col("n_banded"))
-      }.reduce(_ unionByName _)
+      // ONE keyed pairing over the heterogeneous print table (modality
+      // rides every join) — three per-modality calls would rebuild the
+      // distinct-signature level and its interior cache three times
+      val banded = Dedup.hammingPairsFromSig(
+        prints.select(col("modality"), col("media_id").as("doc_id"),
+          col("fp").as("simhash")),
+        64, 3, Seq("modality"))._1
+        .groupBy("modality").agg(count(lit(1)).as("n_banded"))
       prints.groupBy("modality").agg(count(lit(1)).as("n_sampled"))
         .join(exact, Seq("modality"), "left")
         .join(banded, Seq("modality"), "left")

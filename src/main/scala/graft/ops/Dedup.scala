@@ -373,17 +373,24 @@ object Dedup {
     * the topology [[simhashPairsManaged]] runs, factored out so any
     * 64-bit-or-narrower fingerprint can reuse it (the perceptual image
     * hash [[Multimodal.dedupPhash]] pairs dHashes through exactly this).
-    * `sig0` must carry (doc_id, simhash); emits (d1, d2, hamming) with
-    * d1 < d2 and hamming <= maxDist, plus the interior-cache cleanup
-    * thunk. Plan shape, scale notes, and the distinct-signature
-    * optimization are [[simhashPairs]]'s. */
+    * `sig0` must carry (`keys`…, doc_id, simhash); `keys` (e.g. a
+    * modality column) ride every join, so ONE call pairs a
+    * heterogeneous print table — three per-modality invocations would
+    * rebuild the distinct-signature level and its interior cache three
+    * times over. Emits (keys…, d1, d2, hamming) with d1 < d2 and
+    * hamming <= maxDist (keys omitted when Nil — the historical
+    * shape), plus the interior-cache cleanup thunk. Plan shape, scale
+    * notes, and the distinct-signature optimization are
+    * [[simhashPairs]]'s. */
   private[graft] def hammingPairsFromSig(sig0: DataFrame, bits: Int,
-                                         maxDist: Int)
+                                         maxDist: Int,
+                                         keys: Seq[String] = Nil)
       : (DataFrame, () => Unit) = {
     require(maxDist < SimhashChunks, // pigeonhole bound for the banding
       s"simhashPairs: maxDist must be < $SimhashChunks chunks, got $maxDist")
     val chunkBits = bits / SimhashChunks // 4 at width 16, 16 at width 64
     val chunkMask = (1L << chunkBits) - 1
+    val kc = keys.map(col)
     // Cache the doc-level signature table PRE-PARTITIONED on the
     // signature — the key every downstream consumer joins or
     // distincts on: the distinct-signature derivation, the two
@@ -396,35 +403,40 @@ object Dedup {
     // with every pin kept; caching the chunk table too measured as
     // noise, so only the doc-level table is pinned to a partitioning).
     val sig = sig0.repartition(col("simhash")).cache()
-    val sigs = sig.select("simhash").distinct()
-    val chunks = sigs.select(col("simhash"),
-      explode(sequence(lit(0), lit(SimhashChunks - 1))).as("chunk"))
+    val sigs = sig.select(kc :+ col("simhash"): _*).distinct()
+    val chunks = sigs.select(kc ++ Seq(col("simhash"),
+        explode(sequence(lit(0), lit(SimhashChunks - 1))).as("chunk")): _*)
       .withColumn("ckey",
         expr(s"shiftright(simhash, chunk * $chunkBits) & $chunkMask"))
+    val bandCond = (keys ++ Seq("chunk", "ckey"))
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val sigPairs = chunks.as("a")
       .join(chunks.as("b").hint("SHUFFLE_MERGE"), // distinct-sig self-join:
         // sub-corpus but corpus-bound in the worst case — never broadcast
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        bandCond && col("a.simhash") < col("b.simhash"))
+      .select(keys.map(k => col(s"a.$k")) ++
+        Seq(col("a.simhash").as("s1"), col("b.simhash").as("s2")): _*)
       .distinct()
       .withColumn("hamming",
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
       .where(col("hamming") <= maxDist)
     val cross = sigPairs
-      .join(sig.select(col("simhash").as("s1"), col("doc_id").as("da"))
-        .hint("SHUFFLE_MERGE"), "s1")
-      .join(sig.select(col("simhash").as("s2"), col("doc_id").as("db"))
-        .hint("SHUFFLE_MERGE"), "s2")
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+      .join(sig.select(kc ++ Seq(col("simhash").as("s1"),
+        col("doc_id").as("da")): _*).hint("SHUFFLE_MERGE"), keys :+ "s1")
+      .join(sig.select(kc ++ Seq(col("simhash").as("s2"),
+        col("doc_id").as("db")): _*).hint("SHUFFLE_MERGE"), keys :+ "s2")
+      .select(kc ++ Seq(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming")): _*)
+    val intraCond = (keys :+ "simhash")
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val intra = sig.as("a")
       .join(sig.as("b").hint("SHUFFLE_MERGE"), // corpus self-join: never broadcast
-        col("a.simhash") === col("b.simhash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        lit(0L).as("hamming"))
-    val pairs = cross.unionByName(intra).orderBy("d1", "d2")
+        intraCond && col("a.doc_id") < col("b.doc_id"))
+      .select(keys.map(k => col(s"a.$k")) ++
+        Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          lit(0L).as("hamming")): _*)
+    val pairs = cross.unionByName(intra)
+      .orderBy(kc ++ Seq(col("d1"), col("d2")): _*)
     (pairs, () => { sig.unpersist(); () })
   }
 
