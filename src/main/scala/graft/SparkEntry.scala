@@ -1715,8 +1715,96 @@ object SparkEntry {
             markupWrapped(col("doc_id"), col("text"))).as("main_text"))
         .select(col("doc_id"), col("main_text"),
           length(col("main_text")).cast("long").as("n_chars_clean"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // URL canonicalization — the crawl-side dedup key. The corpus
+    // carries no URL column, so a deterministic synthesized URL (every
+    // rule exercised: mixed case, both default ports, a kept non-default
+    // port, empty paths, unsorted/empty queries, fragments) rides on
+    // each event id, identically in SQL.
+    "url_canonicalize" -> ((s, dir) =>
+      Records.readEvents(s, dir)
+        .select(col("event_id"), synthUrl(col("event_id")).as("url"))
+        .select(col("event_id"), col("url"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("url_canon"))
+        .orderBy("event_id")),
+    // ... and the dedup it exists for: recrawls of the same canonical
+    // URL collapse to one keeper (min id), a plain hash-groupBy on the
+    // canonical key — at 100 TB one map pass + one shuffle.
+    "url_dedup" -> ((s, dir) =>
+      Records.readEvents(s, dir)
+        .select(col("event_id"),
+          TextAnalysis.canonicalizeUrl(synthUrl(col("event_id")))
+            .as("url_canon"))
+        .groupBy("url_canon")
+        .agg(count(lit(1)).as("n_dups"), min("event_id").as("keep_id"))
+        .orderBy("url_canon"))
   )
+
+  /** Deterministic synthesized URL over an id — the PII-suffix
+    * precedent: every canonicalization rule exercised, replayed
+    * verbatim by [[synthUrlSql]]. */
+  private def synthUrl(id: Column): Column =
+    concat(
+      when(id % 5 === 0,
+        concat(lit("HTTPS://Sec"), (id % 7).cast("string"),
+          lit(".COM:443")))
+        .otherwise(concat(lit("HTTP://Ex"), (id % 7).cast("string"),
+          lit(".COM"),
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":8080")))),
+      when(id % 3 === 0, lit(""))
+        .otherwise(concat(lit("/Path/"), (id % 5).cast("string"))),
+      when(id % 3 === 1,
+        concat(lit("?b=2&a="), id.cast("string"), lit("&c=")))
+        .otherwise(when(id % 6 === 2, lit("?")).otherwise(lit(""))),
+      when(id % 4 === 0, concat(lit("#Frag"), id.cast("string")))
+        .otherwise(lit("")))
+
+  private def synthUrlSql(id: String): String =
+    s"(CASE WHEN $id % 5 = 0 THEN 'HTTPS://Sec' || CAST($id % 7 AS VARCHAR) || '.COM:443'" +
+      s" ELSE 'HTTP://Ex' || CAST($id % 7 AS VARCHAR) || '.COM' ||" +
+      s" (CASE WHEN $id % 2 = 0 THEN ':80' ELSE ':8080' END) END)" +
+      s" || (CASE WHEN $id % 3 = 0 THEN '' ELSE '/Path/' || CAST($id % 5 AS VARCHAR) END)" +
+      s" || (CASE WHEN $id % 3 = 1 THEN '?b=2&a=' || CAST($id AS VARCHAR) || '&c='" +
+      s" WHEN $id % 6 = 2 THEN '?' ELSE '' END)" +
+      s" || (CASE WHEN $id % 4 = 0 THEN '#Frag' || CAST($id AS VARCHAR) ELSE '' END)"
+
+  /** The canonicalization chain over a SQL expression — DuckDB replay
+    * of [[TextAnalysis.canonicalizeUrl]]'s declared rules. Emits CTE
+    * bodies `u -> s2 -> s3 -> s4` given `u(id, url)` in scope; the
+    * final canonical string is `s4`'s select list. */
+  private def urlCanonCtes: String =
+    """s1 AS (
+      |  SELECT id, url, regexp_replace(url, '(?s)#.*', '') AS nofrag
+      |  FROM u
+      |), s2 AS (
+      |  SELECT id, url, nofrag,
+      |    coalesce(regexp_extract(nofrag,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'), '') AS pre
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT id, url,
+      |    regexp_replace(regexp_replace(lower(pre),
+      |      '^(http://[^/?#]*):80$', '\1'),
+      |      '^(https://[^/?#]*):443$', '\1') AS auth,
+      |    substr(nofrag, length(pre) + 1) AS rest
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT id, url, auth,
+      |    CASE WHEN strpos(rest, '?') > 0
+      |         THEN substr(rest, 1, strpos(rest, '?') - 1)
+      |         ELSE rest END AS path0,
+      |    CASE WHEN strpos(rest, '?') > 0
+      |         THEN substr(rest, strpos(rest, '?') + 1)
+      |         ELSE '' END AS q
+      |  FROM s3
+      |), canon AS (
+      |  SELECT id, url,
+      |    auth || (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN q = '' THEN ''
+      |          ELSE '?' || array_to_string(
+      |            list_sort(string_split(q, '&')), '&') END) AS url_canon
+      |  FROM s4
+      |)""".stripMargin
 
   /** The deterministic markup wrapper `text_extract_markup` and
     * `pipeline_clean_corpus_v5` synthesize around each document — every
@@ -1847,6 +1935,23 @@ object SparkEntry {
          |SELECT doc_id, main_text,
          |  CAST(len(main_text) AS BIGINT) AS n_chars_clean
          |FROM ext ORDER BY doc_id""".stripMargin,
+
+    "url_canonicalize" ->
+      s"""WITH u AS (
+         |  SELECT event_id AS id, ${synthUrlSql("event_id")} AS url
+         |  FROM events
+         |), $urlCanonCtes
+         |SELECT id AS event_id, url, url_canon
+         |FROM canon ORDER BY event_id""".stripMargin,
+
+    "url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT event_id AS id, ${synthUrlSql("event_id")} AS url
+         |  FROM events
+         |), $urlCanonCtes
+         |SELECT url_canon, CAST(count(*) AS BIGINT) AS n_dups,
+         |  CAST(min(id) AS BIGINT) AS keep_id
+         |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
 
     "sample_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (

@@ -27,6 +27,47 @@ object TextAnalysis {
   def round6Sql(expr: String): String =
     s"floor(($expr) * 1000000 + 0.5) / 1000000"
 
+  /** URL canonicalization — the crawl-side dedup key (a recrawled page
+    * arrives as `HTTP://EX.COM:80/p?b=2&a=1#frag` one day and
+    * `http://ex.com/p?a=1&b=2` the next; byte-level dedup sees two
+    * URLs). Declared rule chain, each step a codegen'd built-in (no
+    * UDF, no custom expression — URLs are short, so the win is staying
+    * inside whole-stage codegen, not a byte kernel):
+    *
+    *   1. strip the fragment (`(?s)#.*` → '');
+    *   2. lowercase the scheme+authority prefix
+    *      (`^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*`), path untouched
+    *      (paths are case-sensitive);
+    *   3. strip the scheme's default port (`:80` for http, `:443` for
+    *      https; any other port survives);
+    *   4. empty path → `/`;
+    *   5. sort query parameters byte-wise on the raw `&` split (an
+    *      empty query drops its `?`).
+    *
+    * Non-URL input degrades deterministically (empty prefix, the whole
+    * string treated as a path) — garbage in, stable garbage out, same
+    * on both engines. The oracle replays the chain with DuckDB string
+    * ops (strpos/list_sort are binary-collation, matching Spark's
+    * UTF8String ordering). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "(?s)#.*", "")
+    val prefix = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val auth = regexp_replace(
+      regexp_replace(lower(prefix), "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
+    val rest = noFrag.substr(length(prefix) + lit(1), length(noFrag))
+    val path0 = substring_index(rest, "?", 1)
+    val query0 = when(instr(rest, "?") > 0,
+      rest.substr(instr(rest, "?") + lit(1), length(rest)))
+      .otherwise(lit(""))
+    concat(auth,
+      when(path0 === "", lit("/")).otherwise(path0),
+      when(query0 === "", lit(""))
+        .otherwise(concat(lit("?"),
+          array_join(array_sort(split(query0, "&")), "&"))))
+  }
+
   /** Whitespace tokenization of lowercased, trimmed text. */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
