@@ -1830,6 +1830,19 @@ object SparkEntry {
       s" || '</h1>' || chr(10) || '<p>' || $text" +
       " || ' &amp; more &lt;b&gt;bold&lt;/b&gt;&nbsp;end</p></body></html>'"
 
+  /** The five-rule PII chain over a SQL expression — RE2 replay of
+    * [[graft.functions.PiiRedact]]'s declared regexes (the RE2-safe
+    * forms — IpRe's `\b` IS RE2's ASCII boundary; the Java-only
+    * IpReJava rendering never reaches the oracle). */
+  private def piiRedactSql(t: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(\n" +
+      s"      regexp_replace($t,\n" +
+      s"      '${graft.functions.PiiRedact.EmailRe}', '<EMAIL>', 'g'),\n" +
+      s"      '${graft.functions.PiiRedact.UrlRe}', '<URL>', 'g'),\n" +
+      s"      '${graft.functions.PiiRedact.IpRe}', '<IP>', 'g'),\n" +
+      s"      '${graft.functions.PiiRedact.PhoneRe}', '<PHONE>', 'g'),\n" +
+      s"      '${graft.functions.PiiRedact.NumRe}', '<NUM>', 'g')"
+
   /** The declared extraction chain over a SQL expression — RE2 replay
     * of [[graft.functions.MarkupExtract]]'s rules, nesting order the
     * contract: blocks, comments, tags, entity decodes (amp last),
@@ -1909,13 +1922,7 @@ object SparkEntry {
           s" AS BIGINT)"
       s"""WITH r AS (
          |  SELECT event_id,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |      regexp_replace($full,
-         |      '${graft.functions.PiiRedact.EmailRe}', '<EMAIL>', 'g'),
-         |      '${graft.functions.PiiRedact.UrlRe}', '<URL>', 'g'),
-         |      '${graft.functions.PiiRedact.IpRe}', '<IP>', 'g'),
-         |      '${graft.functions.PiiRedact.PhoneRe}', '<PHONE>', 'g'),
-         |      '${graft.functions.PiiRedact.NumRe}', '<NUM>', 'g') AS _red
+         |    ${piiRedactSql(full)} AS _red
          |  FROM events)
          |SELECT event_id, _red AS props_red,
          |  ${nOf("<EMAIL>")} AS n_emails,
@@ -2766,6 +2773,33 @@ object SparkEntry {
         graft.functions.MarkupExpressions.extractMarkup(
           markupWrapped(col("doc_id"), col("text"))).as("text"))
       TextAnalysis.c4FilterQuery(extracted)
+    }),
+
+    // v6: the complete crawl front in one DAG — canonical-URL dedup
+    // picks one keeper per recrawled page (min doc_id per canonical
+    // key), and ONLY the keepers pay extraction + PII scrub + C4
+    // filtering (the order a real pipeline runs: the cheap key-level
+    // dedup gates the expensive per-byte work). One aggregation + one
+    // keeper join (aggregation-bounded but corpus-scale: pinned);
+    // everything after is map-only kernels.
+    "pipeline_clean_corpus_v6" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(synthUrl(col("doc_id")))
+          .as("url_canon"),
+        col("text"))
+      val keep = d.groupBy("url_canon")
+        .agg(min("doc_id").as("doc_id"))
+      val kept = d.join(keep.hint("SHUFFLE_MERGE"),
+        Seq("url_canon", "doc_id"))
+      val ext = kept.select(col("doc_id"), col("url_canon"),
+        graft.functions.PiiExpressions.redactPii(
+          graft.functions.MarkupExpressions.extractMarkup(
+            markupWrapped(col("doc_id"), col("text")))).as("text"))
+      TextAnalysis.c4FilterQuery(ext.select("doc_id", "text"))
+        .join(ext.select(col("doc_id"), col("url_canon"),
+          md5(col("text")).as("clean_md5")).hint("SHUFFLE_MERGE"),
+          "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -3051,6 +3085,47 @@ object SparkEntry {
          |)
          |""".stripMargin +
       """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tok,
+        |  coalesce(len(t) BETWEEN 10 AND 5000, false) AS len_ok,
+        |  coalesce((length(array_to_string(t, '')) * 1.0 / len(t))
+        |    BETWEEN 2.0 AND 12.0, false) AS wordlen_ok,
+        |  coalesce(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |    / length(text) < 0.15, false) AS symbol_ok,
+        |  coalesce(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+        |    / len(t) >= 0.5, false) AS alpha_ok,
+        |  coalesce(list_max(list_transform(t, x -> length(x))) <= 25, false)
+        |    AS toklen_ok,
+        |  coalesce(NOT contains(lower(text), 'lorem ipsum'), false) AS lorem_ok,
+        |  coalesce(len(list_distinct(t)) * 1.0 / len(t) >= 0.2, false)
+        |    AS distinct_ok,
+        |  (len_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND toklen_ok
+        |    AND lorem_ok AND distinct_ok) AS keep
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    // v6: canonical-URL keeper election, then markup + PII + C4 over
+    // the keepers only — every stage the declared chain of its own
+    // oracle row, composed.
+    "pipeline_clean_corpus_v6" ->
+      (s"""WITH u AS (
+         |  SELECT doc_id AS id, ${synthUrlSql("doc_id")} AS url
+         |  FROM documents
+         |), $urlCanonCtes, keepers AS (
+         |  SELECT url_canon, min(id) AS id FROM canon GROUP BY url_canon
+         |), raw AS (
+         |  SELECT k.id AS doc_id, k.url_canon,
+         |    ${markupWrappedSql("d.doc_id", "d.text")} AS t0
+         |  FROM keepers k JOIN documents d ON d.doc_id = k.id
+         |), ext AS (
+         |  SELECT doc_id, url_canon,
+         |    ${piiRedactSql(markupExtractSql("t0"))} AS text
+         |  FROM raw
+         |), toks AS (
+         |  SELECT doc_id, url_canon, text,
+         |         string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM ext
+         |)
+         |""".stripMargin +
+      """SELECT doc_id, url_canon, md5(text) AS clean_md5,
         |  CAST(len(t) AS BIGINT) AS n_tok,
         |  coalesce(len(t) BETWEEN 10 AND 5000, false) AS len_ok,
         |  coalesce((length(array_to_string(t, '')) * 1.0 / len(t))

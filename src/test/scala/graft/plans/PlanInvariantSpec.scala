@@ -31,6 +31,19 @@ class PlanInvariantSpec extends SparkSuite {
     }
   }
 
+  test("pipeline_clean_corpus_v6: keeper election + kernel stages plan " +
+    "with pinned joins — no cartesian, no nested loop, no broadcast of " +
+    "a corpus-derived side") {
+    val p = planOf("pipeline_clean_corpus_v6")
+    assert(!p.contains("CartesianProduct"), "v6 plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "v6 plans a nested loop")
+    // keeper set and md5 side are aggregation-bounded but corpus-scale:
+    // both ride SHUFFLE_MERGE pins
+    assert(p.contains("SortMergeJoin"), "v6 lost its join pins")
+    assert(!p.contains("BroadcastExchange"),
+      "v6 broadcasts a corpus-derived side")
+  }
+
   test("q_zorder_cluster: no window operator; the only single-partition " +
     "exchange is the 1-row min/max scalar agg") {
     val p = planOf("q_zorder_cluster")
