@@ -139,7 +139,10 @@ object DumpPlans {
     // (df agg + anti on the same key); the recall gate must show the
     // bounded brute-force join AND the banded pairing both merge-pinned
     "text_extract_markup", "pipeline_clean_corpus_v5",
-    "dedup_containment_dfcut", "mm_dedup_recall")
+    "dedup_containment_dfcut", "mm_dedup_recall",
+    // the crawl front composed: keeper election one exchange + pinned
+    // join, kernels map-side; url_dedup one map pass + one shuffle
+    "pipeline_clean_corpus_v6", "url_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
