@@ -2795,11 +2795,12 @@ object SparkEntry {
         graft.functions.PiiExpressions.redactPii(
           graft.functions.MarkupExpressions.extractMarkup(
             markupWrapped(col("doc_id"), col("text")))).as("text"))
-      TextAnalysis.c4FilterQuery(ext.select("doc_id", "text"))
-        .join(ext.select(col("doc_id"), col("url_canon"),
-          md5(col("text")).as("clean_md5")).hint("SHUFFLE_MERGE"),
-          "doc_id")
-        .orderBy("doc_id")
+      // carry url_canon + the text md5 THROUGH the flags projection —
+      // a flags⋈md5 self-join would execute the keeper election and
+      // both byte kernels twice (the round-20 plan audit's finding)
+      TextAnalysis.c4FilterQuery(ext,
+        Seq("url_canon" -> col("url_canon"),
+          "clean_md5" -> md5(col("text"))))
     })
   )
 

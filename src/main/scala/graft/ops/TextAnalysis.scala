@@ -313,8 +313,21 @@ object TextAnalysis {
     * at any scale. All comparisons are on exact integers or a single IEEE
     * division of exact integers, so the flags are bit-identical across
     * engines. */
-  def c4FilterQuery(docs: DataFrame): DataFrame = {
-    val withT = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("_t"))
+  def c4FilterQuery(docs: DataFrame): DataFrame =
+    c4FilterQuery(docs, Nil)
+
+  /** As above, with named pass-through columns (each expression is
+    * evaluated against the INPUT row, so `md5(col("text"))` rides the
+    * same projection as the flags) — the composing-pipeline hook: a
+    * caller wanting flags PLUS derived columns would otherwise join two
+    * copies of its upstream subtree, executing every kernel beneath it
+    * twice (the round-20 v6 plan audit: four document scans, two keeper
+    * elections, both byte kernels duplicated). */
+  def c4FilterQuery(docs: DataFrame,
+                    carry: Seq[(String, Column)]): DataFrame = {
+    val withT = docs.select(
+      Seq(col("doc_id"), col("text"), tokens(col("text")).as("_t")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
     val nTok = size(col("_t")).cast(LongType)
     val totTokChars = length(array_join(col("_t"), "")).cast(LongType)
     val nSym = punctCount(col("text")) // the same char class, kernel form
@@ -331,14 +344,15 @@ object TextAnalysis {
     def ratio(num: Column, den: Column) =
       when(den > 0, num.cast("double") / den.cast("double"))
     withT
-      .select(col("doc_id"), nTok.as("n_tok"),
+      .select(Seq(col("doc_id"), nTok.as("n_tok"),
         flag(nTok.between(10, 5000)).as("len_ok"),
         flag(ratio(totTokChars, nTok).between(2.0, 12.0)).as("wordlen_ok"),
         flag(ratio(nSym, length(col("text"))) < 0.15).as("symbol_ok"),
         flag(ratio(nAlpha, nTok) >= 0.5).as("alpha_ok"),
         flag(maxTokLen <= 25).as("toklen_ok"),
         flag(!contains(lower(col("text")), lit("lorem ipsum"))).as("lorem_ok"),
-        flag(ratio(nDistinct, nTok) >= 0.2).as("distinct_ok"))
+        flag(ratio(nDistinct, nTok) >= 0.2).as("distinct_ok")) ++
+        carry.map { case (n, _) => col(n) }: _*)
       .withColumn("keep",
         col("len_ok") && col("wordlen_ok") && col("symbol_ok") &&
           col("alpha_ok") && col("toklen_ok") && col("lorem_ok") &&

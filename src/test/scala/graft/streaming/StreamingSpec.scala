@@ -682,9 +682,10 @@ class StreamingSpec extends SparkSuite {
       val ext = df.select(col("doc_id"),
         PiiExpressions.redactPii(
           MarkupExpressions.extractMarkup(col("html"))).as("text"))
-      graft.ops.TextAnalysis.c4FilterQuery(ext)
-        .join(ext.select(col("doc_id"), md5(col("text")).as("clean_md5")),
-          "doc_id")
+      // md5 carried through the flags projection: one kernel pass,
+      // no self-join (the v6 shape)
+      graft.ops.TextAnalysis.c4FilterQuery(ext,
+        Seq("clean_md5" -> md5(col("text"))))
     }
     def page(i: Long): String =
       s"<html><head><script>var x=$i && 1<2;</script></head><body>" +
