@@ -1737,7 +1737,21 @@ object SparkEntry {
             .as("url_canon"))
         .groupBy("url_canon")
         .agg(count(lit(1)).as("n_dups"), min("event_id").as("keep_id"))
-        .orderBy("url_canon"))
+        .orderBy("url_canon")),
+    // Per-host crawl inventory — the grouping a pipeline quotas and
+    // mixes on (sample_quota's 'source' lever applied to the crawl's
+    // real key). One map pass + one shuffle; distinct-URL counts are
+    // partial-aggregated per host.
+    "url_host_stats" -> ((s, dir) =>
+      Records.readEvents(s, dir)
+        .select(TextAnalysis.canonicalizeUrl(synthUrl(col("event_id")))
+          .as("url_canon"))
+        .select(TextAnalysis.urlHost(col("url_canon")).as("host"),
+          col("url_canon"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("url_canon")).as("n_urls"))
+        .orderBy("host"))
   )
 
   /** Deterministic synthesized URL over an id — the PII-suffix
@@ -1959,6 +1973,17 @@ object SparkEntry {
          |SELECT url_canon, CAST(count(*) AS BIGINT) AS n_dups,
          |  CAST(min(id) AS BIGINT) AS keep_id
          |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "url_host_stats" ->
+      s"""WITH u AS (
+         |  SELECT event_id AS id, ${synthUrlSql("event_id")} AS url
+         |  FROM events
+         |), $urlCanonCtes
+         |SELECT coalesce(regexp_extract(url_canon,
+         |    '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1), '') AS host,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls
+         |FROM canon GROUP BY host ORDER BY host""".stripMargin,
 
     "sample_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (

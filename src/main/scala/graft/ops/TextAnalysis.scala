@@ -68,6 +68,14 @@ object TextAnalysis {
           array_join(array_sort(split(query0, "&")), "&"))))
   }
 
+  /** Host of a CANONICAL URL ([[canonicalizeUrl]] output: scheme and
+    * host already lowercased): the `://`-to-first-`/:?#` span. Empty
+    * for scheme-less input — non-URL garbage groups under '' rather
+    * than polluting a real host's stats. The per-domain grouping key a
+    * crawl pipeline quotas and mixes on. */
+  def urlHost(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+
   /** Whitespace tokenization of lowercased, trimmed text. */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")

@@ -35,4 +35,21 @@ class UrlCanonSpec extends SparkSuite {
       assert(got(i) == want, s"<$in>: got <${got(i)}>, want <$want>")
     }
   }
+
+  test("urlHost extracts the canonical host; non-URLs group under ''") {
+    val hostCases = Seq(
+      ("http://ex.com/p?a=1", "ex.com"),
+      ("https://sub.do-main.org/", "sub.do-main.org"),
+      ("http://ex.com:8080/x", "ex.com"), // port excluded from the key
+      ("http://[::1]/x", "["), // bracket hosts stop at ':' — documented key shape
+      ("ftp://f.io/a", "f.io"),
+      ("not a url at all", ""),
+      ("/just/a/path", ""))
+    val got = hostCases.map(_._1).zipWithIndex.map(_.swap).toDF("id", "u")
+      .select(col("id"), TextAnalysis.urlHost(col("u")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    hostCases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"<$in>: got <${got(i)}>, want <$want>")
+    }
+  }
 }
